@@ -1,0 +1,38 @@
+"""nnop_tpu — a TPU-native fused-kernel engine (JAX/Pallas).
+
+Brand-new implementation of the capabilities of pxl-th/NNop.jl
+(/root/reference), re-designed TPU-first: Pallas kernels on the MXU/VPU in
+place of KernelAbstractions workgroup kernels, `jax.custom_vjp` in place of
+ChainRules rrules, and VMEM-budget block-size selection in place of the
+shared-memory groupsize autotuner. See SURVEY.md for the layer map.
+"""
+
+import os as _os
+
+import jax as _jax
+
+# Persistent compilation cache: Mosaic/XLA compiles through the remote
+# tunnel are expensive; cache them across processes.
+if not _os.environ.get("NNOP_NO_COMPILE_CACHE"):
+    _cache = _os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        _os.path.expanduser("~/.cache/jax_nnop"),
+    )
+    _os.makedirs(_cache, exist_ok=True)
+    _jax.config.update("jax_compilation_cache_dir", _cache)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+from nnop_tpu.ops.softmax import online_softmax
+from nnop_tpu.ops.rms_norm import rms_norm
+from nnop_tpu.ops.layer_norm import layer_norm
+from nnop_tpu.ops.rope import RotaryEmbedding, llama_rope
+from nnop_tpu.ops.flash_attention import flash_attention
+
+__all__ = [
+    "online_softmax",
+    "rms_norm",
+    "layer_norm",
+    "RotaryEmbedding",
+    "llama_rope",
+    "flash_attention",
+]

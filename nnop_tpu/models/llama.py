@@ -1,0 +1,179 @@
+"""Llama-3-style transformer built on the fused kernel suite.
+
+North-star scope (BASELINE.json configs 4-5): the reference is a kernel
+library with no model zoo (SURVEY.md §1 "There is no ... model zoo"), so
+this module is new TPU-first design, not a port. Pure-functional pytree
+params (no flax dependency) so sharding annotations and shard_map
+partitioning stay explicit.
+
+Uses: rms_norm (fused, Pallas), llama_rope (fused), flash_attention
+(fused, causal, GQA), SwiGLU MLP on the MXU via einsum, optional
+weight-only INT8 matmuls (ops/quantized_matmul.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from nnop_tpu.ops.flash_attention import flash_attention
+from nnop_tpu.ops.rms_norm import rms_norm
+from nnop_tpu.ops.rope import RotaryEmbedding, llama_rope
+
+
+@dataclasses.dataclass(frozen=True)
+class LlamaConfig:
+    vocab_size: int = 128256
+    dim: int = 4096
+    n_layers: int = 32
+    n_heads: int = 32
+    n_kv_heads: int = 8
+    head_dim: int = 128
+    hidden_dim: int = 14336
+    rope_base: float = 500000.0
+    rms_eps: float = 1e-5
+    max_seq_len: int = 8192
+    dtype: Any = jnp.bfloat16
+
+    @staticmethod
+    def llama3_8b(**kw):
+        return LlamaConfig(**kw)
+
+    @staticmethod
+    def tiny(**kw):
+        defaults = dict(
+            vocab_size=256,
+            dim=128,
+            n_layers=2,
+            n_heads=4,
+            n_kv_heads=2,
+            head_dim=32,
+            hidden_dim=256,
+            rope_base=10000.0,
+            max_seq_len=256,
+        )
+        defaults.update(kw)
+        return LlamaConfig(**defaults)
+
+
+def init_params(key: jax.Array, cfg: LlamaConfig):
+    """Random-init params pytree (HF-weight loading lives in weights.py)."""
+    d, hd = cfg.dim, cfg.head_dim
+    keys = jax.random.split(key, cfg.n_layers + 2)
+
+    def dense(k, shape):
+        fan_in = shape[0]
+        return (jax.random.normal(k, shape, jnp.float32) * fan_in**-0.5).astype(
+            cfg.dtype
+        )
+
+    def layer(k):
+        ks = jax.random.split(k, 7)
+        return {
+            "attn_norm": jnp.ones((d,), cfg.dtype),
+            "wq": dense(ks[0], (d, cfg.n_heads * hd)),
+            "wk": dense(ks[1], (d, cfg.n_kv_heads * hd)),
+            "wv": dense(ks[2], (d, cfg.n_kv_heads * hd)),
+            "wo": dense(ks[3], (cfg.n_heads * hd, d)),
+            "mlp_norm": jnp.ones((d,), cfg.dtype),
+            "w_gate": dense(ks[4], (d, cfg.hidden_dim)),
+            "w_up": dense(ks[5], (d, cfg.hidden_dim)),
+            "w_down": dense(ks[6], (cfg.hidden_dim, d)),
+        }
+
+    return {
+        "embed": (
+            jax.random.normal(keys[0], (cfg.vocab_size, d), jnp.float32) * 0.02
+        ).astype(cfg.dtype),
+        "layers": [layer(keys[i + 1]) for i in range(cfg.n_layers)],
+        "final_norm": jnp.ones((d,), cfg.dtype),
+        "lm_head": dense(keys[-1], (d, cfg.vocab_size)),
+    }
+
+
+def _split_heads(x, n_heads, head_dim):
+    # (B, L, H*E) -> (B, H, L, E)
+    B, L, _ = x.shape
+    return x.reshape(B, L, n_heads, head_dim).transpose(0, 2, 1, 3)
+
+
+def _merge_heads(x):
+    # (B, H, L, E) -> (B, L, H*E)
+    B, H, L, E = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(B, L, H * E)
+
+
+def attention_block(layer, x, cos, sin, cfg: LlamaConfig, *, kv_cache=None,
+                    kpad_mask=None, causal=True, matmul=None):
+    """rms_norm -> qkv proj -> rope -> flash attention -> out proj.
+
+    This is the reference-parity end-to-end slice (SURVEY.md §7 "Minimum
+    end-to-end slice") plus KV-cache support for decode.
+    """
+    mm = matmul or (lambda x, w: jnp.einsum("bld,do->blo", x, w))
+    h = rms_norm(x, layer["attn_norm"], cfg.rms_eps)
+    q = _split_heads(mm(h, layer["wq"]), cfg.n_heads, cfg.head_dim)
+    k = _split_heads(mm(h, layer["wk"]), cfg.n_kv_heads, cfg.head_dim)
+    v = _split_heads(mm(h, layer["wv"]), cfg.n_kv_heads, cfg.head_dim)
+    q, k = llama_rope(q, k, cos, sin)
+
+    new_cache = None
+    if kv_cache is not None:
+        new_cache = kv_cache.append(k, v)
+        k, v = new_cache.dequant_kv()
+        k, v = k.astype(q.dtype), v.astype(q.dtype)
+        kpad_mask = new_cache.valid_mask()
+        causal = False  # decode: mask comes from cache validity
+
+    o = flash_attention(q, k, v, causal=causal, kpad_mask=kpad_mask)
+    return x + mm(_merge_heads(o.astype(x.dtype)), layer["wo"]), new_cache
+
+
+def mlp_block(layer, x, cfg: LlamaConfig, *, matmul=None):
+    mm = matmul or (lambda x, w: jnp.einsum("bld,do->blo", x, w))
+    h = rms_norm(x, layer["mlp_norm"], cfg.rms_eps)
+    gate = jax.nn.silu(mm(h, layer["w_gate"]).astype(jnp.float32))
+    up = mm(h, layer["w_up"]).astype(jnp.float32)
+    return x + mm((gate * up).astype(x.dtype), layer["w_down"])
+
+
+def forward(params, tokens, cfg: LlamaConfig, *, positions=None,
+            kv_caches=None, kpad_mask=None, matmul=None):
+    """Full forward pass: tokens (B, L) int32 -> logits (B, L, vocab).
+
+    positions: (B, L) absolute positions (defaults to arange — pass the
+    cache offset during decode). kv_caches: list of per-layer caches.
+    """
+    B, L = tokens.shape
+    if positions is None:
+        positions = jnp.broadcast_to(jnp.arange(L, dtype=jnp.int32)[None], (B, L))
+    x = params["embed"][tokens]
+    rope = RotaryEmbedding(cfg.head_dim, cfg.rope_base)
+    cos, sin = rope(positions)
+    new_caches = [] if kv_caches is not None else None
+    for i, layer in enumerate(params["layers"]):
+        cache = kv_caches[i] if kv_caches is not None else None
+        x, new_cache = attention_block(
+            layer, x, cos, sin, cfg,
+            kv_cache=cache, kpad_mask=kpad_mask, matmul=matmul,
+        )
+        if new_caches is not None:
+            new_caches.append(new_cache)
+        x = mlp_block(layer, x, cfg, matmul=matmul)
+    x = rms_norm(x, params["final_norm"], cfg.rms_eps)
+    mm = matmul or (lambda x, w: jnp.einsum("bld,do->blo", x, w))
+    logits = mm(x, params["lm_head"]).astype(jnp.float32)
+    if kv_caches is not None:
+        return logits, new_caches
+    return logits
+
+
+def loss_fn(params, tokens, targets, cfg: LlamaConfig, *, matmul=None):
+    """Next-token cross-entropy (mean over all positions)."""
+    logits = forward(params, tokens, cfg, matmul=matmul)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    ll = jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
+    return -jnp.mean(ll)

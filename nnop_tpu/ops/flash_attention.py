@@ -1,0 +1,346 @@
+"""Flash attention forward (Pallas TPU) + public API with custom VJP.
+
+Re-derivation of /root/reference/src/attention.jl (+ attention_crc.jl) as a
+TPU-first kernel — not a translation:
+
+* The reference is FA-1 style (in-loop output rescaling via p_scale/o_scale,
+  attention.jl:102-110). This build is FA-2 style: the accumulator carries
+  un-normalized partial sums and normalization is deferred to the final KV
+  step — identical outputs, fewer VPU ops per tile.
+* The reference's hand-written register-tiled `mma!` + shared-memory
+  choreography (mma.jl, attention.jl:17-20) disappear: tiles live in VMEM
+  via BlockSpecs and contractions are `jnp.dot` on the MXU.
+* The reference saves separate row-max `ms` and denominator `ls`
+  (attention.jl:128-129); this build saves the single standard
+  LSE = m + log(l) residual.
+* Grid = (B, QH, q_blocks, kv_blocks) with the KV dimension innermost and
+  sequential; the online state (m, l, acc) lives in VMEM scratch across KV
+  steps. GQA folds into the K/V index maps (kv_head = q_head // group,
+  mirroring attention.jl:14,28).
+* Causal tile-skip (attention.jl:47 `end_iter`): K/V/pair index maps clamp
+  the KV block index to the last needed block, so Pallas skips the DMA for
+  masked-out tiles, and a `pl.when` predicate skips the compute.
+
+Feature parity (SURVEY.md §2.6): causal mask by absolute position
+(attention.jl:67-72), key-padding mask for varlen (attention.jl:73-79),
+GQA/MQA (QH % KH == 0), additive pair bias with gradient
+(attention.jl:59-64), cross-attention QL != KL, arbitrary (non-tile-
+multiple) lengths via iota masking (vs. the reference's `in_seq_bounds`
+Val, attention.jl:153), plus a `scale` kwarg the reference lacks (it fixes
+1/sqrt(E), attention.jl:154 — same default here).
+
+Layouts (TPU row-major; reference is column-major (E,L,H,B) — same logical
+axes): q (B, QH, QL, E), k/v (B, KH, KL, E), pair (B, QH, QL, KL),
+kpad_mask (B, KL) with True = valid.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from nnop_tpu.utils.platform import (
+    cdiv,
+    interpret_default,
+    round_up,
+    sublane_tile,
+)
+
+MASK_VALUE = -1e30  # large-negative instead of -inf: avoids inf-inf=NaN
+
+
+def _fwd_kernel(
+    *refs,
+    scale: float,
+    causal: bool,
+    has_pair: bool,
+    has_kpad: bool,
+    block_q: int,
+    block_k: int,
+    q_len: int,
+    kv_len: int,
+    precision=None,
+):
+    idx = 0
+    q_ref = refs[idx]; idx += 1
+    k_ref = refs[idx]; idx += 1
+    v_ref = refs[idx]; idx += 1
+    pair_ref = None
+    kpad_ref = None
+    if has_pair:
+        pair_ref = refs[idx]; idx += 1
+    if has_kpad:
+        kpad_ref = refs[idx]; idx += 1
+    o_ref, lse_ref, acc, m_scr, l_scr = refs[idx : idx + 5]
+
+    iq = pl.program_id(2)
+    ik = pl.program_id(3)
+    num_kv = pl.num_programs(3)
+
+    @pl.when(ik == 0)
+    def _init():
+        m_scr[...] = jnp.full_like(m_scr, MASK_VALUE)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc[...] = jnp.zeros_like(acc)
+
+    # Causal tile skip: KV blocks strictly above the diagonal contribute
+    # nothing (reference `end_iter`, attention.jl:47).
+    if causal:
+        active = ik * block_k <= iq * block_q + block_q - 1
+    else:
+        active = True
+
+    @pl.when(active)
+    def _step():
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
+        s = jax.lax.dot_general(
+            q,
+            k,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=precision,
+        )
+        s = s * scale
+        if has_pair:
+            s = s + pair_ref[0, 0].astype(jnp.float32)
+
+        cols = ik * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_k), 1
+        )
+        mask = cols < kv_len
+        if has_kpad:
+            mask = jnp.logical_and(mask, kpad_ref[0] != 0)
+        if causal:
+            rows = iq * block_q + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 0
+            )
+            mask = jnp.logical_and(mask, rows >= cols)
+        s = jnp.where(mask, s, MASK_VALUE)
+
+        m_prev = m_scr[:, :1]
+        l_prev = l_scr[:, :1]
+        m_cur = jnp.max(s, axis=-1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        alpha = jnp.exp(m_prev - m_new)
+        # Hard-zero through the mask (not just exp underflow): a fully
+        # masked row has m_new == MASK_VALUE and would otherwise get p == 1.
+        p = jnp.where(mask, jnp.exp(s - m_new), 0.0)
+        l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+
+        m_scr[...] = jnp.broadcast_to(m_new, m_scr.shape)
+        l_scr[...] = jnp.broadcast_to(l_new, l_scr.shape)
+        v = v_ref[0, 0]
+        if kv_len % block_k != 0:
+            # Ragged tail: the padded region of the V block is undefined
+            # (NaN in interpret mode) and 0 * NaN = NaN would poison the
+            # matmul — zero the invalid rows (TPU equivalent of the
+            # reference's `in_seq_bounds` tail guards, attention.jl:153).
+            kv_rows = ik * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, (block_k, 1), 0
+            )
+            v = jnp.where(kv_rows < kv_len, v, jnp.zeros_like(v))
+        pv = jax.lax.dot_general(
+            p.astype(v.dtype),
+            v,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=precision,
+        )
+        acc[...] = acc[...] * alpha + pv
+
+    @pl.when(ik == num_kv - 1)
+    def _finish():
+        l = l_scr[:, :1]
+        l_safe = jnp.where(l == 0.0, 1.0, l)
+        o_ref[0, 0] = (acc[...] / l_safe).astype(o_ref.dtype)
+        lse_ref[0, 0] = m_scr[:, :1] + jnp.log(l_safe)
+    del q_len
+
+
+def default_blocks(q_len: int, kv_len: int, head_dim: int, dtype) -> tuple[int, int]:
+    """VMEM-budget block-size selection — TPU analogue of the reference's
+    shared-memory groupsize autotuner (attention.jl:193-205)."""
+    sub = sublane_tile(dtype)
+    bq = min(512, round_up(q_len, sub))
+    bk = min(512, round_up(kv_len, 128))
+    # shrink until the working set (q,k,v,o,acc + s/p temps, x2 for
+    # Mosaic double-buffering) fits comfortably in VMEM
+    def footprint(bq, bk):
+        blk = (bq + 3 * bk) * head_dim * 4 * 2 + 3 * bq * bk * 4
+        return blk
+
+    while footprint(bq, bk) > 12 * 1024 * 1024 and (bq > sub or bk > 128):
+        if bq >= bk and bq > sub:
+            bq = max(sub, bq // 2)
+        else:
+            bk = max(128, bk // 2)
+    return bq, bk
+
+
+def _fwd_impl(q, k, v, pair, kpad, causal, scale, block_q=None, block_k=None, precision=None):
+    B, QH, QL, E = q.shape
+    _, KH, KL, _ = k.shape
+    group = QH // KH
+    bq, bk = default_blocks(QL, KL, E, q.dtype)
+    if block_q is not None:
+        bq = block_q
+    if block_k is not None:
+        bk = block_k
+    num_q, num_kv = cdiv(QL, bq), cdiv(KL, bk)
+    has_pair = pair is not None
+    has_kpad = kpad is not None
+
+    if causal:
+        def kv_idx(iq, ik):
+            return jnp.minimum(ik, (iq * bq + bq - 1) // bk)
+    else:
+        def kv_idx(iq, ik):
+            return ik
+
+    in_specs = [
+        pl.BlockSpec((1, 1, bq, E), lambda b, h, iq, ik: (b, h, iq, 0)),
+        pl.BlockSpec(
+            (1, 1, bk, E),
+            lambda b, h, iq, ik: (b, h // group, kv_idx(iq, ik), 0),
+        ),
+        pl.BlockSpec(
+            (1, 1, bk, E),
+            lambda b, h, iq, ik: (b, h // group, kv_idx(iq, ik), 0),
+        ),
+    ]
+    operands = [q, k, v]
+    if has_pair:
+        in_specs.append(
+            pl.BlockSpec(
+                (1, 1, bq, bk), lambda b, h, iq, ik: (b, h, iq, kv_idx(iq, ik))
+            )
+        )
+        operands.append(pair)
+    if has_kpad:
+        in_specs.append(
+            pl.BlockSpec((1, 1, bk), lambda b, h, iq, ik: (b, 0, kv_idx(iq, ik)))
+        )
+        operands.append(kpad.astype(jnp.int32)[:, None, :])
+
+    kernel = functools.partial(
+        _fwd_kernel,
+        scale=scale,
+        causal=causal,
+        has_pair=has_pair,
+        has_kpad=has_kpad,
+        block_q=bq,
+        block_k=bk,
+        q_len=QL,
+        kv_len=KL,
+        precision=precision,
+    )
+    o, lse = pl.pallas_call(
+        kernel,
+        grid=(B, QH, num_q, num_kv),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((1, 1, bq, E), lambda b, h, iq, ik: (b, h, iq, 0)),
+            pl.BlockSpec((1, 1, bq, 1), lambda b, h, iq, ik: (b, h, iq, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, QH, QL, E), q.dtype),
+            jax.ShapeDtypeStruct((B, QH, QL, 1), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bq, E), jnp.float32),
+            pltpu.VMEM((bq, 128), jnp.float32),
+            pltpu.VMEM((bq, 128), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret_default(),
+    )(*operands)
+    return o, lse
+
+
+def _validate(q, k, v, pair, kpad_mask):
+    """Shape-contract errors mirroring attention.jl:141-144."""
+    if q.shape[-1] != k.shape[-1]:
+        raise ValueError(f"q head dim {q.shape[-1]} != k head dim {k.shape[-1]}")
+    if k.shape != v.shape:
+        raise ValueError(f"k shape {k.shape} != v shape {v.shape}")
+    if q.shape[1] % k.shape[1] != 0:
+        raise ValueError(
+            f"q heads {q.shape[1]} not a multiple of kv heads {k.shape[1]}"
+        )
+    if q.shape[0] != k.shape[0]:
+        raise ValueError(f"batch mismatch {q.shape[0]} vs {k.shape[0]}")
+    if pair is not None:
+        expect = (q.shape[0], q.shape[1], q.shape[2], k.shape[2])
+        if pair.shape != expect:
+            raise ValueError(f"pair shape {pair.shape}, expected {expect}")
+    if kpad_mask is not None:
+        expect = (k.shape[0], k.shape[2])
+        if kpad_mask.shape != expect:
+            raise ValueError(f"kpad_mask shape {kpad_mask.shape}, expected {expect}")
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def _flash_attention(q, k, v, pair, kpad_mask, causal, scale, precision):
+    o, _ = _fwd_impl(q, k, v, pair, kpad_mask, causal, scale, precision=precision)
+    return o
+
+
+def _vjp_fwd(q, k, v, pair, kpad_mask, causal, scale, precision):
+    o, lse = _fwd_impl(q, k, v, pair, kpad_mask, causal, scale, precision=precision)
+    return o, (q, k, v, pair, kpad_mask, o, lse)
+
+
+def _vjp_bwd(causal, scale, precision, res, do):
+    from nnop_tpu.ops.flash_attention_bwd import flash_attention_bwd
+
+    q, k, v, pair, kpad_mask, o, lse = res
+    dq, dk, dv, dpair = flash_attention_bwd(
+        q, k, v, pair, kpad_mask, o, lse, do, causal=causal, scale=scale,
+        precision=precision,
+    )
+    return dq, dk, dv, dpair, None
+
+
+_flash_attention.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+def flash_attention(
+    q,
+    k,
+    v,
+    pair=None,
+    *,
+    causal: bool = False,
+    kpad_mask=None,
+    scale: float | None = None,
+    precision=None,
+):
+    """Fused multi-head attention with online softmax.
+
+    Equivalent of /root/reference/src/attention_crc.jl:4 `flash_attention`
+    (the within_gradient trick is unnecessary: `jax.custom_vjp` separates
+    the fwd-with-residuals path structurally, SURVEY.md §2.4).
+
+    Args:
+      q: (B, QH, QL, E); k, v: (B, KH, KL, E) with QH % KH == 0 (GQA/MQA).
+      pair: optional additive attention bias (B, QH, QL, KL).
+      causal: mask by absolute position (q_pos >= k_pos).
+      kpad_mask: optional (B, KL) bool, True = valid key (varlen).
+      scale: score scale, default 1/sqrt(E) (reference fixes this,
+        attention.jl:154).
+      precision: lax.Precision for the MXU dots (None = default; pass
+        "highest" for full-f32 accuracy on TPU at ~3x matmul cost).
+    """
+    _validate(q, k, v, pair, kpad_mask)
+    if scale is None:
+        scale = 1.0 / (q.shape[-1] ** 0.5)
+    return _flash_attention(
+        q, k, v, pair, kpad_mask, causal, float(scale), precision
+    )

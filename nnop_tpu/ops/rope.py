@@ -1,0 +1,125 @@
+"""Fused Llama rotary embedding (Pallas TPU) with custom VJP.
+
+Re-derivation of /root/reference/src/rope/llama_rope.jl: the host-side
+`RotaryEmbedding` precomputes inv_freq = base^(-2i/dim) and builds
+cos/sin[B, L, dim] with duplicated halves (llama_rope.jl:7-22,
+`vcat(freqs, freqs)`); the kernel rotates q AND k in one launch
+(llama_rope.jl:85-88, grid guarded per head count at :48,:55); the backward
+is the same kernel with the sine negated — rotation inverse
+(llama_rope.jl:87,92) — wired here through `jax.custom_vjp` instead of the
+reference's ChainRules rrule (llama_rope.jl:94-98).
+
+Split-half convention (x1 = x[i], x2 = x[i+half], llama_rope.jl:49-61):
+  out[i]      = x1·cos − x2·sin
+  out[i+half] = x2·cos + x1·sin
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+from nnop_tpu.utils.platform import cdiv, interpret_default, round_up
+
+
+class RotaryEmbedding:
+    """Precomputes rotary cos/sin tables from position ids.
+
+    Equivalent of /root/reference/src/rope/llama_rope.jl:7-22
+    `LlamaRotaryEmbedding`.
+    """
+
+    def __init__(self, dim: int, base: float = 10000.0):
+        if dim % 2 != 0:
+            raise ValueError(f"rotary dim must be even, got {dim}")
+        self.dim = dim
+        self.base = base
+        self.inv_freq = base ** (
+            -jnp.arange(0, dim, 2, dtype=jnp.float32) / dim
+        )
+
+    def __call__(self, position_ids: jax.Array):
+        """position_ids: (B, L) int → cos, sin: (B, L, dim) float32."""
+        freqs = (
+            position_ids[..., None].astype(jnp.float32)
+            * self.inv_freq[None, None, :]
+        )
+        emb = jnp.concatenate([freqs, freqs], axis=-1)
+        return jnp.cos(emb), jnp.sin(emb)
+
+
+def _rope_kernel(q_ref, k_ref, cos_ref, sin_ref, qo_ref, ko_ref, *, sin_sign):
+    cos = cos_ref[0]
+    sin = sin_sign * sin_ref[0]
+    half = q_ref.shape[-1] // 2
+
+    def rotate(x):
+        x = x.astype(jnp.float32)
+        x1, x2 = x[..., :half], x[..., half:]
+        return jnp.concatenate(
+            [x1 * cos[..., :half] - x2 * sin[..., :half],
+             x2 * cos[..., half:] + x1 * sin[..., half:]],
+            axis=-1,
+        )
+
+    qo_ref[0, 0] = rotate(q_ref[0, 0]).astype(qo_ref.dtype)
+    ko_ref[0, 0] = rotate(k_ref[0, 0]).astype(ko_ref.dtype)
+
+
+def _rope_impl(q, k, cos, sin, sin_sign: float):
+    B, QH, L, E = q.shape
+    KH = k.shape[1]
+    H = max(QH, KH)
+    bl = min(round_up(L, 8), 512)
+    nl = cdiv(L, bl)
+    kernel = functools.partial(_rope_kernel, sin_sign=sin_sign)
+    # Head index maps clamp h to each tensor's own head count (the
+    # reference guards `hi <= q_heads` per tensor, llama_rope.jl:48,55);
+    # clamped steps recompute identical values into the same block —
+    # idempotent, and Pallas skips the repeated DMA fetch.
+    return pl.pallas_call(
+        kernel,
+        grid=(B, nl, H),
+        in_specs=[
+            pl.BlockSpec((1, 1, bl, E), lambda b, l, h: (b, jnp.minimum(h, QH - 1), l, 0)),
+            pl.BlockSpec((1, 1, bl, E), lambda b, l, h: (b, jnp.minimum(h, KH - 1), l, 0)),
+            pl.BlockSpec((1, bl, E), lambda b, l, h: (b, l, 0)),
+            pl.BlockSpec((1, bl, E), lambda b, l, h: (b, l, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, bl, E), lambda b, l, h: (b, jnp.minimum(h, QH - 1), l, 0)),
+            pl.BlockSpec((1, 1, bl, E), lambda b, l, h: (b, jnp.minimum(h, KH - 1), l, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct(q.shape, q.dtype),
+            jax.ShapeDtypeStruct(k.shape, k.dtype),
+        ],
+        interpret=interpret_default(),
+    )(q, k, cos, sin)
+
+
+@jax.custom_vjp
+def llama_rope(q, k, cos, sin):
+    """Apply rotary embedding to q (B, QH, L, E) and k (B, KH, L, E) in one
+    fused launch. cos/sin: (B, L, E) from `RotaryEmbedding`.
+
+    Equivalent of /root/reference/src/rope/llama_rope.jl:91 `llama_rope`.
+    """
+    return _rope_impl(q, k, cos, sin, 1.0)
+
+
+def _vjp_fwd(q, k, cos, sin):
+    return _rope_impl(q, k, cos, sin, 1.0), (cos, sin)
+
+
+def _vjp_bwd(res, dout):
+    cos, sin = res
+    dq, dk = dout
+    dq_in, dk_in = _rope_impl(dq, dk, cos, sin, -1.0)
+    return dq_in, dk_in, None, None
+
+
+llama_rope.defvjp(_vjp_fwd, _vjp_bwd)

@@ -1,0 +1,199 @@
+"""Tensor + data parallel Llama via shard_map (Megatron-style TP on TPU).
+
+North-star scope (BASELINE.json: "weights and KV-cache tensor-sharded over
+the mesh"); no reference counterpart (SURVEY.md §2.5: DP/TP/PP/SP all
+absent). Design:
+
+* mesh axes: "data" (batch), "model" (TP), "seq" (context/ring — see
+  ring_attention.py).
+* Attention: heads column-sharded over "model" (wq/wk/wv out-features),
+  each shard runs the fused flash kernel on its local heads, wo is
+  row-sharded and the output partial-summed over "model" — one psum per
+  block, riding ICI.
+* MLP: gate/up column-sharded, down row-sharded, one psum.
+* lm_head vocab-sharded; cross-entropy uses a distributed log-softmax
+  (local max/sum-exp + psum over "model") so full logits are never
+  materialized.
+* Everything runs INSIDE shard_map so the Pallas kernels see local shapes;
+  grads are taken inside too (psum transposes correctly), then
+  data-axis-averaged.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding
+from jax.sharding import PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from nnop_tpu.models.llama import LlamaConfig, _merge_heads, _split_heads
+from nnop_tpu.ops.flash_attention import flash_attention
+from nnop_tpu.ops.rms_norm import rms_norm
+from nnop_tpu.ops.rope import RotaryEmbedding, llama_rope
+
+
+def param_specs(cfg: LlamaConfig):
+    """PartitionSpecs for the params pytree (Megatron TP layout)."""
+    layer = {
+        "attn_norm": P(),
+        "wq": P(None, "model"),
+        "wk": P(None, "model"),
+        "wv": P(None, "model"),
+        "wo": P("model", None),
+        "mlp_norm": P(),
+        "w_gate": P(None, "model"),
+        "w_up": P(None, "model"),
+        "w_down": P("model", None),
+    }
+    return {
+        "embed": P(),
+        "layers": [dict(layer) for _ in range(cfg.n_layers)],
+        "final_norm": P(),
+        "lm_head": P(None, "model"),
+    }
+
+
+def shard_params(params, mesh: Mesh, cfg: LlamaConfig):
+    specs = param_specs(cfg)
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+        params,
+        specs,
+        is_leaf=lambda x: isinstance(x, jnp.ndarray) or hasattr(x, "shape"),
+    )
+
+
+def _local_forward(params, tokens, cfg: LlamaConfig, axis: str = "model"):
+    """Per-shard forward: local head/feature shards + psum over `axis`.
+
+    Runs inside shard_map; `params` leaves are LOCAL shards.
+    """
+    tp = jax.lax.psum(1, axis)
+    n_heads = cfg.n_heads // tp
+    n_kv = max(1, cfg.n_kv_heads // tp)
+
+    B, L = tokens.shape
+    positions = jnp.broadcast_to(jnp.arange(L, dtype=jnp.int32)[None], (B, L))
+    cos, sin = RotaryEmbedding(cfg.head_dim, cfg.rope_base)(positions)
+    x = params["embed"][tokens]
+
+    for layer in params["layers"]:
+        h = rms_norm(x, layer["attn_norm"], cfg.rms_eps)
+        q = _split_heads(h @ layer["wq"], n_heads, cfg.head_dim)
+        k = _split_heads(h @ layer["wk"], n_kv, cfg.head_dim)
+        v = _split_heads(h @ layer["wv"], n_kv, cfg.head_dim)
+        q, k = llama_rope(q, k, cos, sin)
+        o = flash_attention(q, k, v, causal=True)
+        att = _merge_heads(o.astype(x.dtype)) @ layer["wo"]
+        x = x + jax.lax.psum(att, axis)
+
+        h = rms_norm(x, layer["mlp_norm"], cfg.rms_eps)
+        gate = jax.nn.silu((h @ layer["w_gate"]).astype(jnp.float32))
+        up = (h @ layer["w_up"]).astype(jnp.float32)
+        down = (gate * up).astype(x.dtype) @ layer["w_down"]
+        x = x + jax.lax.psum(down, axis)
+
+    x = rms_norm(x, params["final_norm"], cfg.rms_eps)
+    logits_local = (x @ params["lm_head"]).astype(jnp.float32)  # (B, L, V/tp)
+    return logits_local
+
+
+def _sharded_xent(logits_local, targets, axis: str = "model"):
+    """Cross-entropy with vocab-sharded logits: distributed log-softmax."""
+    tp = jax.lax.psum(1, axis)
+    v_local = logits_local.shape[-1]
+    shard = jax.lax.axis_index(axis)
+    lo = shard * v_local
+
+    # m is only a numerical shift (cancels in logsumexp); computed via
+    # all_gather+max because pmax has no differentiation rule
+    local_max = jax.lax.stop_gradient(jnp.max(logits_local, axis=-1))
+    m = jnp.max(jax.lax.all_gather(local_max, axis), axis=0)
+    se = jax.lax.psum(
+        jnp.sum(jnp.exp(logits_local - m[..., None]), axis=-1), axis
+    )
+    lse = m + jnp.log(se)
+
+    # pick out the target logit if it lives on this shard
+    tgt_local = targets - lo
+    in_shard = (tgt_local >= 0) & (tgt_local < v_local)
+    tgt_clamped = jnp.clip(tgt_local, 0, v_local - 1)
+    picked = jnp.take_along_axis(logits_local, tgt_clamped[..., None], axis=-1)[
+        ..., 0
+    ]
+    tgt_logit = jax.lax.psum(jnp.where(in_shard, picked, 0.0), axis)
+    return jnp.mean(lse - tgt_logit)
+
+
+class AdamW:
+    """Minimal explicit AdamW whose state mirrors the params pytree
+    ({"mu": params-like, "nu": params-like, "count": scalar}), so the
+    optimizer state shards with exactly the same PartitionSpecs as the
+    params — no pytree-prefix gymnastics under shard_map."""
+
+    def __init__(self, lr=1e-4, b1=0.9, b2=0.999, eps=1e-8, wd=0.0):
+        self.lr, self.b1, self.b2, self.eps, self.wd = lr, b1, b2, eps, wd
+
+    def init(self, params):
+        zeros = jax.tree.map(lambda p: jnp.zeros_like(p, jnp.float32), params)
+        return {
+            "mu": zeros,
+            "nu": jax.tree.map(jnp.copy, zeros),
+            "count": jnp.zeros((), jnp.int32),
+        }
+
+    def update(self, grads, state, params):
+        count = state["count"] + 1
+        b1c = 1.0 - self.b1 ** count.astype(jnp.float32)
+        b2c = 1.0 - self.b2 ** count.astype(jnp.float32)
+
+        def upd(g, mu, nu, p):
+            g = g.astype(jnp.float32)
+            mu = self.b1 * mu + (1 - self.b1) * g
+            nu = self.b2 * nu + (1 - self.b2) * g * g
+            step = (mu / b1c) / (jnp.sqrt(nu / b2c) + self.eps)
+            new_p = p.astype(jnp.float32) - self.lr * (
+                step + self.wd * p.astype(jnp.float32)
+            )
+            return new_p.astype(p.dtype), mu, nu
+
+        out = jax.tree.map(upd, grads, state["mu"], state["nu"], params)
+        new_params = jax.tree.map(lambda t: t[0], out, is_leaf=lambda t: isinstance(t, tuple))
+        new_mu = jax.tree.map(lambda t: t[1], out, is_leaf=lambda t: isinstance(t, tuple))
+        new_nu = jax.tree.map(lambda t: t[2], out, is_leaf=lambda t: isinstance(t, tuple))
+        return new_params, {"mu": new_mu, "nu": new_nu, "count": count}
+
+
+def make_train_step(mesh: Mesh, cfg: LlamaConfig, optimizer: AdamW | None = None):
+    """Returns (jitted train_step(params, opt_state, tokens, targets),
+    optimizer) with dp over "data" and tp over "model"."""
+    optimizer = optimizer or AdamW(1e-3)
+    pspecs = param_specs(cfg)
+    opt_specs = {"mu": pspecs, "nu": pspecs, "count": P()}
+    data_spec = P("data")
+
+    def step(params, opt_state, tokens, targets):
+        def loss_fn(p):
+            logits = _local_forward(p, tokens, cfg)
+            return _sharded_xent(logits, targets)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        # average over the data axis (grads of replicated params are
+        # already identical over "model" up to psum transposes)
+        grads = jax.tree.map(lambda g: jax.lax.pmean(g, "data"), grads)
+        loss = jax.lax.pmean(loss, "data")
+        params, opt_state = optimizer.update(grads, opt_state, params)
+        return params, opt_state, loss
+
+    sharded = shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(pspecs, opt_specs, data_spec, data_spec),
+        out_specs=(pspecs, opt_specs, P()),
+        check_rep=False,
+    )
+    return jax.jit(sharded), optimizer

@@ -1,0 +1,93 @@
+"""Flash attention fwd parity vs naive — grids from
+/root/reference/test/attention_tests.jl:6-18 (padmask × pair × E × QL/KL
+sweep incl. cross-attention), trimmed for interpret-mode runtime; full
+sweep under -m full."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nnop_tpu import flash_attention
+from nnop_tpu.ops.naive import naive_attention
+
+ATOL = 1e-3  # attention_tests.jl:42-48 tolerance
+RTOL = 1e-3
+
+
+def _mk(B, QH, KH, QL, KL, E, *, pair=False, kpad=False, dtype=jnp.float32, seed=0):
+    ks = jax.random.split(jax.random.key(seed), 5)
+    q = jax.random.normal(ks[0], (B, QH, QL, E), dtype)
+    k = jax.random.normal(ks[1], (B, KH, KL, E), dtype)
+    v = jax.random.normal(ks[2], (B, KH, KL, E), dtype)
+    p = jax.random.normal(ks[3], (B, QH, QL, KL), dtype) if pair else None
+    m = None
+    if kpad:
+        m = jax.random.uniform(ks[4], (B, KL)) > 0.2
+        # ensure no row is fully masked
+        m = m.at[:, 0].set(True)
+    return q, k, v, p, m
+
+
+@pytest.mark.parametrize("E", [16, 32, 64])
+@pytest.mark.parametrize("QL,KL", [(255, 255), (256, 256), (511, 512), (512, 511)])
+def test_attention_shapes(E, QL, KL):
+    q, k, v, _, _ = _mk(3, 2, 2, QL, KL, E)
+    got = flash_attention(q, k, v)
+    want = naive_attention(q, k, v)
+    np.testing.assert_allclose(got, want, atol=ATOL, rtol=RTOL)
+
+
+@pytest.mark.parametrize("pair", [False, True])
+@pytest.mark.parametrize("kpad", [False, True])
+def test_attention_masks(pair, kpad):
+    q, k, v, p, m = _mk(3, 2, 2, 256, 320, 32, pair=pair, kpad=kpad)
+    got = flash_attention(q, k, v, p, kpad_mask=m)
+    want = naive_attention(q, k, v, p, kpad_mask=m)
+    np.testing.assert_allclose(got, want, atol=ATOL, rtol=RTOL)
+
+
+@pytest.mark.parametrize("L", [255, 256, 511])
+@pytest.mark.parametrize("pair", [False, True])
+def test_attention_causal(L, pair):
+    # causal grid from causal_attention_tests.jl:6-16 (QL == KL)
+    q, k, v, p, _ = _mk(3, 2, 2, L, L, 32, pair=pair)
+    got = flash_attention(q, k, v, p, causal=True)
+    want = naive_attention(q, k, v, p, causal=True)
+    np.testing.assert_allclose(got, want, atol=ATOL, rtol=RTOL)
+
+
+@pytest.mark.parametrize("QH,KH", [(4, 1), (4, 2), (6, 2), (8, 2)])
+@pytest.mark.parametrize("causal", [False, True])
+def test_attention_gqa(QH, KH, causal):
+    # gqa grid from gqa_attention_tests.jl:6-18
+    q, k, v, _, _ = _mk(2, QH, KH, 257, 257, 32)
+    got = flash_attention(q, k, v, causal=causal)
+    want = naive_attention(q, k, v, causal=causal)
+    np.testing.assert_allclose(got, want, atol=ATOL, rtol=RTOL)
+
+
+def test_attention_bf16():
+    q, k, v, _, _ = _mk(2, 2, 2, 256, 256, 64, dtype=jnp.bfloat16)
+    got = flash_attention(q, k, v, causal=True).astype(jnp.float32)
+    want = naive_attention(
+        q.astype(jnp.float32), k.astype(jnp.float32), v.astype(jnp.float32),
+        causal=True,
+    )
+    np.testing.assert_allclose(got, want, atol=2e-2, rtol=2e-2)
+
+
+def test_attention_scale_kwarg():
+    q, k, v, _, _ = _mk(1, 2, 2, 128, 128, 32)
+    got = flash_attention(q, k, v, scale=0.5)
+    want = naive_attention(q, k, v, scale=0.5)
+    np.testing.assert_allclose(got, want, atol=ATOL, rtol=RTOL)
+
+
+def test_attention_validation():
+    q, k, v, _, _ = _mk(1, 3, 2, 64, 64, 32)
+    with pytest.raises(ValueError):
+        flash_attention(q, k, v)  # 3 % 2 != 0
+    q, k, v, _, _ = _mk(1, 2, 2, 64, 64, 32)
+    with pytest.raises(ValueError):
+        flash_attention(q, k, v[:, :, :32])  # k/v shape mismatch

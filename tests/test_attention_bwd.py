@@ -1,0 +1,84 @@
+"""Flash attention gradient parity vs naive (the reference checks Zygote
+gradients of sum(op) against the naive oracle for every config —
+attention_tests.jl:20-48)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nnop_tpu import flash_attention
+from nnop_tpu.ops.naive import naive_attention
+
+ATOL = 1e-3
+RTOL = 1e-3
+
+
+def _mk(B, QH, KH, QL, KL, E, *, pair=False, kpad=False, seed=0):
+    ks = jax.random.split(jax.random.key(seed), 5)
+    q = jax.random.normal(ks[0], (B, QH, QL, E), jnp.float32)
+    k = jax.random.normal(ks[1], (B, KH, KL, E), jnp.float32)
+    v = jax.random.normal(ks[2], (B, KH, KL, E), jnp.float32)
+    p = jax.random.normal(ks[3], (B, QH, QL, KL), jnp.float32) if pair else None
+    m = None
+    if kpad:
+        m = jax.random.uniform(ks[4], (B, KL)) > 0.2
+        m = m.at[:, 0].set(True)
+    return q, k, v, p, m
+
+
+def _grads(fn, q, k, v, p, m, causal):
+    # weighted sum so gradients aren't uniform
+    def loss(q, k, v, *rest):
+        pair = rest[0] if rest else None
+        o = fn(q, k, v, pair, causal=causal, kpad_mask=m)
+        return jnp.sum(o * jnp.sin(0.1 * jnp.arange(o.shape[-1], dtype=jnp.float32)))
+
+    args = (q, k, v) + ((p,) if p is not None else ())
+    return jax.grad(loss, tuple(range(len(args))))(*args)
+
+
+@pytest.mark.parametrize("QL,KL", [(256, 256), (255, 257), (384, 256)])
+def test_bwd_basic(QL, KL):
+    q, k, v, p, m = _mk(2, 2, 2, QL, KL, 32)
+    got = _grads(flash_attention, q, k, v, p, m, False)
+    want = _grads(naive_attention, q, k, v, p, m, False)
+    for g, w, name in zip(got, want, "qkv"):
+        np.testing.assert_allclose(g, w, atol=ATOL, rtol=RTOL, err_msg=f"d{name}")
+
+
+@pytest.mark.parametrize("L", [255, 256])
+def test_bwd_causal(L):
+    q, k, v, p, m = _mk(2, 2, 2, L, L, 32)
+    got = _grads(flash_attention, q, k, v, p, m, True)
+    want = _grads(naive_attention, q, k, v, p, m, True)
+    for g, w, name in zip(got, want, "qkv"):
+        np.testing.assert_allclose(g, w, atol=ATOL, rtol=RTOL, err_msg=f"d{name}")
+
+
+@pytest.mark.parametrize("QH,KH", [(4, 2), (4, 1), (6, 2)])
+@pytest.mark.parametrize("causal", [False, True])
+def test_bwd_gqa(QH, KH, causal):
+    q, k, v, p, m = _mk(2, QH, KH, 129, 129, 32)
+    got = _grads(flash_attention, q, k, v, p, m, causal)
+    want = _grads(naive_attention, q, k, v, p, m, causal)
+    for g, w, name in zip(got, want, "qkv"):
+        np.testing.assert_allclose(g, w, atol=ATOL, rtol=RTOL, err_msg=f"d{name}")
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_bwd_pair(causal):
+    # dpair gradient (attention_bwd.jl:123-132)
+    q, k, v, p, m = _mk(2, 2, 2, 192, 192, 32, pair=True)
+    got = _grads(flash_attention, q, k, v, p, m, causal)
+    want = _grads(naive_attention, q, k, v, p, m, causal)
+    for g, w, name in zip(got, want, ["q", "k", "v", "pair"]):
+        np.testing.assert_allclose(g, w, atol=ATOL, rtol=RTOL, err_msg=f"d{name}")
+
+
+def test_bwd_kpad():
+    q, k, v, p, m = _mk(2, 2, 2, 192, 224, 32, kpad=True)
+    got = _grads(flash_attention, q, k, v, p, m, False)
+    want = _grads(naive_attention, q, k, v, p, m, False)
+    for g, w, name in zip(got, want, "qkv"):
+        np.testing.assert_allclose(g, w, atol=ATOL, rtol=RTOL, err_msg=f"d{name}")

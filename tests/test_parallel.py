@@ -1,0 +1,129 @@
+"""Multi-device tests on the 8-device virtual CPU mesh: ring attention
+parity + grads, TP/DP train step, sharded cross-entropy."""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from nnop_tpu.models.llama import LlamaConfig, init_params
+from nnop_tpu.ops.naive import naive_attention
+from nnop_tpu.parallel.mesh import make_mesh
+from nnop_tpu.parallel.ring_attention import ring_flash_attention
+from nnop_tpu.parallel.tp_llama import make_train_step, param_specs, shard_params
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 devices"
+)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_ring_attention_fwd(causal):
+    mesh = make_mesh(seq=4)
+    B, H, L, E = 2, 2, 512, 64
+    ks = jax.random.split(jax.random.key(0), 3)
+    q = jax.random.normal(ks[0], (B, H, L, E), jnp.float32)
+    k = jax.random.normal(ks[1], (B, H, L, E), jnp.float32)
+    v = jax.random.normal(ks[2], (B, H, L, E), jnp.float32)
+
+    ring = shard_map(
+        functools.partial(
+            ring_flash_attention, axis_name="seq", causal=causal, scale=None
+        ),
+        mesh=mesh,
+        in_specs=(P(None, None, "seq", None),) * 3,
+        out_specs=P(None, None, "seq", None),
+        check_rep=False,
+    )
+    got = jax.jit(ring)(q, k, v)
+    want = naive_attention(q, k, v, causal=causal)
+    np.testing.assert_allclose(got, want, atol=1e-3, rtol=1e-3)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_ring_attention_grads(causal):
+    mesh = make_mesh(seq=4)
+    B, H, L, E = 1, 2, 256, 32
+    ks = jax.random.split(jax.random.key(1), 3)
+    q = jax.random.normal(ks[0], (B, H, L, E), jnp.float32)
+    k = jax.random.normal(ks[1], (B, H, L, E), jnp.float32)
+    v = jax.random.normal(ks[2], (B, H, L, E), jnp.float32)
+
+    def ring_loss(q, k, v):
+        def inner(q, k, v):
+            o = ring_flash_attention(q, k, v, "seq", causal, None)
+            return jax.lax.psum(
+                jnp.sum(o * jnp.sin(0.1 * jnp.arange(E, dtype=jnp.float32))),
+                "seq",
+            )
+
+        return shard_map(
+            inner,
+            mesh=mesh,
+            in_specs=(P(None, None, "seq", None),) * 3,
+            out_specs=P(),
+            check_rep=False,
+        )(q, k, v)
+
+    def naive_loss(q, k, v):
+        o = naive_attention(q, k, v, causal=causal)
+        return jnp.sum(o * jnp.sin(0.1 * jnp.arange(E, dtype=jnp.float32)))
+
+    got = jax.grad(ring_loss, (0, 1, 2))(q, k, v)
+    want = jax.grad(naive_loss, (0, 1, 2))(q, k, v)
+    for g, w, n in zip(got, want, "qkv"):
+        np.testing.assert_allclose(g, w, atol=1e-3, rtol=1e-3, err_msg=f"d{n}")
+
+
+def test_tp_train_step():
+    mesh = make_mesh(data=2, model=4)
+    cfg = LlamaConfig.tiny(
+        n_heads=8, n_kv_heads=4, dim=256, head_dim=32, dtype=jnp.float32
+    )
+    params = init_params(jax.random.key(0), cfg)
+    params = shard_params(params, mesh, cfg)
+    train_step, optimizer = make_train_step(mesh, cfg)
+    opt_state = optimizer.init(params)
+
+    tokens = jax.random.randint(jax.random.key(1), (4, 64), 0, cfg.vocab_size)
+    targets = jnp.roll(tokens, -1, axis=1)
+    p1, opt_state, loss1 = train_step(params, opt_state, tokens, targets)
+    p2, opt_state, loss2 = train_step(p1, opt_state, tokens, targets)
+    assert jnp.isfinite(loss1) and jnp.isfinite(loss2)
+    assert float(loss2) < float(loss1), (loss1, loss2)
+
+
+def test_tp_forward_matches_single_device():
+    """TP-sharded forward == single-device forward (same params)."""
+    from nnop_tpu.models.llama import forward
+    from nnop_tpu.parallel.tp_llama import _local_forward, _sharded_xent
+
+    mesh = make_mesh(model=4)
+    cfg = LlamaConfig.tiny(
+        n_heads=8, n_kv_heads=4, dim=256, head_dim=32, dtype=jnp.float32
+    )
+    params = init_params(jax.random.key(0), cfg)
+    tokens = jax.random.randint(jax.random.key(1), (2, 32), 0, cfg.vocab_size)
+    targets = jnp.roll(tokens, -1, axis=1)
+
+    def tp_loss(p, tokens, targets):
+        logits = _local_forward(p, tokens, cfg)
+        return _sharded_xent(logits, targets)
+
+    sharded = shard_map(
+        tp_loss,
+        mesh=mesh,
+        in_specs=(param_specs(cfg), P(), P()),
+        out_specs=P(),
+        check_rep=False,
+    )
+    got = jax.jit(sharded)(params, tokens, targets)
+
+    from nnop_tpu.models.llama import loss_fn
+
+    want = loss_fn(params, tokens, targets, cfg)
+    np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
