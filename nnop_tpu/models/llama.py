@@ -122,11 +122,35 @@ def attention_block(layer, x, cos, sin, cfg: LlamaConfig, *, kv_cache=None,
 
     new_cache = None
     if kv_cache is not None:
+        from nnop_tpu.ops.attention_decode import decode_attention
+
         new_cache = kv_cache.append(k, v)
-        k, v = new_cache.dequant_kv()
-        k, v = k.astype(q.dtype), v.astype(q.dtype)
-        kpad_mask = new_cache.valid_mask()
-        causal = False  # decode: mask comes from cache validity
+        if q.shape[2] == 1:
+            # single-token decode: fused flash-decode kernel over the
+            # cache, with INT8 dequant fused in-loop when quantized
+            B = q.shape[0]
+            lengths = jnp.broadcast_to(new_cache.length, (B,))
+            o = decode_attention(
+                q,
+                new_cache.k,
+                new_cache.v,
+                lengths,
+                new_cache.k_scale,
+                new_cache.v_scale,
+            )
+        else:
+            # prefill: causal attention over the incoming block. Assumes
+            # the cache was empty before this call (chunked prefill with a
+            # nonzero start offset needs offset-aware causal masking —
+            # planned); K/V still go through the cache so decode sees the
+            # quantized values.
+            if new_cache.quantized:
+                kq, vq = new_cache.dequant_kv()
+                L = k.shape[2]
+                k = kq[:, :, :L].astype(q.dtype)
+                v = vq[:, :, :L].astype(q.dtype)
+            o = flash_attention(q, k, v, causal=True, kpad_mask=kpad_mask)
+        return x + mm(_merge_heads(o.astype(x.dtype)), layer["wo"]), new_cache
 
     o = flash_attention(q, k, v, causal=causal, kpad_mask=kpad_mask)
     return x + mm(_merge_heads(o.astype(x.dtype)), layer["wo"]), new_cache

@@ -1,0 +1,220 @@
+"""Flash-decode attention with INT8 KV-cache dequant fused in-loop.
+
+North-star headline path (BASELINE.json: "INT8 KV-cache with dequant fused
+into the attention inner loop ... ≥85% of per-chip HBM roofline") — no
+reference counterpart (the reference has no KV cache or decode path at
+all; SURVEY.md §5).
+
+Decode is HBM-bandwidth-bound: one query token attends a long cache, so
+the whole K/V stream is read once per step. Storing K/V as int8 halves/
+quarters the bytes vs bf16/f32 — but only if dequant doesn't materialize
+fp copies. Key observation: with per-token scales s_j,
+
+    scores[g, j] = (q_g · k_j^int8) * s_j        (scale factors out of E)
+    out = (p ⊙ s^v) @ v^int8                      (fold v scale into p)
+
+so dequant costs O(block_k) multiplies per block instead of O(block_k·E),
+and the int8 values go straight from VMEM through a cast into the MXU.
+
+Per-sequence cache lengths ride in SMEM via PrefetchScalarGridSpec: index
+maps clamp the KV block index past each sequence's length (skipping both
+the DMA and the compute for dead blocks — continuous batching serves
+mixed-length sequences from one grid).
+
+Layout: q (B, QH, 1, E) grouped as (B, KH, G, E) so all G = QH/KH query
+heads sharing a KV head hit the MXU as one (G, E) tile.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from nnop_tpu.utils.platform import cdiv, interpret_default
+
+MASK_VALUE = -1e30
+
+
+def _decode_kernel(
+    lengths_ref,  # scalar prefetch: (B,) int32
+    q_ref,        # (1, 1, G, E)
+    k_ref,        # (1, 1, bk, E) int8 or fp
+    v_ref,
+    *rest,
+    scale: float,
+    block_k: int,
+    quantized: bool,
+    num_kv: int,
+    cache_len: int,
+):
+    if quantized:
+        ks_ref, vs_ref, o_ref, acc, m_scr, l_scr = rest
+    else:
+        o_ref, acc, m_scr, l_scr = rest
+
+    b = pl.program_id(0)
+    ik = pl.program_id(2)
+    length = lengths_ref[b]
+
+    @pl.when(ik == 0)
+    def _init():
+        m_scr[...] = jnp.full_like(m_scr, MASK_VALUE)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc[...] = jnp.zeros_like(acc)
+
+    @pl.when(ik * block_k < length)
+    def _step():
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
+        G = q.shape[0]
+        s = jax.lax.dot_general(
+            q.astype(jnp.bfloat16) if quantized else q,
+            k.astype(jnp.bfloat16) if quantized else k,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        s = s * scale
+        if quantized:
+            s = s * ks_ref[0, 0]  # (1, bk) per-token K scale
+
+        cols = ik * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, (G, block_k), 1
+        )
+        mask = cols < length
+        s = jnp.where(mask, s, MASK_VALUE)
+
+        m_prev = m_scr[:, :1]
+        l_prev = l_scr[:, :1]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.where(mask, jnp.exp(s - m_new), 0.0)
+        l_scr[...] = jnp.broadcast_to(
+            l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True), l_scr.shape
+        )
+        m_scr[...] = jnp.broadcast_to(m_new, m_scr.shape)
+
+        if quantized:
+            vs = vs_ref[0, 0]
+            if cache_len % block_k != 0:
+                # ragged tail: undefined fp32 padding in the scale block
+                # must not meet p (0 * NaN = NaN); int8 v padding is finite
+                vcols = ik * block_k + jax.lax.broadcasted_iota(
+                    jnp.int32, vs.shape, 1
+                )
+                vs = jnp.where(vcols < cache_len, vs, 0.0)
+            p = p * vs  # fold per-token V scale into P
+            pv = jax.lax.dot_general(
+                p.astype(jnp.bfloat16),
+                v_ref[0, 0].astype(jnp.bfloat16),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        else:
+            v_blk = v_ref[0, 0]
+            if cache_len % block_k != 0:
+                vrows = ik * block_k + jax.lax.broadcasted_iota(
+                    jnp.int32, (block_k, 1), 0
+                )
+                v_blk = jnp.where(vrows < cache_len, v_blk, jnp.zeros_like(v_blk))
+            pv = jax.lax.dot_general(
+                p.astype(v_blk.dtype),
+                v_blk,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        acc[...] = acc[...] * alpha + pv
+
+    @pl.when(ik == num_kv - 1)
+    def _finish():
+        l = l_scr[:, :1]
+        l_safe = jnp.where(l == 0.0, 1.0, l)
+        o_ref[0, 0] = (acc[...] / l_safe).astype(o_ref.dtype)
+
+
+def decode_attention(
+    q,
+    k_cache,
+    v_cache,
+    lengths,
+    k_scale=None,
+    v_scale=None,
+    *,
+    scale: float | None = None,
+    block_k: int = 1024,
+):
+    """Single-token decode attention over a (possibly INT8) KV cache.
+
+    Args:
+      q: (B, QH, 1, E). k_cache/v_cache: (B, KH, S, E), fp or int8.
+      lengths: (B,) int32 — valid prefix length per sequence.
+      k_scale/v_scale: (B, KH, S) fp32 per-token scales (int8 caches).
+    Returns (B, QH, 1, E) in q.dtype.
+    """
+    B, QH, _, E = q.shape
+    _, KH, S, _ = k_cache.shape
+    G = QH // KH
+    quantized = k_cache.dtype == jnp.int8
+    if scale is None:
+        scale = 1.0 / (E**0.5)
+    sub = 32 if quantized else 8
+    bk = min(block_k, ((S + sub - 1) // sub) * sub)
+    num_kv = cdiv(S, bk)
+
+    q_r = q.reshape(B, KH, G, E)
+
+    def kv_idx(b, kh, ik, lens):
+        # clamp past the last live block: repeated index -> DMA skipped
+        last = jnp.maximum((lens[b] + bk - 1) // bk - 1, 0)
+        return (b, kh, jnp.minimum(ik, last), 0)
+
+    in_specs = [
+        pl.BlockSpec((1, 1, G, E), lambda b, kh, ik, lens: (b, kh, 0, 0)),
+        pl.BlockSpec((1, 1, bk, E), kv_idx),
+        pl.BlockSpec((1, 1, bk, E), kv_idx),
+    ]
+    operands = [q_r, k_cache, v_cache]
+    if quantized:
+        sc_spec = pl.BlockSpec(
+            (1, 1, 1, bk),
+            lambda b, kh, ik, lens: (
+                b, kh, 0, jnp.minimum(ik, jnp.maximum((lens[b] + bk - 1) // bk - 1, 0)),
+            ),
+        )
+        in_specs += [sc_spec, sc_spec]
+        operands += [k_scale[:, :, None, :], v_scale[:, :, None, :]]
+
+    kernel = functools.partial(
+        _decode_kernel,
+        scale=scale,
+        block_k=bk,
+        quantized=quantized,
+        num_kv=num_kv,
+        cache_len=S,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, KH, num_kv),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (1, 1, G, E), lambda b, kh, ik, lens: (b, kh, 0, 0)
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((G, E), jnp.float32),
+            pltpu.VMEM((G, 128), jnp.float32),
+            pltpu.VMEM((G, 128), jnp.float32),
+        ],
+    )
+    o = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, KH, G, E), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+        ),
+        interpret=interpret_default(),
+    )(lengths.astype(jnp.int32), *operands)
+    return o.reshape(B, QH, 1, E)
