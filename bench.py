@@ -3,8 +3,16 @@
 Mirrors the reference's naive-vs-fused methodology
 (/root/reference/benchmarks/main.jl): same workload shapes (attention
 E=64 L=2048 H=4 B=4; softmax 8192x1024; norms 1024x1024; rope dim=64 H=3
-L=1024 B=4), wall time fwd and fwd+bwd, synchronized. Prints ONE JSON line
-on stdout (headline metric); per-op detail goes to stderr.
+L=1024 B=4), fwd and fwd+bwd. Prints ONE JSON line on stdout (headline
+metric); per-op detail goes to stderr.
+
+Timing methodology: the host<->device tunnel on this setup has ~40 ms
+round-trip latency and an async dispatch queue whose block_until_ready
+returns before execution finishes, so per-call wall timing is meaningless.
+Instead each op is iterated N times INSIDE one jitted fori_loop with a
+data dependence between iterations, the result is fetched to host (true
+sync), and the per-iteration cost is the marginal time between an N1-
+and an N2-iteration run — host latency and dispatch overhead cancel.
 
 Usage: python bench.py [--quick] [--json-all]
 """
@@ -12,8 +20,8 @@ Usage: python bench.py [--quick] [--json-all]
 from __future__ import annotations
 
 import argparse
+import functools
 import json
-import statistics
 import sys
 import time
 
@@ -21,19 +29,34 @@ import jax
 import jax.numpy as jnp
 
 
-def _timeit(fn, *args, iters=20, warmup=3):
-    for _ in range(warmup):
-        jax.block_until_ready(fn(*args))
-    times = []
-    for _ in range(iters):
-        t0 = time.perf_counter()
-        jax.block_until_ready(fn(*args))
-        times.append(time.perf_counter() - t0)
-    return statistics.median(times)
-
-
 def log(msg):
     print(msg, file=sys.stderr, flush=True)
+
+
+def marginal_time(body, init, n1=8, n2=40, reps=3):
+    """Per-iteration seconds of `body` chained n times inside one jit."""
+
+    @jax.jit
+    def chain(x, n):
+        out = jax.lax.fori_loop(0, n, body, x)
+        return jnp.sum(
+            jax.tree.reduce(
+                lambda a, b: a + jnp.sum(b.astype(jnp.float32)),
+                out,
+                jnp.float32(0),
+            )
+        )
+
+    float(chain(init, jnp.int32(2)))  # compile + warm
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        float(chain(init, jnp.int32(n1)))
+        t1 = time.perf_counter()
+        float(chain(init, jnp.int32(n2)))
+        t2 = time.perf_counter()
+        best = min(best, ((t2 - t1) - (t1 - t0)) / (n2 - n1))
+    return max(best, 1e-9)
 
 
 def bench_attention(results, quick):
@@ -42,44 +65,53 @@ def bench_attention(results, quick):
 
     B, H, L, E = 4, 4, 2048, 64  # benchmarks/main.jl:308-310
     ks = jax.random.split(jax.random.key(0), 3)
-    for dtype, tag in [(jnp.float32, "f32"), (jnp.bfloat16, "bf16")]:
+    dtypes = [(jnp.bfloat16, "bf16")] if quick else [
+        (jnp.float32, "f32"), (jnp.bfloat16, "bf16")
+    ]
+    for dtype, tag in dtypes:
         q = jax.random.normal(ks[0], (B, H, L, E), dtype)
         k = jax.random.normal(ks[1], (B, H, L, E), dtype)
         v = jax.random.normal(ks[2], (B, H, L, E), dtype)
-        for causal in ([False, True] if not quick else [True]):
-            flops = 4 * B * H * L * L * E  # fwd: QK^T + PV
+        for causal in [False, True]:
+            flops = 4 * B * H * L * L * E
             if causal:
                 flops //= 2
-            fused = jax.jit(lambda q, k, v: flash_attention(q, k, v, causal=causal))
-            naive = jax.jit(lambda q, k, v: naive_attention(q, k, v, causal=causal))
-            tf = _timeit(fused, q, k, v)
-            tn = _timeit(naive, q, k, v)
+
+            def fwd_body(fn):
+                def body(i, x):
+                    return fn(x, k, v).astype(dtype)
+
+                return body
+
+            fused = functools.partial(flash_attention, causal=causal)
+            naive = functools.partial(naive_attention, causal=causal)
+            tf = marginal_time(fwd_body(fused), q)
+            tn = marginal_time(fwd_body(naive), q, n1=4, n2=16)
             name = f"attn_fwd_{tag}{'_causal' if causal else ''}"
             results[name] = dict(
-                fused_s=tf,
-                naive_s=tn,
-                speedup=tn / tf,
+                fused_s=tf, naive_s=tn, speedup=tn / tf,
                 tflops=flops / tf / 1e12,
             )
-            log(f"{name}: fused {tf*1e3:.3f} ms ({flops/tf/1e12:.2f} TFLOP/s) "
+            log(f"{name}: fused {tf*1e3:.3f} ms ({flops/tf/1e12:.1f} TFLOP/s) "
                 f"naive {tn*1e3:.3f} ms speedup {tn/tf:.2f}x")
 
-            # fwd+bwd
-            def loss_fused(q, k, v):
-                return jnp.sum(flash_attention(q, k, v, causal=causal))
+            def bwd_body(fn):
+                def loss(q, k, v):
+                    return jnp.sum(fn(q, k, v).astype(jnp.float32))
 
-            def loss_naive(q, k, v):
-                return jnp.sum(naive_attention(q, k, v, causal=causal))
+                g = jax.grad(loss)
 
-            gf = jax.jit(jax.grad(loss_fused, (0, 1, 2)))
-            gn = jax.jit(jax.grad(loss_naive, (0, 1, 2)))
-            tf = _timeit(gf, q, k, v)
-            tn = _timeit(gn, q, k, v)
-            bwd_flops = flops * 2.5  # recompute + 4 matmuls vs 2
+                def body(i, x):
+                    return g(x, k, v).astype(dtype)
+
+                return body
+
+            tf = marginal_time(bwd_body(fused), q, n1=4, n2=16)
+            tn = marginal_time(bwd_body(naive), q, n1=2, n2=8)
             name = f"attn_bwd_{tag}{'_causal' if causal else ''}"
             results[name] = dict(
                 fused_s=tf, naive_s=tn, speedup=tn / tf,
-                tflops=bwd_flops / tf / 1e12,
+                tflops=2.5 * flops / tf / 1e12,
             )
             log(f"{name}: fused {tf*1e3:.3f} ms naive {tn*1e3:.3f} ms "
                 f"speedup {tn/tf:.2f}x")
@@ -90,10 +122,9 @@ def bench_softmax(results):
     from nnop_tpu.ops.naive import naive_softmax
 
     x = jax.random.normal(jax.random.key(0), (8192, 1024), jnp.float32)
-    fused = jax.jit(online_softmax)
-    naive = jax.jit(naive_softmax)
-    tf, tn = _timeit(fused, x), _timeit(naive, x)
     gb = 2 * x.size * 4 / 1e9
+    tf = marginal_time(lambda i, a: online_softmax(a), x)
+    tn = marginal_time(lambda i, a: naive_softmax(a), x)
     results["softmax_fwd"] = dict(
         fused_s=tf, naive_s=tn, speedup=tn / tf, gbps=gb / tf
     )
@@ -111,20 +142,20 @@ def bench_norms(results):
     w = jax.random.normal(ks[1], (e,), jnp.float32)
     b = jax.random.normal(ks[2], (e,), jnp.float32)
 
-    for name, fused, naive, args in [
-        ("rms", rms_norm, naive_rms_norm, (x, w)),
-        ("ln", lambda x, w, b: layer_norm(x, w, b),
-         lambda x, w, b: naive_layer_norm(x, w, b), (x, w, b)),
+    for name, fused, naive, extra in [
+        ("rms", rms_norm, naive_rms_norm, (w,)),
+        ("ln", layer_norm, naive_layer_norm, (w, b)),
     ]:
-        f, nv = jax.jit(fused), jax.jit(naive)
-        tf, tn = _timeit(f, *args), _timeit(nv, *args)
+        tf = marginal_time(lambda i, a: fused(a, *extra), x)
+        tn = marginal_time(lambda i, a: naive(a, *extra), x)
         results[f"{name}_fwd"] = dict(fused_s=tf, naive_s=tn, speedup=tn / tf)
         log(f"{name}_fwd: fused {tf*1e3:.3f} ms naive {tn*1e3:.3f} ms "
             f"speedup {tn/tf:.2f}x")
 
-        gf = jax.jit(jax.grad(lambda *a: jnp.sum(fused(*a)), tuple(range(len(args)))))
-        gn = jax.jit(jax.grad(lambda *a: jnp.sum(naive(*a)), tuple(range(len(args)))))
-        tf, tn = _timeit(gf, *args), _timeit(gn, *args)
+        gf = jax.grad(lambda a: jnp.sum(fused(a, *extra)))
+        gn = jax.grad(lambda a: jnp.sum(naive(a, *extra)))
+        tf = marginal_time(lambda i, a: gf(a), x)
+        tn = marginal_time(lambda i, a: gn(a), x)
         results[f"{name}_bwd"] = dict(fused_s=tf, naive_s=tn, speedup=tn / tf)
         log(f"{name}_bwd: fused {tf*1e3:.3f} ms naive {tn*1e3:.3f} ms "
             f"speedup {tn/tf:.2f}x")
@@ -140,13 +171,48 @@ def bench_rope(results):
     k = jax.random.normal(ks[1], (B, H, L, E), jnp.float32)
     pos = jnp.broadcast_to(jnp.arange(L)[None], (B, L))
     cos, sin = RotaryEmbedding(E)(pos)
-    fused = jax.jit(llama_rope)
-    naive = jax.jit(naive_rope)
-    tf = _timeit(fused, q, k, cos, sin)
-    tn = _timeit(naive, q, k, cos, sin)
+
+    def body(fn):
+        def f(i, qq):
+            qo, _ = fn(qq, k, cos, sin)
+            return qo
+
+        return f
+
+    tf = marginal_time(body(llama_rope), q)
+    tn = marginal_time(body(naive_rope), q)
     results["rope_fwd"] = dict(fused_s=tf, naive_s=tn, speedup=tn / tf)
     log(f"rope_fwd: fused {tf*1e3:.3f} ms naive {tn*1e3:.3f} ms "
         f"speedup {tn/tf:.2f}x")
+
+
+def bench_decode(results):
+    """INT8-KV decode attention: tokens/s and HBM roofline fraction."""
+    from nnop_tpu.ops.attention_decode import decode_attention
+
+    B, QH, KH, S, E = 8, 32, 8, 4096, 128  # Llama-3-8B attention geometry
+    ks = jax.random.split(jax.random.key(0), 5)
+    q = jax.random.normal(ks[0], (B, QH, 1, E), jnp.bfloat16)
+    k8 = jax.random.randint(ks[1], (B, KH, S, E), -127, 128, jnp.int8)
+    v8 = jax.random.randint(ks[2], (B, KH, S, E), -127, 128, jnp.int8)
+    kscale = jax.random.uniform(ks[3], (B, KH, S), jnp.float32) * 0.02
+    vscale = jax.random.uniform(ks[4], (B, KH, S), jnp.float32) * 0.02
+    lengths = jnp.full((B,), S, jnp.int32)
+
+    def body(i, x):
+        o = decode_attention(x, k8, v8, lengths, kscale, vscale)
+        return o.astype(x.dtype)
+
+    t = marginal_time(body, q)
+    # bytes: K + V int8 + scales
+    bytes_moved = 2 * B * KH * S * E + 2 * B * KH * S * 4
+    gbps = bytes_moved / t / 1e9
+    hbm_peak = 819.0  # v5e spec GB/s
+    results["decode_int8"] = dict(
+        time_s=t, gbps=gbps, roofline_frac=gbps / hbm_peak
+    )
+    log(f"decode_int8(B8 S4096 8B-geom): {t*1e3:.3f} ms/step "
+        f"{gbps:.0f} GB/s = {100*gbps/hbm_peak:.0f}% of HBM roofline")
 
 
 def main():
@@ -162,11 +228,12 @@ def main():
         bench_softmax(results)
         bench_norms(results)
         bench_rope(results)
+        bench_decode(results)
 
     if args.json_all:
         log(json.dumps(results, indent=2))
 
-    head = results.get("attn_fwd_bf16_causal") or results.get("attn_fwd_bf16")
+    head = results.get("attn_fwd_bf16_causal")
     print(
         json.dumps(
             {

@@ -1,0 +1,40 @@
+"""Weight-only INT8/FP8 Llama: quantized param tree + matmul dispatch.
+
+North-star scope (BASELINE.json: "weight-only INT8/FP8 ... within 0.1 PPL
+of FP32"). Projection weights become QTensors (per-output-channel scales);
+the forward pass routes them through the fused-dequant Pallas matmul
+(ops/quantized_matmul.py). Norm weights and the embedding table stay fp
+(negligible size, quality-critical).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from nnop_tpu.ops.quantization import QTensor, quantize
+from nnop_tpu.ops.quantized_matmul import quantized_matmul
+
+_QUANT_KEYS = {"wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down", "lm_head"}
+
+
+def quantize_params(params, dtype=jnp.int8):
+    """Quantize projection weights to int8/fp8 with per-out-channel scales."""
+
+    def q(w):
+        return quantize(w, axis=0, dtype=dtype)
+
+    out = {k: v for k, v in params.items()}
+    out["lm_head"] = q(params["lm_head"])
+    out["layers"] = [
+        {k: (q(v) if k in _QUANT_KEYS else v) for k, v in layer.items()}
+        for layer in params["layers"]
+    ]
+    return out
+
+
+def qmatmul(x, w):
+    """Matmul hook for models.llama.forward: dispatch QTensor weights to
+    the fused-dequant kernel, fp weights to einsum."""
+    if isinstance(w, QTensor):
+        return quantized_matmul(x, w)
+    return jnp.einsum("bld,do->blo", x, w)

@@ -1,0 +1,117 @@
+"""Weight loading: HuggingFace Llama safetensors -> nnop_tpu param tree,
+plus dependency-free checkpoint save/load.
+
+North-star scope (Llama-3-8B end-to-end decode). The environment has no
+network egress, so loading requires a local safetensors checkpoint; random
+init (models/llama.py) covers everything else.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import jax.numpy as jnp
+import numpy as np
+
+from nnop_tpu.models.llama import LlamaConfig
+
+
+def _hf_layer_map(i: int):
+    p = f"model.layers.{i}."
+    return {
+        "attn_norm": p + "input_layernorm.weight",
+        "wq": p + "self_attn.q_proj.weight",
+        "wk": p + "self_attn.k_proj.weight",
+        "wv": p + "self_attn.v_proj.weight",
+        "wo": p + "self_attn.o_proj.weight",
+        "mlp_norm": p + "post_attention_layernorm.weight",
+        "w_gate": p + "mlp.gate_proj.weight",
+        "w_up": p + "mlp.up_proj.weight",
+        "w_down": p + "mlp.down_proj.weight",
+    }
+
+
+def load_hf_llama(path: str, cfg: LlamaConfig, dtype=None):
+    """Load a local HF Llama checkpoint directory (safetensors shards).
+
+    HF stores projection weights as (out_features, in_features); this tree
+    uses (in, out), so projections are transposed on load.
+    """
+    from safetensors import safe_open  # ships with transformers
+
+    dtype = dtype or cfg.dtype
+    shards = [
+        os.path.join(path, f)
+        for f in sorted(os.listdir(path))
+        if f.endswith(".safetensors")
+    ]
+    if not shards:
+        raise FileNotFoundError(f"no .safetensors files in {path}")
+
+    tensors = {}
+    for shard in shards:
+        with safe_open(shard, framework="np") as f:
+            for name in f.keys():
+                tensors[name] = f.get_tensor(name)
+
+    def get(name, transpose=False):
+        t = tensors[name]
+        if transpose:
+            t = t.T
+        return jnp.asarray(t).astype(dtype)
+
+    params = {
+        "embed": get("model.embed_tokens.weight"),
+        "final_norm": get("model.norm.weight"),
+        "lm_head": get(
+            "lm_head.weight"
+            if "lm_head.weight" in tensors
+            else "model.embed_tokens.weight",  # tied embeddings
+            transpose=True,
+        ),
+        "layers": [],
+    }
+    for i in range(cfg.n_layers):
+        m = _hf_layer_map(i)
+        layer = {}
+        for ours, theirs in m.items():
+            layer[ours] = get(theirs, transpose=ours.startswith("w"))
+        params["layers"].append(layer)
+    return params
+
+
+# ---------------------------------------------------------------------------
+# checkpoint save / load (flat-key npz; no orbax dependency on the hot path)
+
+
+def _flatten(tree, prefix=""):
+    out = {}
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            out.update(_flatten(v, f"{prefix}{k}/"))
+    elif isinstance(tree, (list, tuple)):
+        for i, v in enumerate(tree):
+            out.update(_flatten(v, f"{prefix}{i}/"))
+    else:
+        out[prefix[:-1]] = np.asarray(tree)
+    return out
+
+
+def save_checkpoint(path: str, params):
+    flat = _flatten(params)
+    np.savez(path, **flat)
+
+
+def load_checkpoint(path: str, like):
+    """Load into the structure of `like` (same tree as saved)."""
+    data = np.load(path if path.endswith(".npz") else path + ".npz")
+
+    def rebuild(tree, prefix=""):
+        if isinstance(tree, dict):
+            return {k: rebuild(v, f"{prefix}{k}/") for k, v in tree.items()}
+        if isinstance(tree, (list, tuple)):
+            return [rebuild(v, f"{prefix}{i}/") for i, v in enumerate(tree)]
+        return jnp.asarray(data[prefix[:-1]])
+
+    return rebuild(like)

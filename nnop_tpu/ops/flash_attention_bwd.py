@@ -57,36 +57,30 @@ def _recompute_p_ds(
 ):
     """Shared score/P/dS recompute for both backward kernels.
 
-    Returns (p, ds) as fp32 (block_q, block_k), fully masked (invalid rows
-    and columns are exact zeros so scratch accumulation stays clean).
+    Returns (p, ds) as fp32 (block_q, block_k). The softmax scale is
+    folded into q for the score dot (O(bq*E) instead of an O(bq*bk) pass);
+    the dS scale factor is NOT applied here — callers apply it once to the
+    accumulated dq/dk at the final grid step.
+
+    Like the forward, the kernels are VPU-bound, so the iota/compare/select
+    masking passes run under a lax.cond and interior blocks (full rows,
+    full cols, below the causal diagonal, no kpad) take a mask-free path.
+    Masked entries come out as exact zeros in p and ds so scratch
+    accumulation stays clean (and NaN padding in ragged blocks never
+    propagates: 0 * NaN would be NaN, so ds is zeroed via where, not by
+    multiplication).
     """
     bq, bk = q.shape[0], k.shape[0]
+    q_s = (q.astype(jnp.float32) * scale).astype(q.dtype)
     s = jax.lax.dot_general(
-        q,
+        q_s,
         k,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
         precision=precision,
     )
-    s = s * scale
     if pair_blk is not None:
         s = s + pair_blk.astype(jnp.float32)
-
-    rows = row0 + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
-    cols = col0 + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
-    mask = jnp.logical_and(rows < q_len, cols < kv_len)
-    if kpad_blk is not None:
-        mask = jnp.logical_and(mask, kpad_blk != 0)
-    if causal:
-        mask = jnp.logical_and(mask, rows >= cols)
-    s = jnp.where(mask, s, MASK_VALUE)
-
-    # p = exp(s - lse): already normalized (forward saved lse = m + log l).
-    # lse rows beyond q_len hold garbage; the row mask has already forced
-    # those s entries to MASK_VALUE, but exp(MASK - garbage) could still
-    # blow up, so clamp through the mask afterwards too.
-    p = jnp.exp(s - lse)
-    p = jnp.where(mask, p, 0.0)
 
     dp = jax.lax.dot_general(
         do,
@@ -95,9 +89,48 @@ def _recompute_p_ds(
         preferred_element_type=jnp.float32,
         precision=precision,
     )
-    # Hard-zero via the mask: masked entries have p == 0 but (dp - delta)
-    # can be NaN from padded tail blocks, and 0 * NaN = NaN.
-    ds = jnp.where(mask, p * (dp - delta), 0.0)
+
+    ragged_q = q_len % bq != 0
+    ragged_kv = kv_len % bk != 0
+    on_diag = (col0 + bk - 1 > row0) if causal else False
+    is_row_tail = (row0 + bq > q_len) if ragged_q else False
+    is_col_tail = (col0 + bk > kv_len) if ragged_kv else False
+    needs_mask = (
+        kpad_blk is not None
+        or jnp.logical_or(
+            jnp.logical_or(on_diag, is_row_tail), is_col_tail
+        )
+    )
+
+    def masked(args):
+        s, dp = args
+        mask = None
+        if ragged_q or ragged_kv:
+            rows = row0 + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
+            cols = col0 + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
+            mask = jnp.logical_and(rows < q_len, cols < kv_len)
+        if kpad_blk is not None:
+            kp = kpad_blk != 0
+            mask = kp if mask is None else jnp.logical_and(mask, kp)
+        if causal:
+            rows = row0 + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
+            cols = col0 + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
+            cm = rows >= cols
+            mask = cm if mask is None else jnp.logical_and(mask, cm)
+        sm = jnp.where(mask, s, MASK_VALUE)
+        p = jnp.where(mask, jnp.exp(sm - lse), 0.0)
+        ds = jnp.where(mask, p * (dp - delta), 0.0)
+        return p, ds
+
+    def plain(args):
+        s, dp = args
+        p = jnp.exp(s - lse)
+        return p, p * (dp - delta)
+
+    if kpad_blk is not None or causal or ragged_q or ragged_kv:
+        p, ds = jax.lax.cond(needs_mask, masked, plain, (s, dp))
+    else:
+        p, ds = plain((s, dp))
     return p, ds
 
 
@@ -178,7 +211,7 @@ def _dq_kernel(
         if kv_len % block_k != 0:
             k_blk = _zero_invalid_rows(k_blk, ik * block_k, kv_len)
         dsk = jax.lax.dot_general(
-            (ds * scale).astype(k_ref.dtype),
+            ds.astype(k_ref.dtype),
             k_blk,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -189,7 +222,8 @@ def _dq_kernel(
 
     @pl.when(ik == num_kv - 1)
     def _finish():
-        dq_ref[0, 0] = dq_acc[...].astype(dq_ref.dtype)
+        # dS scale applied once here: O(bq*E) instead of O(bq*bk) per step
+        dq_ref[0, 0] = (dq_acc[...] * scale).astype(dq_ref.dtype)
 
 
 def _dkv_kernel(
@@ -268,7 +302,7 @@ def _dkv_kernel(
             precision=precision,
         )
         dk_acc[...] += jax.lax.dot_general(
-            (ds * scale).astype(q.dtype),
+            ds.astype(q.dtype),
             q,
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -277,7 +311,8 @@ def _dkv_kernel(
 
     @pl.when(jnp.logical_and(g == num_g - 1, iq == num_q - 1))
     def _finish():
-        dk_ref[0, 0] = dk_acc[...].astype(dk_ref.dtype)
+        # dS scale applied once here (see _recompute_p_ds)
+        dk_ref[0, 0] = (dk_acc[...] * scale).astype(dk_ref.dtype)
         dv_ref[0, 0] = dv_acc[...].astype(dv_ref.dtype)
 
 

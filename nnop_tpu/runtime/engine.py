@@ -1,0 +1,315 @@
+"""Inference engine: prefill + scan-based decode + continuous batching.
+
+North-star scope (BASELINE.json: "continuous batching ... decode tokens/s
+per chip") — no reference counterpart (SURVEY.md §1: the reference is a
+kernel library with no runtime). TPU-first design decisions:
+
+* Decode step is ONE jitted program: layer params are stacked along a
+  leading axis and the transformer loop is `lax.scan`, so the trace (and
+  the Mosaic compile) covers a single layer regardless of depth — critical
+  when compiles are expensive and n_layers is 32+.
+* The KV cache holds all layers as single stacked arrays
+  (n_layers, B, KH, S, E) with per-sequence lengths (B,). Writes are
+  per-slot dynamic_update_slice (vmapped over batch); reads go through the
+  fused flash-decode kernel (ops/attention_decode.py), which uses the
+  lengths to mask and to skip dead KV blocks.
+* Continuous batching: fixed B slots. A slot is freed when its sequence
+  finishes; new requests prefill into a free slot (batch-1 causal flash)
+  while other slots keep decoding. Host-side scheduler, device-side state.
+* INT8 KV: new tokens are quantized per-(head, token) on append; decode
+  dequant is fused in-kernel.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+
+from nnop_tpu.models.llama import LlamaConfig, _merge_heads, _split_heads
+from nnop_tpu.ops.attention_decode import decode_attention
+from nnop_tpu.ops.flash_attention import flash_attention
+from nnop_tpu.ops.rms_norm import rms_norm
+from nnop_tpu.ops.rope import RotaryEmbedding, llama_rope
+
+INT8_MAX = 127.0
+
+
+def stack_layers(params):
+    """[{k: arr}, ...] -> {k: stacked arr (n_layers, ...)} for lax.scan."""
+    layers = params["layers"]
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *layers)
+    return {**{k: v for k, v in params.items() if k != "layers"},
+            "layers": stacked}
+
+
+def _quant_token(x):
+    """Per-(batch, head, token) symmetric int8. x: (B, KH, L, E)."""
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)
+    scale = jnp.maximum(amax, 1e-8) / INT8_MAX
+    q = jnp.clip(
+        jnp.round(x.astype(jnp.float32) / scale[..., None]), -INT8_MAX, INT8_MAX
+    ).astype(jnp.int8)
+    return q, scale
+
+
+@dataclasses.dataclass
+class EngineState:
+    """Device-side state (a pytree; see tree_flatten below)."""
+
+    k: jax.Array        # (n_layers, B, KH, S, E) fp or int8
+    v: jax.Array
+    k_scale: Optional[jax.Array]  # (n_layers, B, KH, S) for int8
+    v_scale: Optional[jax.Array]
+    lengths: jax.Array  # (B,) int32
+    last_token: jax.Array  # (B,) int32
+
+    def tree_flatten(self):
+        return (
+            (self.k, self.v, self.k_scale, self.v_scale, self.lengths,
+             self.last_token),
+            None,
+        )
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+
+jax.tree_util.register_pytree_node(
+    EngineState,
+    lambda s: s.tree_flatten(),
+    EngineState.tree_unflatten,
+)
+
+
+def init_state(cfg: LlamaConfig, batch: int, max_seq: int,
+               quantized: bool) -> EngineState:
+    nl, kh, e = cfg.n_layers, cfg.n_kv_heads, cfg.head_dim
+    if quantized:
+        return EngineState(
+            k=jnp.zeros((nl, batch, kh, max_seq, e), jnp.int8),
+            v=jnp.zeros((nl, batch, kh, max_seq, e), jnp.int8),
+            k_scale=jnp.zeros((nl, batch, kh, max_seq), jnp.float32),
+            v_scale=jnp.zeros((nl, batch, kh, max_seq), jnp.float32),
+            lengths=jnp.zeros((batch,), jnp.int32),
+            last_token=jnp.zeros((batch,), jnp.int32),
+        )
+    return EngineState(
+        k=jnp.zeros((nl, batch, kh, max_seq, e), cfg.dtype),
+        v=jnp.zeros((nl, batch, kh, max_seq, e), cfg.dtype),
+        k_scale=None,
+        v_scale=None,
+        lengths=jnp.zeros((batch,), jnp.int32),
+        last_token=jnp.zeros((batch,), jnp.int32),
+    )
+
+
+def _write_tokens(cache, new, positions):
+    """cache (B, KH, S, ...), new (B, KH, L, ...): write at positions (B,)."""
+
+    def one(c, n, p):
+        idx = (0, p) + (0,) * (c.ndim - 2)
+        return jax.lax.dynamic_update_slice(c, n.astype(c.dtype), idx)
+
+    return jax.vmap(one)(cache, new, positions)
+
+
+def make_decode_step(cfg: LlamaConfig, quantized: bool):
+    """Returns decode_step(stacked_params, state) -> (logits, state)."""
+
+    def decode_step(sp, state: EngineState):
+        B = state.lengths.shape[0]
+        tokens = state.last_token[:, None]  # (B, 1)
+        positions = state.lengths[:, None]
+        x = sp["embed"][tokens]
+        cos, sin = RotaryEmbedding(cfg.head_dim, cfg.rope_base)(positions)
+
+        def body(x, layer_and_cache):
+            layer, kc, vc, ksc, vsc = layer_and_cache
+            h = rms_norm(x, layer["attn_norm"], cfg.rms_eps)
+            q = _split_heads(h @ layer["wq"], cfg.n_heads, cfg.head_dim)
+            k = _split_heads(h @ layer["wk"], cfg.n_kv_heads, cfg.head_dim)
+            v = _split_heads(h @ layer["wv"], cfg.n_kv_heads, cfg.head_dim)
+            q, k = llama_rope(q, k, cos, sin)
+
+            if quantized:
+                kq, ks = _quant_token(k)
+                vq, vs = _quant_token(v)
+                kc = _write_tokens(kc, kq, state.lengths)
+                vc = _write_tokens(vc, vq, state.lengths)
+                ksc = _write_tokens(ksc, ks, state.lengths)
+                vsc = _write_tokens(vsc, vs, state.lengths)
+            else:
+                kc = _write_tokens(kc, k, state.lengths)
+                vc = _write_tokens(vc, v, state.lengths)
+
+            o = decode_attention(
+                q, kc, vc, state.lengths + 1, ksc, vsc
+            )
+            x = x + _merge_heads(o.astype(x.dtype)) @ layer["wo"]
+
+            h = rms_norm(x, layer["mlp_norm"], cfg.rms_eps)
+            gate = jax.nn.silu((h @ layer["w_gate"]).astype(jnp.float32))
+            up = (h @ layer["w_up"]).astype(jnp.float32)
+            x = x + (gate * up).astype(x.dtype) @ layer["w_down"]
+            return x, (kc, vc, ksc, vsc)
+
+        if quantized:
+            xs = (sp["layers"], state.k, state.v, state.k_scale, state.v_scale)
+        else:
+            dummy = (jnp.zeros((cfg.n_layers,)),) * 2
+            xs = (sp["layers"], state.k, state.v) + dummy
+        x, (k_new, v_new, ks_new, vs_new) = jax.lax.scan(body, x, xs)
+
+        x = rms_norm(x, sp["final_norm"], cfg.rms_eps)
+        logits = (x @ sp["lm_head"]).astype(jnp.float32)[:, 0]  # (B, V)
+
+        new_state = EngineState(
+            k=k_new,
+            v=v_new,
+            k_scale=ks_new if quantized else None,
+            v_scale=vs_new if quantized else None,
+            lengths=state.lengths + 1,
+            last_token=jnp.argmax(logits, axis=-1).astype(jnp.int32),
+        )
+        return logits, new_state
+
+    return decode_step
+
+
+def make_prefill(cfg: LlamaConfig):
+    """Returns prefill(stacked_params, tokens (1, L)) -> (last_logits,
+    k (nl, 1, KH, L, E), v (...)) using scan over layers with full causal
+    flash attention."""
+
+    def prefill(sp, tokens):
+        B, L = tokens.shape
+        positions = jnp.broadcast_to(
+            jnp.arange(L, dtype=jnp.int32)[None], (B, L)
+        )
+        x = sp["embed"][tokens]
+        cos, sin = RotaryEmbedding(cfg.head_dim, cfg.rope_base)(positions)
+
+        def body(x, layer):
+            h = rms_norm(x, layer["attn_norm"], cfg.rms_eps)
+            q = _split_heads(h @ layer["wq"], cfg.n_heads, cfg.head_dim)
+            k = _split_heads(h @ layer["wk"], cfg.n_kv_heads, cfg.head_dim)
+            v = _split_heads(h @ layer["wv"], cfg.n_kv_heads, cfg.head_dim)
+            q, k = llama_rope(q, k, cos, sin)
+            o = flash_attention(q, k, v, causal=True)
+            x = x + _merge_heads(o.astype(x.dtype)) @ layer["wo"]
+            h = rms_norm(x, layer["mlp_norm"], cfg.rms_eps)
+            gate = jax.nn.silu((h @ layer["w_gate"]).astype(jnp.float32))
+            up = (h @ layer["w_up"]).astype(jnp.float32)
+            x = x + (gate * up).astype(x.dtype) @ layer["w_down"]
+            return x, (k, v)
+
+        x, (ks, vs) = jax.lax.scan(body, x, sp["layers"])
+        x = rms_norm(x, sp["final_norm"], cfg.rms_eps)
+        logits = (x @ sp["lm_head"]).astype(jnp.float32)  # (B, L, V)
+        return logits, ks, vs
+
+    return prefill
+
+
+@dataclasses.dataclass
+class Request:
+    rid: int
+    prompt: list[int]
+    max_new_tokens: int
+    out: list[int] = dataclasses.field(default_factory=list)
+    done: bool = False
+
+
+class Engine:
+    """Continuous-batching inference engine (host scheduler, device state)."""
+
+    def __init__(self, params, cfg: LlamaConfig, *, max_batch=8,
+                 max_seq=2048, quantized_kv=False, eos_id=None):
+        self.cfg = cfg
+        self.max_batch = max_batch
+        self.max_seq = max_seq
+        self.quantized = quantized_kv
+        self.eos_id = eos_id
+        self.sp = stack_layers(params)
+        self.state = init_state(cfg, max_batch, max_seq, quantized_kv)
+        self._decode = jax.jit(make_decode_step(cfg, quantized_kv))
+        self._prefill = jax.jit(make_prefill(cfg))
+        self.slots: list[Optional[Request]] = [None] * max_batch
+        self.queue: list[Request] = []
+        self._rid = 0
+
+    def submit(self, prompt: list[int], max_new_tokens: int = 32) -> Request:
+        req = Request(self._rid, prompt, max_new_tokens)
+        self._rid += 1
+        self.queue.append(req)
+        return req
+
+    def _admit(self):
+        for slot in range(self.max_batch):
+            if self.slots[slot] is not None or not self.queue:
+                continue
+            req = self.queue.pop(0)
+            self.slots[slot] = req
+            L = len(req.prompt)
+            # pad prompts to a bucket so prefill compiles once per bucket,
+            # not once per prompt length (compiles are expensive)
+            bucket = max(64, 1 << (L - 1).bit_length())
+            padded = req.prompt + [0] * (bucket - L)
+            tokens = jnp.asarray([padded], jnp.int32)
+            logits_seq, ks, vs = self._prefill(self.sp, tokens)
+            logits = logits_seq[:, L - 1]
+            ks_l = ks[:, 0, :, :L]  # strip batch dim + bucket padding
+            vs_l = vs[:, 0, :, :L]
+            if self.quantized:
+                kq, ksc = _quant_token(ks_l)
+                vq, vsc = _quant_token(vs_l)
+                self.state.k = self.state.k.at[:, slot, :, :L].set(kq)
+                self.state.v = self.state.v.at[:, slot, :, :L].set(vq)
+                self.state.k_scale = self.state.k_scale.at[:, slot, :, :L].set(ksc)
+                self.state.v_scale = self.state.v_scale.at[:, slot, :, :L].set(vsc)
+            else:
+                self.state.k = self.state.k.at[:, slot, :, :L].set(
+                    ks_l.astype(self.state.k.dtype)
+                )
+                self.state.v = self.state.v.at[:, slot, :, :L].set(
+                    vs_l.astype(self.state.v.dtype)
+                )
+            self.state.lengths = self.state.lengths.at[slot].set(L)
+            first = int(jnp.argmax(logits[0]))
+            self.state.last_token = self.state.last_token.at[slot].set(first)
+            req.out.append(first)
+
+    def step(self):
+        """Admit pending requests, run one batched decode step, collect."""
+        self._admit()
+        if all(s is None for s in self.slots):
+            return False
+        logits, self.state = self._decode(self.sp, self.state)
+        next_tokens = jax.device_get(self.state.last_token)
+        for slot, req in enumerate(self.slots):
+            if req is None:
+                continue
+            tok = int(next_tokens[slot])
+            req.out.append(tok)
+            full = len(req.prompt) + len(req.out) >= self.max_seq
+            if (
+                len(req.out) >= req.max_new_tokens
+                or (self.eos_id is not None and tok == self.eos_id)
+                or full
+            ):
+                req.done = True
+                self.slots[slot] = None
+                self.state.lengths = self.state.lengths.at[slot].set(0)
+        return True
+
+    def run(self, max_steps: int = 10_000):
+        steps = 0
+        while (self.queue or any(s is not None for s in self.slots)) and (
+            steps < max_steps
+        ):
+            self.step()
+            steps += 1

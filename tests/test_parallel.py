@@ -73,7 +73,7 @@ def test_ring_attention_grads(causal):
         o = naive_attention(q, k, v, causal=causal)
         return jnp.sum(o * jnp.sin(0.1 * jnp.arange(E, dtype=jnp.float32)))
 
-    got = jax.grad(ring_loss, (0, 1, 2))(q, k, v)
+    got = jax.jit(jax.grad(ring_loss, (0, 1, 2)))(q, k, v)
     want = jax.grad(naive_loss, (0, 1, 2))(q, k, v)
     for g, w, n in zip(got, want, "qkv"):
         np.testing.assert_allclose(g, w, atol=1e-3, rtol=1e-3, err_msg=f"d{n}")
