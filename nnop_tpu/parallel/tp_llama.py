@@ -67,17 +67,26 @@ def shard_params(params, mesh: Mesh, cfg: LlamaConfig):
     )
 
 
-def _local_forward(params, tokens, cfg: LlamaConfig, axis: str = "model"):
+def _local_forward(params, tokens, cfg: LlamaConfig, axis: str = "model",
+                   seq_axis: str | None = None):
     """Per-shard forward: local head/feature shards + psum over `axis`.
 
-    Runs inside shard_map; `params` leaves are LOCAL shards.
+    Runs inside shard_map; `params` leaves are LOCAL shards. When
+    `seq_axis` is set, `tokens` is additionally sequence-sharded over that
+    axis and attention runs as ring flash attention (context parallelism)
+    with rotary positions offset by the shard's global start.
     """
     tp = jax.lax.psum(1, axis)
     n_heads = cfg.n_heads // tp
     n_kv = max(1, cfg.n_kv_heads // tp)
 
     B, L = tokens.shape
-    positions = jnp.broadcast_to(jnp.arange(L, dtype=jnp.int32)[None], (B, L))
+    pos0 = 0
+    if seq_axis is not None:
+        pos0 = jax.lax.axis_index(seq_axis) * L
+    positions = pos0 + jnp.broadcast_to(
+        jnp.arange(L, dtype=jnp.int32)[None], (B, L)
+    )
     cos, sin = RotaryEmbedding(cfg.head_dim, cfg.rope_base)(positions)
     x = params["embed"][tokens]
 
@@ -87,7 +96,12 @@ def _local_forward(params, tokens, cfg: LlamaConfig, axis: str = "model"):
         k = _split_heads(h @ layer["wk"], n_kv, cfg.head_dim)
         v = _split_heads(h @ layer["wv"], n_kv, cfg.head_dim)
         q, k = llama_rope(q, k, cos, sin)
-        o = flash_attention(q, k, v, causal=True)
+        if seq_axis is not None:
+            from nnop_tpu.parallel.ring_attention import ring_flash_attention
+
+            o = ring_flash_attention(q, k, v, seq_axis, True, None)
+        else:
+            o = flash_attention(q, k, v, causal=True)
         att = _merge_heads(o.astype(x.dtype)) @ layer["wo"]
         x = x + jax.lax.psum(att, axis)
 
@@ -170,22 +184,28 @@ class AdamW:
 
 def make_train_step(mesh: Mesh, cfg: LlamaConfig, optimizer: AdamW | None = None):
     """Returns (jitted train_step(params, opt_state, tokens, targets),
-    optimizer) with dp over "data" and tp over "model"."""
+    optimizer) with dp over "data", tp over "model", and — when the mesh's
+    "seq" axis is >1 — sp (ring attention) over "seq"."""
     optimizer = optimizer or AdamW(1e-3)
     pspecs = param_specs(cfg)
     opt_specs = {"mu": pspecs, "nu": pspecs, "count": P()}
-    data_spec = P("data")
+    use_seq = "seq" in mesh.shape and mesh.shape["seq"] > 1
+    seq_axis = "seq" if use_seq else None
+    data_spec = P("data", "seq") if use_seq else P("data")
+    rep_axes = ("data", "seq") if use_seq else ("data",)
 
     def step(params, opt_state, tokens, targets):
         def loss_fn(p):
-            logits = _local_forward(p, tokens, cfg)
+            logits = _local_forward(p, tokens, cfg, seq_axis=seq_axis)
             return _sharded_xent(logits, targets)
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
-        # average over the data axis (grads of replicated params are
-        # already identical over "model" up to psum transposes)
-        grads = jax.tree.map(lambda g: jax.lax.pmean(g, "data"), grads)
-        loss = jax.lax.pmean(loss, "data")
+        # average over the axes params are replicated across ("model"
+        # grads are already consistent up to psum transposes)
+        grads = jax.tree.map(
+            lambda g: jax.lax.pmean(g, rep_axes), grads
+        )
+        loss = jax.lax.pmean(loss, rep_axes)
         params, opt_state = optimizer.update(grads, opt_state, params)
         return params, opt_state, loss
 

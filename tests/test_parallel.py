@@ -127,3 +127,51 @@ def test_tp_forward_matches_single_device():
 
     want = loss_fn(params, tokens, targets, cfg)
     np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
+
+
+def test_dp_sp_tp_train_step():
+    """Full 3-way mesh: dp x sp (ring attention) x tp in one train step."""
+    mesh = make_mesh(data=2, seq=2, model=2)
+    cfg = LlamaConfig.tiny(
+        n_heads=4, n_kv_heads=2, dim=128, head_dim=32, dtype=jnp.float32
+    )
+    params = init_params(jax.random.key(0), cfg)
+    params = shard_params(params, mesh, cfg)
+    train_step, optimizer = make_train_step(mesh, cfg)
+    opt_state = optimizer.init(params)
+
+    tokens = jax.random.randint(jax.random.key(1), (4, 128), 0, cfg.vocab_size)
+    targets = jnp.roll(tokens, -1, axis=1)
+    p1, opt_state, loss1 = train_step(params, opt_state, tokens, targets)
+    _, _, loss2 = train_step(p1, opt_state, tokens, targets)
+    assert jnp.isfinite(loss1) and jnp.isfinite(loss2)
+    assert float(loss2) < float(loss1)
+
+
+def test_sp_loss_matches_single_device():
+    """dp=1, tp=1, sp=4: sequence-parallel loss == single-device loss."""
+    from nnop_tpu.models.llama import loss_fn
+    from nnop_tpu.parallel.tp_llama import _local_forward, _sharded_xent
+
+    mesh = make_mesh(seq=4, model=1)
+    cfg = LlamaConfig.tiny(
+        n_heads=4, n_kv_heads=2, dim=128, head_dim=32, dtype=jnp.float32
+    )
+    params = init_params(jax.random.key(0), cfg)
+    tokens = jax.random.randint(jax.random.key(1), (2, 128), 0, cfg.vocab_size)
+    targets = jnp.roll(tokens, -1, axis=1)
+
+    def sp_loss(p, tokens, targets):
+        logits = _local_forward(p, tokens, cfg, seq_axis="seq")
+        return jax.lax.pmean(_sharded_xent(logits, targets), "seq")
+
+    sharded = shard_map(
+        sp_loss,
+        mesh=mesh,
+        in_specs=(param_specs(cfg), P(None, "seq"), P(None, "seq")),
+        out_specs=P(),
+        check_rep=False,
+    )
+    got = jax.jit(sharded)(params, tokens, targets)
+    want = loss_fn(params, tokens, targets, cfg)
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=2e-4)
