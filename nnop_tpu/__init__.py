@@ -27,6 +27,9 @@ from nnop_tpu.ops.rms_norm import rms_norm
 from nnop_tpu.ops.layer_norm import layer_norm
 from nnop_tpu.ops.rope import RotaryEmbedding, llama_rope
 from nnop_tpu.ops.flash_attention import flash_attention
+from nnop_tpu.ops.attention_decode import decode_attention
+from nnop_tpu.ops.quantization import QTensor, dequantize, quantize
+from nnop_tpu.ops.quantized_matmul import quantized_matmul
 
 __all__ = [
     "online_softmax",
@@ -35,4 +38,9 @@ __all__ = [
     "RotaryEmbedding",
     "llama_rope",
     "flash_attention",
+    "decode_attention",
+    "QTensor",
+    "quantize",
+    "dequantize",
+    "quantized_matmul",
 ]

@@ -53,24 +53,143 @@ from nnop_tpu.utils.platform import (
 MASK_VALUE = -1e30  # large-negative instead of -inf: avoids inf-inf=NaN
 
 
-def _fwd_kernel(
+def _attn_step(
+    q_ref,
+    k_ref,
+    v_ref,
+    pair_blk,
+    kpad_blk,
+    acc,
+    m_scr,
+    l_scr,
+    *,
+    iq,
+    ik,
+    scale,
+    causal,
+    block_q,
+    block_k,
+    kv_len,
+    num_kv_static,
+    precision,
+):
+    """One online-softmax KV step (shared by the rectangular and triangular
+    grid kernels). iq/ik may be traced (table-driven) or grid indices.
+
+    The kernels are VPU-bound at small head dims, so every iota/compare/
+    select masking pass runs under a lax.cond and interior blocks take a
+    mask-free path (measured ~4:1 VPU:MXU at E=64).
+    """
+    ragged_kv = kv_len % block_k != 0
+    has_kpad = kpad_blk is not None
+
+    # fold the softmax scale into q: O(bq*E) instead of O(bq*bk)
+    q = (q_ref[0, 0].astype(jnp.float32) * scale).astype(q_ref.dtype)
+    s = jax.lax.dot_general(
+        q,
+        k_ref[0, 0],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=precision,
+    )
+    if pair_blk is not None:
+        s = s + pair_blk.astype(jnp.float32)
+
+    if causal:
+        # block straddles the diagonal iff its last column can exceed its
+        # first row
+        on_diag = ik * block_k + block_k - 1 > iq * block_q
+    else:
+        on_diag = False
+    is_tail = (ik == num_kv_static - 1) if ragged_kv else False
+    needs_mask = has_kpad or jnp.logical_or(on_diag, is_tail)
+
+    m_prev = m_scr[:, :1]
+
+    def masked(s):
+        mask = None
+        if ragged_kv:
+            cols0 = ik * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 1
+            )
+            mask = cols0 < kv_len
+        if has_kpad:
+            kp = kpad_blk != 0
+            mask = kp if mask is None else jnp.logical_and(mask, kp)
+        if causal:
+            rows = iq * block_q + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 0
+            )
+            cols = ik * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 1
+            )
+            cm = rows >= cols
+            mask = cm if mask is None else jnp.logical_and(mask, cm)
+        s = jnp.where(mask, s, MASK_VALUE)
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+        # Hard-zero through the mask (not just exp underflow): a fully
+        # masked row has m_new == MASK_VALUE and would otherwise get p == 1.
+        p = jnp.where(mask, jnp.exp(s - m_new), 0.0)
+        return p, m_new
+
+    def plain(s):
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+        return jnp.exp(s - m_new), m_new
+
+    if has_kpad or causal or ragged_kv:
+        p, m_new = jax.lax.cond(needs_mask, masked, plain, s)
+    else:
+        p, m_new = plain(s)
+
+    l_prev = l_scr[:, :1]
+    alpha = jnp.exp(m_prev - m_new)
+    l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+
+    m_scr[...] = jnp.broadcast_to(m_new, m_scr.shape)
+    l_scr[...] = jnp.broadcast_to(l_new, l_scr.shape)
+    v = v_ref[0, 0]
+    if ragged_kv:
+        # Ragged tail: the padded region of the V block is undefined (NaN
+        # in interpret mode) and 0 * NaN = NaN would poison the matmul —
+        # zero the invalid rows (TPU analogue of the reference's
+        # `in_seq_bounds` tail guards, attention.jl:153).
+        kv_rows = ik * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, (block_k, 1), 0
+        )
+        v = jnp.where(kv_rows < kv_len, v, jnp.zeros_like(v))
+    pv = jax.lax.dot_general(
+        p.astype(v.dtype),
+        v,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=precision,
+    )
+    acc[...] = acc[...] * alpha + pv
+
+
+def _attn_finish(o_ref, lse_ref, acc, m_scr, l_scr):
+    l = l_scr[:, :1]
+    l_safe = jnp.where(l == 0.0, 1.0, l)
+    o_ref[0, 0] = (acc[...] / l_safe).astype(o_ref.dtype)
+    lse_ref[0, 0] = m_scr[:, :1] + jnp.log(l_safe)
+
+
+def _fwd_kernel_rect(
     *refs,
-    scale: float,
-    causal: bool,
-    has_pair: bool,
-    has_kpad: bool,
-    block_q: int,
-    block_k: int,
-    q_len: int,
-    kv_len: int,
-    precision=None,
+    scale,
+    causal,
+    has_pair,
+    has_kpad,
+    block_q,
+    block_k,
+    kv_len,
+    precision,
 ):
     idx = 0
     q_ref = refs[idx]; idx += 1
     k_ref = refs[idx]; idx += 1
     v_ref = refs[idx]; idx += 1
-    pair_ref = None
-    kpad_ref = None
+    pair_ref = kpad_ref = None
     if has_pair:
         pair_ref = refs[idx]; idx += 1
     if has_kpad:
@@ -87,130 +206,71 @@ def _fwd_kernel(
         l_scr[...] = jnp.zeros_like(l_scr)
         acc[...] = jnp.zeros_like(acc)
 
-    # Causal tile skip: KV blocks strictly above the diagonal contribute
-    # nothing (reference `end_iter`, attention.jl:47).
+    # Causal tile skip: clamped index maps (in _fwd_impl) already avoid
+    # the DMA for fully-masked blocks; this predicate skips their compute
+    # (reference `end_iter`, attention.jl:47).
+    active = True
     if causal:
         active = ik * block_k <= iq * block_q + block_q - 1
-    else:
-        active = True
-
-    # Which blocks need score masking at all? Interior blocks (no tail, not
-    # on the causal diagonal, no kpad) skip every iota/compare/select pass —
-    # the kernel is VPU-bound at small head dims, so these passes, not the
-    # MXU dots, set the throughput (measured ~4:1 VPU:MXU at E=64).
-    ragged_kv = kv_len % block_k != 0
-    num_kv_static = cdiv(kv_len, block_k)
 
     @pl.when(active)
     def _step():
-        # fold the softmax scale into q: O(bq*E) instead of O(bq*bk)
-        q = (q_ref[0, 0].astype(jnp.float32) * scale).astype(q_ref.dtype)
-        k = k_ref[0, 0]
-        s = jax.lax.dot_general(
-            q,
-            k,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
+        _attn_step(
+            q_ref,
+            k_ref,
+            v_ref,
+            pair_ref[0, 0] if has_pair else None,
+            kpad_ref[0] if has_kpad else None,
+            acc,
+            m_scr,
+            l_scr,
+            iq=iq,
+            ik=ik,
+            scale=scale,
+            causal=causal,
+            block_q=block_q,
+            block_k=block_k,
+            kv_len=kv_len,
+            num_kv_static=cdiv(kv_len, block_k),
             precision=precision,
         )
-        if has_pair:
-            s = s + pair_ref[0, 0].astype(jnp.float32)
-
-        if causal:
-            # block straddles the diagonal iff its last column index can
-            # exceed its first row index
-            on_diag = ik * block_k + block_k - 1 > iq * block_q
-        else:
-            on_diag = False
-        is_tail = (ik == num_kv_static - 1) if ragged_kv else False
-        needs_mask = has_kpad or jnp.logical_or(on_diag, is_tail)
-
-        m_prev = m_scr[:, :1]
-
-        def masked(s):
-            mask = None
-            if ragged_kv:
-                cols0 = ik * block_k + jax.lax.broadcasted_iota(
-                    jnp.int32, (block_q, block_k), 1
-                )
-                mask = cols0 < kv_len
-            if has_kpad:
-                kp = kpad_ref[0] != 0
-                mask = kp if mask is None else jnp.logical_and(mask, kp)
-            if causal:
-                rows = iq * block_q + jax.lax.broadcasted_iota(
-                    jnp.int32, (block_q, block_k), 0
-                )
-                cols = ik * block_k + jax.lax.broadcasted_iota(
-                    jnp.int32, (block_q, block_k), 1
-                )
-                cm = rows >= cols
-                mask = cm if mask is None else jnp.logical_and(mask, cm)
-            s = jnp.where(mask, s, MASK_VALUE)
-            m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
-            # Hard-zero through the mask (not just exp underflow): a fully
-            # masked row has m_new == MASK_VALUE and would otherwise get
-            # p == 1.
-            p = jnp.where(mask, jnp.exp(s - m_new), 0.0)
-            return p, m_new
-
-        def plain(s):
-            m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
-            return jnp.exp(s - m_new), m_new
-
-        if has_kpad or causal or ragged_kv:
-            p, m_new = jax.lax.cond(needs_mask, masked, plain, s)
-        else:
-            p, m_new = plain(s)
-
-        l_prev = l_scr[:, :1]
-        alpha = jnp.exp(m_prev - m_new)
-        l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
-
-        m_scr[...] = jnp.broadcast_to(m_new, m_scr.shape)
-        l_scr[...] = jnp.broadcast_to(l_new, l_scr.shape)
-        v = v_ref[0, 0]
-        if kv_len % block_k != 0:
-            # Ragged tail: the padded region of the V block is undefined
-            # (NaN in interpret mode) and 0 * NaN = NaN would poison the
-            # matmul — zero the invalid rows (TPU equivalent of the
-            # reference's `in_seq_bounds` tail guards, attention.jl:153).
-            kv_rows = ik * block_k + jax.lax.broadcasted_iota(
-                jnp.int32, (block_k, 1), 0
-            )
-            v = jnp.where(kv_rows < kv_len, v, jnp.zeros_like(v))
-        pv = jax.lax.dot_general(
-            p.astype(v.dtype),
-            v,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=precision,
-        )
-        acc[...] = acc[...] * alpha + pv
 
     @pl.when(ik == num_kv - 1)
     def _finish():
-        l = l_scr[:, :1]
-        l_safe = jnp.where(l == 0.0, 1.0, l)
-        o_ref[0, 0] = (acc[...] / l_safe).astype(o_ref.dtype)
-        lse_ref[0, 0] = m_scr[:, :1] + jnp.log(l_safe)
-    del q_len
+        _attn_finish(o_ref, lse_ref, acc, m_scr, l_scr)
 
 
-def default_blocks(q_len: int, kv_len: int, head_dim: int, dtype) -> tuple[int, int]:
+def default_blocks(
+    q_len: int, kv_len: int, head_dim: int, dtype, causal: bool = False
+) -> tuple[int, int]:
     """VMEM-budget block-size selection — TPU analogue of the reference's
-    shared-memory groupsize autotuner (attention.jl:193-205)."""
+    shared-memory groupsize autotuner (attention.jl:193-205). Grid-step
+    overhead (~1us fixed per step) dominates at small blocks, so prefer
+    the largest KV block that fits VMEM; causal prefers bk <= 2*bq so most
+    triangular steps stay off-diagonal (mask-free)."""
     sub = sublane_tile(dtype)
-    bq = min(512, round_up(q_len, sub))
-    bk = min(512, round_up(kv_len, 128))
-    # shrink until the working set (q,k,v,o,acc + s/p temps, x2 for
-    # Mosaic double-buffering) fits comfortably in VMEM
+    # Measured on v5e (L=2048, E=64, bf16): per-grid-step fixed overhead is
+    # ~1us, so large KV blocks win; causal prefers bk=1024 with bq=256 so
+    # the clamped-index tile skip drops above-diagonal work while most
+    # visited blocks stay off-diagonal (mask-free path). A table-driven
+    # triangular grid was tried and is 2.5x SLOWER: dynamic index maps
+    # defeat the pipeliner's block-reuse analysis.
+    if causal:
+        bq = min(512, round_up(q_len, sub))
+        bk = min(1024, round_up(kv_len, 128))
+    else:
+        bq = min(512, round_up(q_len, sub))
+        bk = min(2048, round_up(kv_len, 128))
+
     def footprint(bq, bk):
-        blk = (bq + 3 * bk) * head_dim * 4 * 2 + 3 * bq * bk * 4
-        return blk
+        # one live (bq, bk) fp32 score/p temp + double-buffered operand
+        # blocks + acc/out (measured: (512, 2048) at E=64 bf16 fits fine)
+        return bq * bk * 6 + (bq + 2 * bk) * head_dim * 4 * 2 + 2 * bq * head_dim * 4
 
     while footprint(bq, bk) > 12 * 1024 * 1024 and (bq > sub or bk > 128):
-        if bq >= bk and bq > sub:
+        if bk >= 2 * bq and bk > 128:
+            bk = max(128, bk // 2)
+        elif bq > sub:
             bq = max(sub, bq // 2)
         else:
             bk = max(128, bk // 2)
@@ -221,7 +281,7 @@ def _fwd_impl(q, k, v, pair, kpad, causal, scale, block_q=None, block_k=None, pr
     B, QH, QL, E = q.shape
     _, KH, KL, _ = k.shape
     group = QH // KH
-    bq, bk = default_blocks(QL, KL, E, q.dtype)
+    bq, bk = default_blocks(QL, KL, E, q.dtype, causal=causal)
     if block_q is not None:
         bq = block_q
     if block_k is not None:
@@ -229,6 +289,16 @@ def _fwd_impl(q, k, v, pair, kpad, causal, scale, block_q=None, block_k=None, pr
     num_q, num_kv = cdiv(QL, bq), cdiv(KL, bk)
     has_pair = pair is not None
     has_kpad = kpad is not None
+
+    out_shape = [
+        jax.ShapeDtypeStruct((B, QH, QL, E), q.dtype),
+        jax.ShapeDtypeStruct((B, QH, QL, 1), jnp.float32),
+    ]
+    scratch_shapes = [
+        pltpu.VMEM((bq, E), jnp.float32),
+        pltpu.VMEM((bq, 128), jnp.float32),
+        pltpu.VMEM((bq, 128), jnp.float32),
+    ]
 
     if causal:
         def kv_idx(iq, ik):
@@ -263,14 +333,13 @@ def _fwd_impl(q, k, v, pair, kpad, causal, scale, block_q=None, block_k=None, pr
         operands.append(kpad.astype(jnp.int32)[:, None, :])
 
     kernel = functools.partial(
-        _fwd_kernel,
+        _fwd_kernel_rect,
         scale=scale,
         causal=causal,
         has_pair=has_pair,
         has_kpad=has_kpad,
         block_q=bq,
         block_k=bk,
-        q_len=QL,
         kv_len=KL,
         precision=precision,
     )
@@ -282,15 +351,8 @@ def _fwd_impl(q, k, v, pair, kpad, causal, scale, block_q=None, block_k=None, pr
             pl.BlockSpec((1, 1, bq, E), lambda b, h, iq, ik: (b, h, iq, 0)),
             pl.BlockSpec((1, 1, bq, 1), lambda b, h, iq, ik: (b, h, iq, 0)),
         ],
-        out_shape=[
-            jax.ShapeDtypeStruct((B, QH, QL, E), q.dtype),
-            jax.ShapeDtypeStruct((B, QH, QL, 1), jnp.float32),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((bq, E), jnp.float32),
-            pltpu.VMEM((bq, 128), jnp.float32),
-            pltpu.VMEM((bq, 128), jnp.float32),
-        ],
+        out_shape=out_shape,
+        scratch_shapes=scratch_shapes,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
         ),
