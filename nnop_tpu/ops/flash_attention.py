@@ -72,6 +72,7 @@ def _attn_step(
     kv_len,
     num_kv_static,
     precision,
+    row_offset=0,
 ):
     """One online-softmax KV step (shared by the rectangular and triangular
     grid kernels). iq/ik may be traced (table-driven) or grid indices.
@@ -97,8 +98,8 @@ def _attn_step(
 
     if causal:
         # block straddles the diagonal iff its last column can exceed its
-        # first row
-        on_diag = ik * block_k + block_k - 1 > iq * block_q
+        # first (offset-shifted) row
+        on_diag = ik * block_k + block_k - 1 > iq * block_q + row_offset
     else:
         on_diag = False
     is_tail = (ik == num_kv_static - 1) if ragged_kv else False
@@ -117,7 +118,7 @@ def _attn_step(
             kp = kpad_blk != 0
             mask = kp if mask is None else jnp.logical_and(mask, kp)
         if causal:
-            rows = iq * block_q + jax.lax.broadcasted_iota(
+            rows = row_offset + iq * block_q + jax.lax.broadcasted_iota(
                 jnp.int32, (block_q, block_k), 0
             )
             cols = ik * block_k + jax.lax.broadcasted_iota(
@@ -180,12 +181,16 @@ def _fwd_kernel_rect(
     causal,
     has_pair,
     has_kpad,
+    has_offset,
     block_q,
     block_k,
     kv_len,
     precision,
 ):
     idx = 0
+    offset_ref = None
+    if has_offset:
+        offset_ref = refs[idx]; idx += 1
     q_ref = refs[idx]; idx += 1
     k_ref = refs[idx]; idx += 1
     v_ref = refs[idx]; idx += 1
@@ -199,6 +204,7 @@ def _fwd_kernel_rect(
     iq = pl.program_id(2)
     ik = pl.program_id(3)
     num_kv = pl.num_programs(3)
+    row_offset = offset_ref[0] if has_offset else 0
 
     @pl.when(ik == 0)
     def _init():
@@ -208,10 +214,12 @@ def _fwd_kernel_rect(
 
     # Causal tile skip: clamped index maps (in _fwd_impl) already avoid
     # the DMA for fully-masked blocks; this predicate skips their compute
-    # (reference `end_iter`, attention.jl:47).
+    # (reference `end_iter`, attention.jl:47). With a dynamic row offset
+    # (chunked prefill) the index maps can't clamp, but the predicate
+    # still skips compute above the shifted diagonal.
     active = True
     if causal:
-        active = ik * block_k <= iq * block_q + block_q - 1
+        active = ik * block_k <= iq * block_q + row_offset + block_q - 1
 
     @pl.when(active)
     def _step():
@@ -233,6 +241,7 @@ def _fwd_kernel_rect(
             kv_len=kv_len,
             num_kv_static=cdiv(kv_len, block_k),
             precision=precision,
+            row_offset=row_offset,
         )
 
     @pl.when(ik == num_kv - 1)
@@ -277,7 +286,7 @@ def default_blocks(
     return bq, bk
 
 
-def _fwd_impl(q, k, v, pair, kpad, causal, scale, block_q=None, block_k=None, precision=None):
+def _fwd_impl(q, k, v, pair, kpad, causal, scale, block_q=None, block_k=None, precision=None, causal_offset=None):
     B, QH, QL, E = q.shape
     _, KH, KL, _ = k.shape
     group = QH // KH
@@ -300,7 +309,8 @@ def _fwd_impl(q, k, v, pair, kpad, causal, scale, block_q=None, block_k=None, pr
         pltpu.VMEM((bq, 128), jnp.float32),
     ]
 
-    if causal:
+    has_offset = causal_offset is not None
+    if causal and not has_offset:
         def kv_idx(iq, ik):
             return jnp.minimum(ik, (iq * bq + bq - 1) // bk)
     else:
@@ -319,6 +329,14 @@ def _fwd_impl(q, k, v, pair, kpad, causal, scale, block_q=None, block_k=None, pr
         ),
     ]
     operands = [q, k, v]
+    if has_offset:
+        in_specs.insert(
+            0,
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        )
+        operands.insert(
+            0, jnp.asarray(causal_offset, jnp.int32).reshape(1)
+        )
     if has_pair:
         in_specs.append(
             pl.BlockSpec(
@@ -338,6 +356,7 @@ def _fwd_impl(q, k, v, pair, kpad, causal, scale, block_q=None, block_k=None, pr
         causal=causal,
         has_pair=has_pair,
         has_kpad=has_kpad,
+        has_offset=has_offset,
         block_q=bq,
         block_k=bk,
         kv_len=KL,
@@ -406,6 +425,31 @@ def _vjp_bwd(causal, scale, precision, res, do):
 
 
 _flash_attention.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+def flash_attention_chunked(
+    q,
+    k,
+    v,
+    *,
+    causal_offset,
+    kpad_mask=None,
+    scale: float | None = None,
+    precision=None,
+):
+    """Causal attention for CHUNKED PREFILL: query rows are a chunk whose
+    global positions start at `causal_offset` (the live cache length — may
+    be a traced scalar); keys span the whole cache. Inference-only (no
+    custom VJP). Row i attends cols <= causal_offset + i, intersected with
+    kpad_mask."""
+    _validate(q, k, v, None, kpad_mask)
+    if scale is None:
+        scale = 1.0 / (q.shape[-1] ** 0.5)
+    o, _ = _fwd_impl(
+        q, k, v, None, kpad_mask, True, float(scale),
+        precision=precision, causal_offset=causal_offset,
+    )
+    return o
 
 
 def flash_attention(

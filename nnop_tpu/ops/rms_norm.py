@@ -90,7 +90,7 @@ def _bwd_kernel(
 def _pick_block_rows(n_rows: int, n_cols: int, n_bufs: int) -> int:
     per_row = n_cols * 4 * n_bufs
     bm = max(8, VMEM_BUDGET_BYTES // 4 // max(per_row, 1))
-    bm = min(bm, round_up(n_rows, 8), 512)
+    bm = min(bm, round_up(n_rows, 8), 4096)
     return round_up(bm, 8)
 
 

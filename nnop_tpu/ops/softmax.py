@@ -62,7 +62,7 @@ def _pick_block_rows(n_rows: int, n_cols: int, itemsize: int) -> int:
     # pipelined operands so Mosaic can double-buffer.
     per_row = n_cols * max(itemsize, 4) * 2
     bm = max(8, VMEM_BUDGET_BYTES // 4 // max(per_row, 1))
-    bm = min(bm, round_up(n_rows, 8), 1024)
+    bm = min(bm, round_up(n_rows, 8), 4096)
     return round_up(bm, 8) if bm >= 8 else 8
 
 

@@ -91,3 +91,31 @@ def test_attention_validation():
     q, k, v, _, _ = _mk(1, 2, 2, 64, 64, 32)
     with pytest.raises(ValueError):
         flash_attention(q, k, v[:, :, :32])  # k/v shape mismatch
+
+
+def test_chunked_prefill_matches_full_causal():
+    """flash_attention_chunked with causal_offset reproduces the rows
+    [off, off+CL) of a full causal attention."""
+    from nnop_tpu.ops.flash_attention import flash_attention_chunked
+
+    B, H, L, E = 2, 2, 384, 32
+    q, k, v, _, _ = _mk(B, H, H, L, L, E)
+    full = flash_attention(q, k, v, causal=True)
+    off, CL = 128, 128
+    kpad = jnp.broadcast_to(jnp.arange(L) < off + CL, (B, L))
+    chunk = flash_attention_chunked(
+        q[:, :, off : off + CL], k, v,
+        causal_offset=jnp.int32(off), kpad_mask=kpad,
+    )
+    np.testing.assert_allclose(
+        chunk, full[:, :, off : off + CL], atol=ATOL, rtol=RTOL
+    )
+
+
+def test_chunked_prefill_offset_zero_matches_causal():
+    from nnop_tpu.ops.flash_attention import flash_attention_chunked
+
+    q, k, v, _, _ = _mk(1, 2, 2, 256, 256, 32)
+    got = flash_attention_chunked(q, k, v, causal_offset=jnp.int32(0))
+    want = flash_attention(q, k, v, causal=True)
+    np.testing.assert_allclose(got, want, atol=ATOL, rtol=RTOL)
