@@ -228,8 +228,10 @@ class Engine:
     """Continuous-batching inference engine (host scheduler, device state)."""
 
     def __init__(self, params, cfg: LlamaConfig, *, max_batch=8,
-                 max_seq=2048, quantized_kv=False, eos_id=None):
+                 max_seq=2048, quantized_kv=False, eos_id=None,
+                 tokenizer=None):
         self.cfg = cfg
+        self.tokenizer = tokenizer
         self.max_batch = max_batch
         self.max_seq = max_seq
         self.quantized = quantized_kv
@@ -243,10 +245,25 @@ class Engine:
         self._rid = 0
 
     def submit(self, prompt: list[int], max_new_tokens: int = 32) -> Request:
+        if len(prompt) + max_new_tokens > self.max_seq:
+            raise ValueError(
+                f"prompt ({len(prompt)}) + max_new_tokens ({max_new_tokens}) "
+                f"exceeds max_seq {self.max_seq}"
+            )
         req = Request(self._rid, prompt, max_new_tokens)
         self._rid += 1
         self.queue.append(req)
         return req
+
+    def submit_text(self, text: str, max_new_tokens: int = 32) -> Request:
+        if self.tokenizer is None:
+            raise ValueError("Engine was built without a tokenizer")
+        return self.submit(self.tokenizer.encode(text), max_new_tokens)
+
+    def decode_text(self, req: Request) -> str:
+        if self.tokenizer is None:
+            raise ValueError("Engine was built without a tokenizer")
+        return self.tokenizer.decode(req.out)
 
     def _admit(self):
         for slot in range(self.max_batch):
