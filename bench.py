@@ -33,8 +33,12 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
-def marginal_time(body, init, n1=8, n2=40, reps=3):
-    """Per-iteration seconds of `body` chained n times inside one jit."""
+def marginal_time(body, init, n1=50, n2=200, reps=3):
+    """Per-iteration seconds of `body` chained n times inside one jit.
+
+    The spread (n2 - n1) must make the signal dominate host-latency jitter
+    (a few ms); if the marginal comes out non-positive, retry with a 4x
+    longer chain before giving up."""
 
     @jax.jit
     def chain(x, n):
@@ -48,15 +52,22 @@ def marginal_time(body, init, n1=8, n2=40, reps=3):
         )
 
     float(chain(init, jnp.int32(2)))  # compile + warm
-    best = float("inf")
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        float(chain(init, jnp.int32(n1)))
-        t1 = time.perf_counter()
-        float(chain(init, jnp.int32(n2)))
-        t2 = time.perf_counter()
-        best = min(best, ((t2 - t1) - (t1 - t0)) / (n2 - n1))
-    return max(best, 1e-9)
+
+    def measure(n1, n2):
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            float(chain(init, jnp.int32(n1)))
+            t1 = time.perf_counter()
+            float(chain(init, jnp.int32(n2)))
+            t2 = time.perf_counter()
+            best = min(best, ((t2 - t1) - (t1 - t0)) / (n2 - n1))
+        return best
+
+    t = measure(n1, n2)
+    if t <= 0:
+        t = measure(4 * n1, 4 * n2)
+    return max(t, 1e-9)
 
 
 def bench_attention(results, quick):
@@ -86,7 +97,7 @@ def bench_attention(results, quick):
             fused = functools.partial(flash_attention, causal=causal)
             naive = functools.partial(naive_attention, causal=causal)
             tf = marginal_time(fwd_body(fused), q)
-            tn = marginal_time(fwd_body(naive), q, n1=4, n2=16)
+            tn = marginal_time(fwd_body(naive), q, n1=8, n2=32)
             name = f"attn_fwd_{tag}{'_causal' if causal else ''}"
             results[name] = dict(
                 fused_s=tf, naive_s=tn, speedup=tn / tf,
@@ -106,8 +117,8 @@ def bench_attention(results, quick):
 
                 return body
 
-            tf = marginal_time(bwd_body(fused), q, n1=4, n2=16)
-            tn = marginal_time(bwd_body(naive), q, n1=2, n2=8)
+            tf = marginal_time(bwd_body(fused), q, n1=16, n2=64)
+            tn = marginal_time(bwd_body(naive), q, n1=4, n2=16)
             name = f"attn_bwd_{tag}{'_causal' if causal else ''}"
             results[name] = dict(
                 fused_s=tf, naive_s=tn, speedup=tn / tf,
