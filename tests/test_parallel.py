@@ -175,3 +175,59 @@ def test_sp_loss_matches_single_device():
     got = jax.jit(sharded)(params, tokens, targets)
     want = loss_fn(params, tokens, targets, cfg)
     np.testing.assert_allclose(got, want, atol=2e-4, rtol=2e-4)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_ulysses_attention(causal):
+    from nnop_tpu.parallel.ulysses import ulysses_attention
+
+    mesh = make_mesh(seq=4)
+    B, H, L, E = 2, 4, 512, 64
+    ks = jax.random.split(jax.random.key(2), 3)
+    q = jax.random.normal(ks[0], (B, H, L, E), jnp.float32)
+    k = jax.random.normal(ks[1], (B, H, L, E), jnp.float32)
+    v = jax.random.normal(ks[2], (B, H, L, E), jnp.float32)
+
+    uly = shard_map(
+        functools.partial(ulysses_attention, axis_name="seq", causal=causal),
+        mesh=mesh,
+        in_specs=(P(None, None, "seq", None),) * 3,
+        out_specs=P(None, None, "seq", None),
+        check_rep=False,
+    )
+    got = jax.jit(uly)(q, k, v)
+    want = naive_attention(q, k, v, causal=causal)
+    np.testing.assert_allclose(got, want, atol=1e-3, rtol=1e-3)
+
+
+def test_ulysses_grads():
+    from nnop_tpu.parallel.ulysses import ulysses_attention
+
+    mesh = make_mesh(seq=4)
+    B, H, L, E = 1, 4, 256, 32
+    ks = jax.random.split(jax.random.key(3), 3)
+    q = jax.random.normal(ks[0], (B, H, L, E), jnp.float32)
+    k = jax.random.normal(ks[1], (B, H, L, E), jnp.float32)
+    v = jax.random.normal(ks[2], (B, H, L, E), jnp.float32)
+
+    def uly_loss(q, k, v):
+        def inner(q, k, v):
+            o = ulysses_attention(q, k, v, "seq", True)
+            return jax.lax.psum(jnp.sum(o * o), "seq")
+
+        return shard_map(
+            inner,
+            mesh=mesh,
+            in_specs=(P(None, None, "seq", None),) * 3,
+            out_specs=P(),
+            check_rep=False,
+        )(q, k, v)
+
+    def naive_loss(q, k, v):
+        o = naive_attention(q, k, v, causal=True)
+        return jnp.sum(o * o)
+
+    got = jax.jit(jax.grad(uly_loss, (0, 1, 2)))(q, k, v)
+    want = jax.grad(naive_loss, (0, 1, 2))(q, k, v)
+    for g, w, n in zip(got, want, "qkv"):
+        np.testing.assert_allclose(g, w, atol=1e-3, rtol=1e-3, err_msg=f"d{n}")
