@@ -1,0 +1,143 @@
+"""Command-line entry points: train / generate / bench on the tiny or 8B
+configs.  Usage:
+
+    python -m nnop_tpu.cli train --steps 50 --seq 128
+    python -m nnop_tpu.cli generate --prompt "abcabc" --max-new 32
+    python -m nnop_tpu.cli bench
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def cmd_train(args):
+    import jax
+    import jax.numpy as jnp
+
+    from nnop_tpu.models.llama import LlamaConfig, init_params, loss_fn
+    from nnop_tpu.models.weights import save_checkpoint
+    from nnop_tpu.parallel.tp_llama import AdamW
+    from nnop_tpu.runtime.dataio import batches, pack_tokens
+
+    cfg = (
+        LlamaConfig.llama3_8b()
+        if args.model == "8b"
+        else LlamaConfig.tiny(dtype=jnp.float32)
+    )
+    params = init_params(jax.random.key(args.seed), cfg)
+    opt = AdamW(lr=args.lr)
+    state = opt.init(params)
+
+    # synthetic corpus when no data file is given
+    if args.data:
+        import numpy as np
+
+        stream = list(np.fromfile(args.data, dtype=np.int32) % cfg.vocab_size)
+    else:
+        stream = [(7 * i + 3) % cfg.vocab_size for i in range(args.seq * 64)]
+    rows = pack_tokens([stream], seq_len=args.seq)
+
+    @jax.jit
+    def step(params, state, toks, tgts):
+        loss, grads = jax.value_and_grad(loss_fn)(params, toks, tgts, cfg)
+        params, state = opt.update(grads, state, params)
+        return params, state, loss
+
+    n = 0
+    t0 = time.time()
+    while n < args.steps:
+        for toks, tgts in batches(rows, args.batch, seed=n):
+            params, state, loss = step(
+                params, state, jnp.asarray(toks), jnp.asarray(tgts)
+            )
+            n += 1
+            if n % 10 == 0 or n == args.steps:
+                print(f"step {n}: loss {float(loss):.4f} "
+                      f"({(time.time()-t0)/n:.2f} s/step)")
+            if n >= args.steps:
+                break
+    if args.checkpoint:
+        save_checkpoint(args.checkpoint, params)
+        print(f"saved {args.checkpoint}")
+
+
+def cmd_generate(args):
+    import jax
+    import jax.numpy as jnp
+
+    from nnop_tpu.models.llama import LlamaConfig, init_params
+    from nnop_tpu.models.weights import load_checkpoint, load_hf_llama
+    from nnop_tpu.runtime.engine import Engine
+    from nnop_tpu.runtime.tokenizer import BPETokenizer
+
+    cfg = (
+        LlamaConfig.llama3_8b()
+        if args.model == "8b"
+        else LlamaConfig.tiny(dtype=jnp.float32)
+    )
+    params = init_params(jax.random.key(args.seed), cfg)
+    if args.hf_path:
+        params = load_hf_llama(args.hf_path, cfg)
+    elif args.checkpoint:
+        params = load_checkpoint(args.checkpoint, params)
+
+    # byte-level tokenizer with no merges = raw bytes (demo default)
+    tok = BPETokenizer([])
+    eng = Engine(
+        params, cfg, max_batch=args.batch, max_seq=cfg.max_seq_len,
+        quantized_kv=args.int8_kv, tokenizer=tok,
+    )
+    reqs = [eng.submit_text(p, args.max_new) for p in args.prompt]
+    t0 = time.time()
+    eng.run()
+    dt = time.time() - t0
+    total = sum(len(r.out) for r in reqs)
+    for r in reqs:
+        print(f"[{r.rid}] {r.out}")
+    print(f"{total} tokens in {dt:.2f}s = {total/dt:.1f} tok/s")
+
+
+def cmd_bench(args):
+    import subprocess
+
+    sys.exit(subprocess.call([sys.executable, "bench.py"]))
+
+
+def main():
+    ap = argparse.ArgumentParser(prog="nnop_tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    t = sub.add_parser("train")
+    t.add_argument("--model", default="tiny", choices=["tiny", "8b"])
+    t.add_argument("--steps", type=int, default=50)
+    t.add_argument("--batch", type=int, default=4)
+    t.add_argument("--seq", type=int, default=128)
+    t.add_argument("--lr", type=float, default=1e-3)
+    t.add_argument("--seed", type=int, default=0)
+    t.add_argument("--data", default=None, help="int32 token file")
+    t.add_argument("--checkpoint", default=None)
+    t.set_defaults(fn=cmd_train)
+
+    g = sub.add_parser("generate")
+    g.add_argument("--model", default="tiny", choices=["tiny", "8b"])
+    g.add_argument("--prompt", nargs="+", default=["hello world"])
+    g.add_argument("--max-new", type=int, default=32)
+    g.add_argument("--batch", type=int, default=4)
+    g.add_argument("--seed", type=int, default=0)
+    g.add_argument("--int8-kv", action="store_true")
+    g.add_argument("--hf-path", default=None)
+    g.add_argument("--checkpoint", default=None)
+    g.set_defaults(fn=cmd_generate)
+
+    b = sub.add_parser("bench")
+    b.set_defaults(fn=cmd_bench)
+
+    args = ap.parse_args()
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -172,7 +172,8 @@ def make_decode_step(cfg: LlamaConfig, quantized: bool):
             v=v_new,
             k_scale=ks_new if quantized else None,
             v_scale=vs_new if quantized else None,
-            lengths=state.lengths + 1,
+            # only live slots advance (inactive slots hold length 0)
+            lengths=state.lengths + (state.lengths > 0).astype(jnp.int32),
             last_token=jnp.argmax(logits, axis=-1).astype(jnp.int32),
         )
         return logits, new_state
