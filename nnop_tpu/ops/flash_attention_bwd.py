@@ -324,7 +324,7 @@ def flash_attention_bwd(
     B, QH, QL, E = q.shape
     _, KH, KL, _ = k.shape
     group = QH // KH
-    bq, bk = default_blocks(QL, KL, E, q.dtype)
+    bq, bk = default_blocks(QL, KL, E, q.dtype, causal=causal)
     num_q, num_kv = cdiv(QL, bq), cdiv(KL, bk)
     has_pair = pair is not None
     has_kpad = kpad_mask is not None
