@@ -33,12 +33,13 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
-def marginal_time(body, init, n1=50, n2=200, reps=3):
+def marginal_time(body, init, n1=None, n2=None, reps=3, target=0.25):
     """Per-iteration seconds of `body` chained n times inside one jit.
 
-    The spread (n2 - n1) must make the signal dominate host-latency jitter
-    (a few ms); if the marginal comes out non-positive, retry with a 4x
-    longer chain before giving up."""
+    A pilot run sizes the chain so the marginal signal is ~`target`
+    seconds — far above host-latency jitter (a few ms). The reported value
+    is the MEDIAN of `reps` marginals (min would select negative noise).
+    """
 
     @jax.jit
     def chain(x, n):
@@ -53,21 +54,25 @@ def marginal_time(body, init, n1=50, n2=200, reps=3):
 
     float(chain(init, jnp.int32(2)))  # compile + warm
 
-    def measure(n1, n2):
-        best = float("inf")
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            float(chain(init, jnp.int32(n1)))
-            t1 = time.perf_counter()
-            float(chain(init, jnp.int32(n2)))
-            t2 = time.perf_counter()
-            best = min(best, ((t2 - t1) - (t1 - t0)) / (n2 - n1))
-        return best
+    def timed(n):
+        t0 = time.perf_counter()
+        float(chain(init, jnp.int32(n)))
+        return time.perf_counter() - t0
 
-    t = measure(n1, n2)
-    if t <= 0:
-        t = measure(4 * n1, 4 * n2)
-    return max(t, 1e-9)
+    # pilot: per-iter estimate from a long-vs-short pair
+    est = max((timed(512) - timed(8)) / 504, 1e-7)
+    if n1 is None:
+        spread = max(64, int(target / est))
+        spread = min(spread, 20000)
+        n1, n2 = max(8, spread // 4), max(8, spread // 4) + spread
+
+    vals = []
+    for _ in range(reps):
+        ta = timed(n1)
+        tb = timed(n2)
+        vals.append((tb - ta) / (n2 - n1))
+    vals.sort()
+    return max(vals[len(vals) // 2], 1e-9)
 
 
 def bench_attention(results, quick):
@@ -97,7 +102,7 @@ def bench_attention(results, quick):
             fused = functools.partial(flash_attention, causal=causal)
             naive = functools.partial(naive_attention, causal=causal)
             tf = marginal_time(fwd_body(fused), q)
-            tn = marginal_time(fwd_body(naive), q, n1=8, n2=32)
+            tn = marginal_time(fwd_body(naive), q)
             name = f"attn_fwd_{tag}{'_causal' if causal else ''}"
             results[name] = dict(
                 fused_s=tf, naive_s=tn, speedup=tn / tf,
@@ -117,8 +122,8 @@ def bench_attention(results, quick):
 
                 return body
 
-            tf = marginal_time(bwd_body(fused), q, n1=16, n2=64)
-            tn = marginal_time(bwd_body(naive), q, n1=4, n2=16)
+            tf = marginal_time(bwd_body(fused), q)
+            tn = marginal_time(bwd_body(naive), q)
             name = f"attn_bwd_{tag}{'_causal' if causal else ''}"
             results[name] = dict(
                 fused_s=tf, naive_s=tn, speedup=tn / tf,
