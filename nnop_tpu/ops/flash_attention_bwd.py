@@ -149,6 +149,7 @@ def _dq_kernel(
     has_kpad,
     block_q,
     block_k,
+    block_k_inner=None,
     q_len,
     kv_len,
     precision=None,
@@ -183,42 +184,61 @@ def _dq_kernel(
     if causal and not has_pair:
         active = ik * block_k <= iq * block_q + block_q - 1
 
+    bki = block_k_inner or block_k
+    n_sub = block_k // bki
+
     @pl.when(active)
     def _step():
         lse = lse_ref[0, 0]
         delta = delta_ref[0, 0]
-        p, ds = _recompute_p_ds(
-            q_ref[0, 0],
-            k_ref[0, 0],
-            v_ref[0, 0],
-            do_ref[0, 0],
-            lse,
-            delta,
-            pair_ref[0, 0] if has_pair else None,
-            kpad_ref[0] if has_kpad else None,
-            scale=scale,
-            causal=causal,
-            q_len=q_len,
-            kv_len=kv_len,
-            row0=iq * block_q,
-            col0=ik * block_k,
-            precision=precision,
-        )
-        if has_pair:
-            # dpair = dS before the scale factor (attention_bwd.jl:123-132)
-            dpair_ref[0, 0] = ds.astype(dpair_ref.dtype)
-        k_blk = k_ref[0, 0]
-        if kv_len % block_k != 0:
-            k_blk = _zero_invalid_rows(k_blk, ik * block_k, kv_len)
-        dsk = jax.lax.dot_general(
-            ds.astype(k_ref.dtype),
-            k_blk,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=precision,
-        )
-        dq_acc[...] += dsk
-        del p
+        # Two-level KV tiling: unrolled sub-tiles pay no grid overhead and
+        # decide skip/masked independently (see flash_attention._attn_step)
+        for s_i in range(n_sub):
+            col0 = ik * block_k + s_i * bki
+            sl = slice(s_i * bki, (s_i + 1) * bki)
+            if causal and not has_pair and n_sub > 1:
+                sub_active = col0 <= iq * block_q + block_q - 1
+            else:
+                sub_active = True
+
+            def sub(col0=col0, sl=sl):
+                p, ds = _recompute_p_ds(
+                    q_ref[0, 0],
+                    k_ref[0, 0, sl, :],
+                    v_ref[0, 0, sl, :],
+                    do_ref[0, 0],
+                    lse,
+                    delta,
+                    pair_ref[0, 0, :, sl] if has_pair else None,
+                    kpad_ref[0][:, sl] if has_kpad else None,
+                    scale=scale,
+                    causal=causal,
+                    q_len=q_len,
+                    kv_len=kv_len,
+                    row0=iq * block_q,
+                    col0=col0,
+                    precision=precision,
+                )
+                if has_pair:
+                    # dpair = dS before the scale (attention_bwd.jl:123-132)
+                    dpair_ref[0, 0, :, sl] = ds.astype(dpair_ref.dtype)
+                k_blk = k_ref[0, 0, sl, :]
+                if kv_len % bki != 0 or kv_len % block_k != 0:
+                    k_blk = _zero_invalid_rows(k_blk, col0, kv_len)
+                dq_acc[...] += jax.lax.dot_general(
+                    ds.astype(k_ref.dtype),
+                    k_blk,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=precision,
+                )
+
+            if causal and not has_pair and n_sub > 1:
+                @pl.when(sub_active)
+                def _(sub=sub):
+                    sub()
+            else:
+                sub()
 
     @pl.when(ik == num_kv - 1)
     def _finish():
@@ -234,6 +254,7 @@ def _dkv_kernel(
     has_kpad,
     block_q,
     block_k,
+    block_k_inner=None,
     q_len,
     kv_len,
     group,
@@ -268,6 +289,9 @@ def _dkv_kernel(
     if causal and not has_pair:
         active = iq * block_q + block_q - 1 >= ikv * block_k
 
+    bki = block_k_inner or block_k
+    n_sub = block_k // bki
+
     @pl.when(active)
     def _step():
         lse = lse_ref[0, 0]
@@ -277,37 +301,54 @@ def _dkv_kernel(
         if q_len % block_q != 0:
             q = _zero_invalid_rows(q, iq * block_q, q_len)
             do = _zero_invalid_rows(do, iq * block_q, q_len)
-        p, ds = _recompute_p_ds(
-            q,
-            k_ref[0, 0],
-            v_ref[0, 0],
-            do,
-            lse,
-            delta,
-            pair_ref[0, 0] if has_pair else None,
-            kpad_ref[0] if has_kpad else None,
-            scale=scale,
-            causal=causal,
-            q_len=q_len,
-            kv_len=kv_len,
-            row0=iq * block_q,
-            col0=ikv * block_k,
-            precision=precision,
-        )
-        dv_acc[...] += jax.lax.dot_general(
-            p.astype(do.dtype),
-            do,
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=precision,
-        )
-        dk_acc[...] += jax.lax.dot_general(
-            ds.astype(q.dtype),
-            q,
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=precision,
-        )
+        for s_i in range(n_sub):
+            col0 = ikv * block_k + s_i * bki
+            sl = slice(s_i * bki, (s_i + 1) * bki)
+            if causal and not has_pair and n_sub > 1:
+                # this kv sub-tile needs this q block iff some row reaches it
+                sub_active = iq * block_q + block_q - 1 >= col0
+            else:
+                sub_active = True
+
+            def sub(col0=col0, sl=sl):
+                p, ds = _recompute_p_ds(
+                    q,
+                    k_ref[0, 0, sl, :],
+                    v_ref[0, 0, sl, :],
+                    do,
+                    lse,
+                    delta,
+                    pair_ref[0, 0, :, sl] if has_pair else None,
+                    kpad_ref[0][:, sl] if has_kpad else None,
+                    scale=scale,
+                    causal=causal,
+                    q_len=q_len,
+                    kv_len=kv_len,
+                    row0=iq * block_q,
+                    col0=col0,
+                    precision=precision,
+                )
+                dv_acc[sl, :] += jax.lax.dot_general(
+                    p.astype(do.dtype),
+                    do,
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=precision,
+                )
+                dk_acc[sl, :] += jax.lax.dot_general(
+                    ds.astype(q.dtype),
+                    q,
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=precision,
+                )
+
+            if causal and not has_pair and n_sub > 1:
+                @pl.when(sub_active)
+                def _(sub=sub):
+                    sub()
+            else:
+                sub()
 
     @pl.when(jnp.logical_and(g == num_g - 1, iq == num_q - 1))
     def _finish():
@@ -386,6 +427,7 @@ def flash_attention_bwd(
         )
         dq_out_shape.append(jax.ShapeDtypeStruct(pair.shape, pair.dtype))
 
+    bki = min(512, bk) if (causal and bk > 512) else None
     dq_kernel = functools.partial(
         _dq_kernel,
         scale=scale,
@@ -394,6 +436,7 @@ def flash_attention_bwd(
         has_kpad=has_kpad,
         block_q=bq,
         block_k=bk,
+        block_k_inner=bki,
         q_len=QL,
         kv_len=KL,
         precision=precision,
@@ -470,6 +513,7 @@ def flash_attention_bwd(
         has_kpad=has_kpad,
         block_q=bq,
         block_k=bk,
+        block_k_inner=bki,
         q_len=QL,
         kv_len=KL,
         group=group,
