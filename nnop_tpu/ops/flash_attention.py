@@ -75,131 +75,86 @@ def _attn_step(
     row_offset=0,
     block_k_inner=None,
 ):
-    """One online-softmax step over a KV-major block, with an inner
-    unrolled sub-tile loop (two-level tiling).
+    """One online-softmax step over a KV block.
 
-    The kernels are VPU-bound at small head dims, so every iota/compare/
-    select masking pass runs under a lax.cond and mask-free sub-tiles take
-    a fast path (measured ~4:1 VPU:MXU at E=64).
+    BRANCH-FREE by design: measured on v5e, lax.cond / pl.when regions
+    inside the step stall Mosaic's software pipeline and cost far more
+    than the masking passes they save (branch-free always-masked causal at
+    (512, 2048) runs 1.7x faster than the branched interior-fast-path
+    variant). Masking is applied unconditionally whenever any masking
+    feature is active; block-level skipping is done by the CALLER's
+    pl.when around the whole step (worth it only for fully-dead blocks).
     """
+    del block_k_inner  # single-level: inner sub-tiling measured no gain
     ragged_kv = kv_len % block_k != 0
     has_kpad = kpad_blk is not None
-    bki = block_k_inner or block_k
-    n_sub = block_k // bki
 
     # fold the softmax scale into q: O(bq*E) instead of O(bq*bk)
     q = (q_ref[0, 0].astype(jnp.float32) * scale).astype(q_ref.dtype)
+    s = jax.lax.dot_general(
+        q,
+        k_ref[0, 0],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=precision,
+    )
+    if pair_blk is not None:
+        s = s + pair_blk.astype(jnp.float32)
 
-    # Two-level KV tiling (the major block sizes the DMA; the inner loop
-    # is unrolled at trace time and pays no grid-step overhead): per
-    # sub-tile, decide skip / masked / mask-free independently, so with
-    # causal masking only the sub-tiles actually straddling the diagonal
-    # pay the iota/compare/select passes.
-    for s_i in range(n_sub):
-        col0 = ik * block_k + s_i * bki
-        k_sub = k_ref[0, 0, s_i * bki : (s_i + 1) * bki, :]
-        s = jax.lax.dot_general(
-            q,
-            k_sub,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=precision,
+    m_prev = m_scr[:, :1]
+    mask = None
+    if ragged_kv:
+        cols0 = ik * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_k), 1
         )
-        if pair_blk is not None:
-            s = s + pair_blk[:, s_i * bki : (s_i + 1) * bki].astype(
-                jnp.float32
-            )
+        mask = cols0 < kv_len
+    if has_kpad:
+        kp = kpad_blk != 0
+        mask = kp if mask is None else jnp.logical_and(mask, kp)
+    if causal:
+        rows = row_offset + iq * block_q + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_k), 0
+        )
+        cols = ik * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_k), 1
+        )
+        cm = rows >= cols
+        mask = cm if mask is None else jnp.logical_and(mask, cm)
 
-        if causal:
-            # sub-tile straddles the diagonal iff its last column can
-            # exceed its first (offset-shifted) row
-            on_diag = col0 + bki - 1 > iq * block_q + row_offset
-            sub_active = col0 <= iq * block_q + row_offset + block_q - 1
-        else:
-            on_diag = False
-            sub_active = True
-        # tail masking needed when this sub-tile extends past kv_len
-        is_tail = (col0 + bki > kv_len) if ragged_kv else False
-        needs_mask = has_kpad or jnp.logical_or(on_diag, is_tail)
+    if mask is not None:
+        s = jnp.where(mask, s, MASK_VALUE)
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+    if mask is not None:
+        # Hard-zero through the mask (not just exp underflow): a fully
+        # masked row has m_new == MASK_VALUE and would otherwise get p == 1.
+        p = jnp.where(mask, jnp.exp(s - m_new), 0.0)
+    else:
+        p = jnp.exp(s - m_new)
 
-        def step_sub(s, col0=col0, s_i=s_i):
-            m_prev = m_scr[:, :1]
+    l_prev = l_scr[:, :1]
+    alpha = jnp.exp(m_prev - m_new)
+    l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
 
-            def masked(s):
-                mask = None
-                if ragged_kv:
-                    cols0 = col0 + jax.lax.broadcasted_iota(
-                        jnp.int32, (block_q, bki), 1
-                    )
-                    mask = cols0 < kv_len
-                if has_kpad:
-                    kp = kpad_blk[:, s_i * bki : (s_i + 1) * bki] != 0
-                    mask = kp if mask is None else jnp.logical_and(mask, kp)
-                if causal:
-                    rows = (
-                        row_offset
-                        + iq * block_q
-                        + jax.lax.broadcasted_iota(
-                            jnp.int32, (block_q, bki), 0
-                        )
-                    )
-                    cols = col0 + jax.lax.broadcasted_iota(
-                        jnp.int32, (block_q, bki), 1
-                    )
-                    cm = rows >= cols
-                    mask = cm if mask is None else jnp.logical_and(mask, cm)
-                s = jnp.where(mask, s, MASK_VALUE)
-                m_new = jnp.maximum(
-                    m_prev, jnp.max(s, axis=-1, keepdims=True)
-                )
-                # Hard-zero through the mask (not just exp underflow): a
-                # fully masked row has m_new == MASK_VALUE and would
-                # otherwise get p == 1.
-                p = jnp.where(mask, jnp.exp(s - m_new), 0.0)
-                return p, m_new
-
-            def plain(s):
-                m_new = jnp.maximum(
-                    m_prev, jnp.max(s, axis=-1, keepdims=True)
-                )
-                return jnp.exp(s - m_new), m_new
-
-            if has_kpad or causal or ragged_kv:
-                p, m_new = jax.lax.cond(needs_mask, masked, plain, s)
-            else:
-                p, m_new = plain(s)
-
-            l_prev = l_scr[:, :1]
-            alpha = jnp.exp(m_prev - m_new)
-            l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
-
-            m_scr[...] = jnp.broadcast_to(m_new, m_scr.shape)
-            l_scr[...] = jnp.broadcast_to(l_new, l_scr.shape)
-            v = v_ref[0, 0, s_i * bki : (s_i + 1) * bki, :]
-            if ragged_kv:
-                # Ragged tail: undefined padding (NaN in interpret mode)
-                # must not reach the matmul (0 * NaN = NaN) — zero the
-                # invalid rows (TPU analogue of the reference's
-                # `in_seq_bounds` tail guards, attention.jl:153).
-                kv_rows = col0 + jax.lax.broadcasted_iota(
-                    jnp.int32, (bki, 1), 0
-                )
-                v = jnp.where(kv_rows < kv_len, v, jnp.zeros_like(v))
-            pv = jax.lax.dot_general(
-                p.astype(v.dtype),
-                v,
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=precision,
-            )
-            acc[...] = acc[...] * alpha + pv
-
-        if causal and n_sub > 1:
-            @pl.when(sub_active)
-            def _(s=s, col0=col0, s_i=s_i):
-                step_sub(s)
-        else:
-            step_sub(s)
+    m_scr[...] = jnp.broadcast_to(m_new, m_scr.shape)
+    l_scr[...] = jnp.broadcast_to(l_new, l_scr.shape)
+    v = v_ref[0, 0]
+    if ragged_kv:
+        # Ragged tail: undefined padding (NaN in interpret mode) must not
+        # reach the matmul (0 * NaN = NaN) — zero the invalid rows (TPU
+        # analogue of the reference's `in_seq_bounds` guards,
+        # attention.jl:153).
+        kv_rows = ik * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, (block_k, 1), 0
+        )
+        v = jnp.where(kv_rows < kv_len, v, jnp.zeros_like(v))
+    pv = jax.lax.dot_general(
+        p.astype(v.dtype),
+        v,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=precision,
+    )
+    acc[...] = acc[...] * alpha + pv
 
 
 def _attn_finish(o_ref, lse_ref, acc, m_scr, l_scr):

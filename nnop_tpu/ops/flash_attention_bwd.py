@@ -57,18 +57,14 @@ def _recompute_p_ds(
 ):
     """Shared score/P/dS recompute for both backward kernels.
 
-    Returns (p, ds) as fp32 (block_q, block_k). The softmax scale is
-    folded into q for the score dot (O(bq*E) instead of an O(bq*bk) pass);
-    the dS scale factor is NOT applied here — callers apply it once to the
-    accumulated dq/dk at the final grid step.
-
-    Like the forward, the kernels are VPU-bound, so the iota/compare/select
-    masking passes run under a lax.cond and interior blocks (full rows,
-    full cols, below the causal diagonal, no kpad) take a mask-free path.
+    BRANCH-FREE (see flash_attention._attn_step): masking is applied
+    unconditionally whenever any masking feature is active — measured
+    faster than lax.cond fast-paths, which stall the Mosaic pipeline.
     Masked entries come out as exact zeros in p and ds so scratch
-    accumulation stays clean (and NaN padding in ragged blocks never
-    propagates: 0 * NaN would be NaN, so ds is zeroed via where, not by
-    multiplication).
+    accumulation stays clean and NaN padding never propagates (ds is
+    zeroed via where, not by multiplying p=0 into possibly-NaN values).
+    The dS scale factor is NOT applied here — callers apply it once to
+    the accumulated dq/dk at the final grid step.
     """
     bq, bk = q.shape[0], k.shape[0]
     q_s = (q.astype(jnp.float32) * scale).astype(q.dtype)
@@ -92,45 +88,28 @@ def _recompute_p_ds(
 
     ragged_q = q_len % bq != 0
     ragged_kv = kv_len % bk != 0
-    on_diag = (col0 + bk - 1 > row0) if causal else False
-    is_row_tail = (row0 + bq > q_len) if ragged_q else False
-    is_col_tail = (col0 + bk > kv_len) if ragged_kv else False
-    needs_mask = (
-        kpad_blk is not None
-        or jnp.logical_or(
-            jnp.logical_or(on_diag, is_row_tail), is_col_tail
-        )
-    )
 
-    def masked(args):
-        s, dp = args
-        mask = None
-        if ragged_q or ragged_kv:
-            rows = row0 + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
-            cols = col0 + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
-            mask = jnp.logical_and(rows < q_len, cols < kv_len)
-        if kpad_blk is not None:
-            kp = kpad_blk != 0
-            mask = kp if mask is None else jnp.logical_and(mask, kp)
-        if causal:
-            rows = row0 + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
-            cols = col0 + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
-            cm = rows >= cols
-            mask = cm if mask is None else jnp.logical_and(mask, cm)
-        sm = jnp.where(mask, s, MASK_VALUE)
-        p = jnp.where(mask, jnp.exp(sm - lse), 0.0)
+    mask = None
+    if ragged_q or ragged_kv:
+        rows = row0 + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
+        cols = col0 + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
+        mask = jnp.logical_and(rows < q_len, cols < kv_len)
+    if kpad_blk is not None:
+        kp = kpad_blk != 0
+        mask = kp if mask is None else jnp.logical_and(mask, kp)
+    if causal:
+        rows = row0 + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
+        cols = col0 + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
+        cm = rows >= cols
+        mask = cm if mask is None else jnp.logical_and(mask, cm)
+
+    if mask is not None:
+        s = jnp.where(mask, s, MASK_VALUE)
+        p = jnp.where(mask, jnp.exp(s - lse), 0.0)
         ds = jnp.where(mask, p * (dp - delta), 0.0)
-        return p, ds
-
-    def plain(args):
-        s, dp = args
-        p = jnp.exp(s - lse)
-        return p, p * (dp - delta)
-
-    if kpad_blk is not None or causal or ragged_q or ragged_kv:
-        p, ds = jax.lax.cond(needs_mask, masked, plain, (s, dp))
     else:
-        p, ds = plain((s, dp))
+        p = jnp.exp(s - lse)
+        ds = p * (dp - delta)
     return p, ds
 
 
@@ -149,7 +128,6 @@ def _dq_kernel(
     has_kpad,
     block_q,
     block_k,
-    block_k_inner=None,
     q_len,
     kv_len,
     precision=None,
@@ -184,61 +162,41 @@ def _dq_kernel(
     if causal and not has_pair:
         active = ik * block_k <= iq * block_q + block_q - 1
 
-    bki = block_k_inner or block_k
-    n_sub = block_k // bki
-
     @pl.when(active)
     def _step():
         lse = lse_ref[0, 0]
         delta = delta_ref[0, 0]
-        # Two-level KV tiling: unrolled sub-tiles pay no grid overhead and
-        # decide skip/masked independently (see flash_attention._attn_step)
-        for s_i in range(n_sub):
-            col0 = ik * block_k + s_i * bki
-            sl = slice(s_i * bki, (s_i + 1) * bki)
-            if causal and not has_pair and n_sub > 1:
-                sub_active = col0 <= iq * block_q + block_q - 1
-            else:
-                sub_active = True
-
-            def sub(col0=col0, sl=sl):
-                p, ds = _recompute_p_ds(
-                    q_ref[0, 0],
-                    k_ref[0, 0, sl, :],
-                    v_ref[0, 0, sl, :],
-                    do_ref[0, 0],
-                    lse,
-                    delta,
-                    pair_ref[0, 0, :, sl] if has_pair else None,
-                    kpad_ref[0][:, sl] if has_kpad else None,
-                    scale=scale,
-                    causal=causal,
-                    q_len=q_len,
-                    kv_len=kv_len,
-                    row0=iq * block_q,
-                    col0=col0,
-                    precision=precision,
-                )
-                if has_pair:
-                    # dpair = dS before the scale (attention_bwd.jl:123-132)
-                    dpair_ref[0, 0, :, sl] = ds.astype(dpair_ref.dtype)
-                k_blk = k_ref[0, 0, sl, :]
-                if kv_len % bki != 0 or kv_len % block_k != 0:
-                    k_blk = _zero_invalid_rows(k_blk, col0, kv_len)
-                dq_acc[...] += jax.lax.dot_general(
-                    ds.astype(k_ref.dtype),
-                    k_blk,
-                    dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=precision,
-                )
-
-            if causal and not has_pair and n_sub > 1:
-                @pl.when(sub_active)
-                def _(sub=sub):
-                    sub()
-            else:
-                sub()
+        p, ds = _recompute_p_ds(
+            q_ref[0, 0],
+            k_ref[0, 0],
+            v_ref[0, 0],
+            do_ref[0, 0],
+            lse,
+            delta,
+            pair_ref[0, 0] if has_pair else None,
+            kpad_ref[0] if has_kpad else None,
+            scale=scale,
+            causal=causal,
+            q_len=q_len,
+            kv_len=kv_len,
+            row0=iq * block_q,
+            col0=ik * block_k,
+            precision=precision,
+        )
+        if has_pair:
+            # dpair = dS before the scale factor (attention_bwd.jl:123-132)
+            dpair_ref[0, 0] = ds.astype(dpair_ref.dtype)
+        k_blk = k_ref[0, 0]
+        if kv_len % block_k != 0:
+            k_blk = _zero_invalid_rows(k_blk, ik * block_k, kv_len)
+        dq_acc[...] += jax.lax.dot_general(
+            ds.astype(k_ref.dtype),
+            k_blk,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=precision,
+        )
+        del p
 
     @pl.when(ik == num_kv - 1)
     def _finish():
@@ -254,7 +212,6 @@ def _dkv_kernel(
     has_kpad,
     block_q,
     block_k,
-    block_k_inner=None,
     q_len,
     kv_len,
     group,
@@ -289,9 +246,6 @@ def _dkv_kernel(
     if causal and not has_pair:
         active = iq * block_q + block_q - 1 >= ikv * block_k
 
-    bki = block_k_inner or block_k
-    n_sub = block_k // bki
-
     @pl.when(active)
     def _step():
         lse = lse_ref[0, 0]
@@ -301,54 +255,37 @@ def _dkv_kernel(
         if q_len % block_q != 0:
             q = _zero_invalid_rows(q, iq * block_q, q_len)
             do = _zero_invalid_rows(do, iq * block_q, q_len)
-        for s_i in range(n_sub):
-            col0 = ikv * block_k + s_i * bki
-            sl = slice(s_i * bki, (s_i + 1) * bki)
-            if causal and not has_pair and n_sub > 1:
-                # this kv sub-tile needs this q block iff some row reaches it
-                sub_active = iq * block_q + block_q - 1 >= col0
-            else:
-                sub_active = True
-
-            def sub(col0=col0, sl=sl):
-                p, ds = _recompute_p_ds(
-                    q,
-                    k_ref[0, 0, sl, :],
-                    v_ref[0, 0, sl, :],
-                    do,
-                    lse,
-                    delta,
-                    pair_ref[0, 0, :, sl] if has_pair else None,
-                    kpad_ref[0][:, sl] if has_kpad else None,
-                    scale=scale,
-                    causal=causal,
-                    q_len=q_len,
-                    kv_len=kv_len,
-                    row0=iq * block_q,
-                    col0=col0,
-                    precision=precision,
-                )
-                dv_acc[sl, :] += jax.lax.dot_general(
-                    p.astype(do.dtype),
-                    do,
-                    dimension_numbers=(((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=precision,
-                )
-                dk_acc[sl, :] += jax.lax.dot_general(
-                    ds.astype(q.dtype),
-                    q,
-                    dimension_numbers=(((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=precision,
-                )
-
-            if causal and not has_pair and n_sub > 1:
-                @pl.when(sub_active)
-                def _(sub=sub):
-                    sub()
-            else:
-                sub()
+        p, ds = _recompute_p_ds(
+            q,
+            k_ref[0, 0],
+            v_ref[0, 0],
+            do,
+            lse,
+            delta,
+            pair_ref[0, 0] if has_pair else None,
+            kpad_ref[0] if has_kpad else None,
+            scale=scale,
+            causal=causal,
+            q_len=q_len,
+            kv_len=kv_len,
+            row0=iq * block_q,
+            col0=ikv * block_k,
+            precision=precision,
+        )
+        dv_acc[...] += jax.lax.dot_general(
+            p.astype(do.dtype),
+            do,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=precision,
+        )
+        dk_acc[...] += jax.lax.dot_general(
+            ds.astype(q.dtype),
+            q,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=precision,
+        )
 
     @pl.when(jnp.logical_and(g == num_g - 1, iq == num_q - 1))
     def _finish():
@@ -427,7 +364,6 @@ def flash_attention_bwd(
         )
         dq_out_shape.append(jax.ShapeDtypeStruct(pair.shape, pair.dtype))
 
-    bki = min(512, bk) if (causal and bk > 512) else None
     dq_kernel = functools.partial(
         _dq_kernel,
         scale=scale,
@@ -436,7 +372,6 @@ def flash_attention_bwd(
         has_kpad=has_kpad,
         block_q=bq,
         block_k=bk,
-        block_k_inner=bki,
         q_len=QL,
         kv_len=KL,
         precision=precision,
@@ -513,7 +448,6 @@ def flash_attention_bwd(
         has_kpad=has_kpad,
         block_q=bq,
         block_k=bk,
-        block_k_inner=bki,
         q_len=QL,
         kv_len=KL,
         group=group,
