@@ -144,7 +144,7 @@ def decode_attention(
     v_scale=None,
     *,
     scale: float | None = None,
-    block_k: int = 1024,
+    block_k: int = 2048,
 ):
     """Single-token decode attention over a (possibly INT8) KV cache.
 
