@@ -137,44 +137,51 @@ def bench_softmax(results):
     from nnop_tpu import online_softmax
     from nnop_tpu.ops.naive import naive_softmax
 
-    x = jax.random.normal(jax.random.key(0), (8192, 1024), jnp.float32)
-    gb = 2 * x.size * 4 / 1e9
-    tf = marginal_time(lambda i, a: online_softmax(a), x)
-    tn = marginal_time(lambda i, a: naive_softmax(a), x)
-    results["softmax_fwd"] = dict(
-        fused_s=tf, naive_s=tn, speedup=tn / tf, gbps=gb / tf
-    )
-    log(f"softmax_fwd: fused {tf*1e3:.3f} ms ({gb/tf:.0f} GB/s) "
-        f"naive {tn*1e3:.3f} ms speedup {tn/tf:.2f}x")
+    for tag, shape in [("", (8192, 1024)), ("_big", (16384, 4096))]:
+        x = jax.random.normal(jax.random.key(0), shape, jnp.float32)
+        gb = 2 * x.size * 4 / 1e9
+        tf = marginal_time(lambda i, a: online_softmax(a), x)
+        tn = marginal_time(lambda i, a: naive_softmax(a), x)
+        results[f"softmax_fwd{tag}"] = dict(
+            fused_s=tf, naive_s=tn, speedup=tn / tf, gbps=gb / tf
+        )
+        log(f"softmax_fwd{tag}: fused {tf*1e3:.3f} ms ({gb/tf:.0f} GB/s) "
+            f"naive {tn*1e3:.3f} ms speedup {tn/tf:.2f}x")
 
 
 def bench_norms(results):
     from nnop_tpu import layer_norm, rms_norm
     from nnop_tpu.ops.naive import naive_layer_norm, naive_rms_norm
 
-    n, e = 1024, 1024
-    ks = jax.random.split(jax.random.key(0), 3)
-    x = jax.random.normal(ks[0], (n, e), jnp.float32)
-    w = jax.random.normal(ks[1], (e,), jnp.float32)
-    b = jax.random.normal(ks[2], (e,), jnp.float32)
+    # Reference shape (1024x1024, benchmarks/main.jl) is small enough to
+    # stay VMEM-resident inside the timing chain on v5e (128 MB VMEM) —
+    # also bench an HBM-streaming shape (16384x4096 = 256 MB) where fusion
+    # actually determines HBM traffic.
+    for shape_tag, (n, e) in [("", (1024, 1024)), ("_big", (16384, 4096))]:
+        ks = jax.random.split(jax.random.key(0), 3)
+        x = jax.random.normal(ks[0], (n, e), jnp.float32)
+        w = jax.random.normal(ks[1], (e,), jnp.float32)
+        b = jax.random.normal(ks[2], (e,), jnp.float32)
 
-    for name, fused, naive, extra in [
-        ("rms", rms_norm, naive_rms_norm, (w,)),
-        ("ln", layer_norm, naive_layer_norm, (w, b)),
-    ]:
-        tf = marginal_time(lambda i, a: fused(a, *extra), x)
-        tn = marginal_time(lambda i, a: naive(a, *extra), x)
-        results[f"{name}_fwd"] = dict(fused_s=tf, naive_s=tn, speedup=tn / tf)
-        log(f"{name}_fwd: fused {tf*1e3:.3f} ms naive {tn*1e3:.3f} ms "
-            f"speedup {tn/tf:.2f}x")
+        for name, fused, naive, extra in [
+            ("rms", rms_norm, naive_rms_norm, (w,)),
+            ("ln", layer_norm, naive_layer_norm, (w, b)),
+        ]:
+            tf = marginal_time(lambda i, a: fused(a, *extra), x)
+            tn = marginal_time(lambda i, a: naive(a, *extra), x)
+            key = f"{name}_fwd{shape_tag}"
+            results[key] = dict(fused_s=tf, naive_s=tn, speedup=tn / tf)
+            log(f"{key}: fused {tf*1e3:.3f} ms naive {tn*1e3:.3f} ms "
+                f"speedup {tn/tf:.2f}x")
 
-        gf = jax.grad(lambda a: jnp.sum(fused(a, *extra)))
-        gn = jax.grad(lambda a: jnp.sum(naive(a, *extra)))
-        tf = marginal_time(lambda i, a: gf(a), x)
-        tn = marginal_time(lambda i, a: gn(a), x)
-        results[f"{name}_bwd"] = dict(fused_s=tf, naive_s=tn, speedup=tn / tf)
-        log(f"{name}_bwd: fused {tf*1e3:.3f} ms naive {tn*1e3:.3f} ms "
-            f"speedup {tn/tf:.2f}x")
+            gf = jax.grad(lambda a: jnp.sum(fused(a, *extra)))
+            gn = jax.grad(lambda a: jnp.sum(naive(a, *extra)))
+            tf = marginal_time(lambda i, a: gf(a), x)
+            tn = marginal_time(lambda i, a: gn(a), x)
+            key = f"{name}_bwd{shape_tag}"
+            results[key] = dict(fused_s=tf, naive_s=tn, speedup=tn / tf)
+            log(f"{key}: fused {tf*1e3:.3f} ms naive {tn*1e3:.3f} ms "
+                f"speedup {tn/tf:.2f}x")
 
 
 def bench_rope(results):
