@@ -52,8 +52,10 @@ class RotaryEmbedding:
 
 
 def _rope_kernel(q_ref, k_ref, cos_ref, sin_ref, qo_ref, ko_ref, *, sin_sign):
-    cos = cos_ref[0]
-    sin = sin_sign * sin_ref[0]
+    # blocks carry ALL heads: (1, H, bl, E); cos/sin (1, bl, E) broadcast
+    # over the head axis
+    cos = cos_ref[0][None]
+    sin = sin_sign * sin_ref[0][None]
     half = q_ref.shape[-1] // 2
 
     def rotate(x):
@@ -65,33 +67,32 @@ def _rope_kernel(q_ref, k_ref, cos_ref, sin_ref, qo_ref, ko_ref, *, sin_sign):
             axis=-1,
         )
 
-    qo_ref[0, 0] = rotate(q_ref[0, 0]).astype(qo_ref.dtype)
-    ko_ref[0, 0] = rotate(k_ref[0, 0]).astype(ko_ref.dtype)
+    qo_ref[0] = rotate(q_ref[0]).astype(qo_ref.dtype)
+    ko_ref[0] = rotate(k_ref[0]).astype(ko_ref.dtype)
 
 
 def _rope_impl(q, k, cos, sin, sin_sign: float):
     B, QH, L, E = q.shape
     KH = k.shape[1]
-    H = max(QH, KH)
     bl = min(round_up(L, 8), 512)
     nl = cdiv(L, bl)
     kernel = functools.partial(_rope_kernel, sin_sign=sin_sign)
-    # Head index maps clamp h to each tensor's own head count (the
-    # reference guards `hi <= q_heads` per tensor, llama_rope.jl:48,55);
-    # clamped steps recompute identical values into the same block —
-    # idempotent, and Pallas skips the repeated DMA fetch.
+    # One grid step per (batch, seq-block); blocks span all heads (the
+    # reference rotates q AND k in one launch with per-head grid guards,
+    # llama_rope.jl:48,55 — here the head axis rides inside the block, so
+    # the grid is B*nl steps total and q/k head counts need no guards).
     return pl.pallas_call(
         kernel,
-        grid=(B, nl, H),
+        grid=(B, nl),
         in_specs=[
-            pl.BlockSpec((1, 1, bl, E), lambda b, l, h: (b, jnp.minimum(h, QH - 1), l, 0)),
-            pl.BlockSpec((1, 1, bl, E), lambda b, l, h: (b, jnp.minimum(h, KH - 1), l, 0)),
-            pl.BlockSpec((1, bl, E), lambda b, l, h: (b, l, 0)),
-            pl.BlockSpec((1, bl, E), lambda b, l, h: (b, l, 0)),
+            pl.BlockSpec((1, QH, bl, E), lambda b, l: (b, 0, l, 0)),
+            pl.BlockSpec((1, KH, bl, E), lambda b, l: (b, 0, l, 0)),
+            pl.BlockSpec((1, bl, E), lambda b, l: (b, l, 0)),
+            pl.BlockSpec((1, bl, E), lambda b, l: (b, l, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, bl, E), lambda b, l, h: (b, jnp.minimum(h, QH - 1), l, 0)),
-            pl.BlockSpec((1, 1, bl, E), lambda b, l, h: (b, jnp.minimum(h, KH - 1), l, 0)),
+            pl.BlockSpec((1, QH, bl, E), lambda b, l: (b, 0, l, 0)),
+            pl.BlockSpec((1, KH, bl, E), lambda b, l: (b, 0, l, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct(q.shape, q.dtype),
