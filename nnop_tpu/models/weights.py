@@ -8,7 +8,6 @@ init (models/llama.py) covers everything else.
 
 from __future__ import annotations
 
-import json
 import os
 
 import jax.numpy as jnp

@@ -22,7 +22,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from nnop_tpu.utils.platform import cdiv, interpret_default
+from nnop_tpu.utils.platform import interpret_default
 
 MASK_VALUE = -1e30
 

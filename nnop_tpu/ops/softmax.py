@@ -24,7 +24,6 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
 from nnop_tpu.utils.platform import (
     VMEM_BUDGET_BYTES,

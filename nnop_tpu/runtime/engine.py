@@ -23,7 +23,7 @@ kernel library with no runtime). TPU-first design decisions:
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
