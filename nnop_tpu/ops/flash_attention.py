@@ -59,6 +59,8 @@ def _attn_step(
     v_ref,
     pair_blk,
     kpad_blk,
+    qseg_blk,
+    kseg_blk,
     acc,
     m_scr,
     l_scr,
@@ -88,6 +90,7 @@ def _attn_step(
     del block_k_inner  # single-level: inner sub-tiling measured no gain
     ragged_kv = kv_len % block_k != 0
     has_kpad = kpad_blk is not None
+    has_seg = qseg_blk is not None
 
     # fold the softmax scale into q: O(bq*E) instead of O(bq*bk)
     q = (q_ref[0, 0].astype(jnp.float32) * scale).astype(q_ref.dtype)
@@ -111,6 +114,11 @@ def _attn_step(
     if has_kpad:
         kp = kpad_blk != 0
         mask = kp if mask is None else jnp.logical_and(mask, kp)
+    if has_seg:
+        # multi-document packing: only same-segment positions attend
+        # (segment masking, a la the official JAX flash kernel)
+        sm = qseg_blk == kseg_blk  # (bq, 1) == (1, bk) -> (bq, bk)
+        mask = sm if mask is None else jnp.logical_and(mask, sm)
     if causal:
         rows = row_offset + iq * block_q + jax.lax.broadcasted_iota(
             jnp.int32, (block_q, block_k), 0
@@ -170,6 +178,7 @@ def _fwd_kernel_rect(
     causal,
     has_pair,
     has_kpad,
+    has_seg,
     has_offset,
     block_q,
     block_k,
@@ -184,11 +193,14 @@ def _fwd_kernel_rect(
     q_ref = refs[idx]; idx += 1
     k_ref = refs[idx]; idx += 1
     v_ref = refs[idx]; idx += 1
-    pair_ref = kpad_ref = None
+    pair_ref = kpad_ref = qseg_ref = kseg_ref = None
     if has_pair:
         pair_ref = refs[idx]; idx += 1
     if has_kpad:
         kpad_ref = refs[idx]; idx += 1
+    if has_seg:
+        qseg_ref = refs[idx]; idx += 1
+        kseg_ref = refs[idx]; idx += 1
     o_ref, lse_ref, acc, m_scr, l_scr = refs[idx : idx + 5]
 
     iq = pl.program_id(2)
@@ -219,6 +231,8 @@ def _fwd_kernel_rect(
             v_ref,
             pair_ref[0, 0] if has_pair else None,
             kpad_ref[0] if has_kpad else None,
+            qseg_ref[0] if has_seg else None,
+            kseg_ref[0] if has_seg else None,
             acc,
             m_scr,
             l_scr,
@@ -279,7 +293,7 @@ def default_blocks(
     return bq, bk
 
 
-def _fwd_impl(q, k, v, pair, kpad, causal, scale, block_q=None, block_k=None, precision=None, causal_offset=None):
+def _fwd_impl(q, k, v, pair, kpad, causal, scale, block_q=None, block_k=None, precision=None, causal_offset=None, segment_ids=None):
     B, QH, QL, E = q.shape
     _, KH, KL, _ = k.shape
     group = QH // KH
@@ -291,6 +305,7 @@ def _fwd_impl(q, k, v, pair, kpad, causal, scale, block_q=None, block_k=None, pr
     num_q, num_kv = cdiv(QL, bq), cdiv(KL, bk)
     has_pair = pair is not None
     has_kpad = kpad is not None
+    has_seg = segment_ids is not None
 
     out_shape = [
         jax.ShapeDtypeStruct((B, QH, QL, E), q.dtype),
@@ -342,18 +357,29 @@ def _fwd_impl(q, k, v, pair, kpad, causal, scale, block_q=None, block_k=None, pr
             pl.BlockSpec((1, 1, bk), lambda b, h, iq, ik: (b, 0, kv_idx(iq, ik)))
         )
         operands.append(kpad.astype(jnp.int32)[:, None, :])
+    if has_seg:
+        q_seg, kv_seg = segment_ids
+        # q segments sublane-oriented (bq, 1); kv segments lane-oriented
+        # (1, bk) — the (bq, bk) compare broadcasts with no relayout
+        in_specs.append(
+            pl.BlockSpec((1, bq, 1), lambda b, h, iq, ik: (b, iq, 0))
+        )
+        operands.append(q_seg.astype(jnp.int32)[:, :, None])
+        in_specs.append(
+            pl.BlockSpec((1, 1, bk), lambda b, h, iq, ik: (b, 0, kv_idx(iq, ik)))
+        )
+        operands.append(kv_seg.astype(jnp.int32)[:, None, :])
 
-    bki = min(512, bk) if (causal and bk > 512) else None
     kernel = functools.partial(
         _fwd_kernel_rect,
         scale=scale,
         causal=causal,
         has_pair=has_pair,
         has_kpad=has_kpad,
+        has_seg=has_seg,
         has_offset=has_offset,
         block_q=bq,
         block_k=bk,
-        block_k_inner=bki,
         kv_len=KL,
         precision=precision,
     )
@@ -397,26 +423,32 @@ def _validate(q, k, v, pair, kpad_mask):
             raise ValueError(f"kpad_mask shape {kpad_mask.shape}, expected {expect}")
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
-def _flash_attention(q, k, v, pair, kpad_mask, causal, scale, precision):
-    o, _ = _fwd_impl(q, k, v, pair, kpad_mask, causal, scale, precision=precision)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
+def _flash_attention(q, k, v, pair, kpad_mask, segment_ids, causal, scale, precision):
+    o, _ = _fwd_impl(
+        q, k, v, pair, kpad_mask, causal, scale, precision=precision,
+        segment_ids=segment_ids,
+    )
     return o
 
 
-def _vjp_fwd(q, k, v, pair, kpad_mask, causal, scale, precision):
-    o, lse = _fwd_impl(q, k, v, pair, kpad_mask, causal, scale, precision=precision)
-    return o, (q, k, v, pair, kpad_mask, o, lse)
+def _vjp_fwd(q, k, v, pair, kpad_mask, segment_ids, causal, scale, precision):
+    o, lse = _fwd_impl(
+        q, k, v, pair, kpad_mask, causal, scale, precision=precision,
+        segment_ids=segment_ids,
+    )
+    return o, (q, k, v, pair, kpad_mask, segment_ids, o, lse)
 
 
 def _vjp_bwd(causal, scale, precision, res, do):
     from nnop_tpu.ops.flash_attention_bwd import flash_attention_bwd
 
-    q, k, v, pair, kpad_mask, o, lse = res
+    q, k, v, pair, kpad_mask, segment_ids, o, lse = res
     dq, dk, dv, dpair = flash_attention_bwd(
         q, k, v, pair, kpad_mask, o, lse, do, causal=causal, scale=scale,
-        precision=precision,
+        precision=precision, segment_ids=segment_ids,
     )
-    return dq, dk, dv, dpair, None
+    return dq, dk, dv, dpair, None, None
 
 
 _flash_attention.defvjp(_vjp_fwd, _vjp_bwd)
@@ -455,6 +487,7 @@ def flash_attention(
     *,
     causal: bool = False,
     kpad_mask=None,
+    segment_ids=None,
     scale: float | None = None,
     precision=None,
 ):
@@ -469,6 +502,8 @@ def flash_attention(
       pair: optional additive attention bias (B, QH, QL, KL).
       causal: mask by absolute position (q_pos >= k_pos).
       kpad_mask: optional (B, KL) bool, True = valid key (varlen).
+      segment_ids: optional ((B, QL), (B, KL)) int pair for multi-document
+        packing — only same-segment positions attend.
       scale: score scale, default 1/sqrt(E) (reference fixes this,
         attention.jl:154).
       precision: lax.Precision for the MXU dots (None = default; pass
@@ -478,5 +513,5 @@ def flash_attention(
     if scale is None:
         scale = 1.0 / (q.shape[-1] ** 0.5)
     return _flash_attention(
-        q, k, v, pair, kpad_mask, causal, float(scale), precision
+        q, k, v, pair, kpad_mask, segment_ids, causal, float(scale), precision
     )

@@ -46,6 +46,8 @@ def _recompute_p_ds(
     delta,
     pair_blk,
     kpad_blk,
+    qseg_blk,
+    kseg_blk,
     *,
     scale,
     causal,
@@ -97,6 +99,9 @@ def _recompute_p_ds(
     if kpad_blk is not None:
         kp = kpad_blk != 0
         mask = kp if mask is None else jnp.logical_and(mask, kp)
+    if qseg_blk is not None:
+        sm = qseg_blk == kseg_blk
+        mask = sm if mask is None else jnp.logical_and(mask, sm)
     if causal:
         rows = row0 + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
         cols = col0 + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
@@ -126,6 +131,7 @@ def _dq_kernel(
     causal,
     has_pair,
     has_kpad,
+    has_seg,
     block_q,
     block_k,
     q_len,
@@ -139,11 +145,14 @@ def _dq_kernel(
     do_ref = refs[idx]; idx += 1
     lse_ref = refs[idx]; idx += 1
     delta_ref = refs[idx]; idx += 1
-    pair_ref = kpad_ref = None
+    pair_ref = kpad_ref = qseg_ref = kseg_ref = None
     if has_pair:
         pair_ref = refs[idx]; idx += 1
     if has_kpad:
         kpad_ref = refs[idx]; idx += 1
+    if has_seg:
+        qseg_ref = refs[idx]; idx += 1
+        kseg_ref = refs[idx]; idx += 1
     outs = refs[idx:]
     if has_pair:
         dq_ref, dpair_ref, dq_acc = outs
@@ -175,6 +184,8 @@ def _dq_kernel(
             delta,
             pair_ref[0, 0] if has_pair else None,
             kpad_ref[0] if has_kpad else None,
+            qseg_ref[0] if has_seg else None,
+            kseg_ref[0] if has_seg else None,
             scale=scale,
             causal=causal,
             q_len=q_len,
@@ -210,6 +221,7 @@ def _dkv_kernel(
     causal,
     has_pair,
     has_kpad,
+    has_seg,
     block_q,
     block_k,
     q_len,
@@ -224,11 +236,14 @@ def _dkv_kernel(
     do_ref = refs[idx]; idx += 1
     lse_ref = refs[idx]; idx += 1
     delta_ref = refs[idx]; idx += 1
-    pair_ref = kpad_ref = None
+    pair_ref = kpad_ref = qseg_ref = kseg_ref = None
     if has_pair:
         pair_ref = refs[idx]; idx += 1
     if has_kpad:
         kpad_ref = refs[idx]; idx += 1
+    if has_seg:
+        qseg_ref = refs[idx]; idx += 1
+        kseg_ref = refs[idx]; idx += 1
     dk_ref, dv_ref, dk_acc, dv_acc = refs[idx:]
 
     ikv = pl.program_id(2)
@@ -264,6 +279,8 @@ def _dkv_kernel(
             delta,
             pair_ref[0, 0] if has_pair else None,
             kpad_ref[0] if has_kpad else None,
+            qseg_ref[0] if has_seg else None,
+            kseg_ref[0] if has_seg else None,
             scale=scale,
             causal=causal,
             q_len=q_len,
@@ -296,7 +313,7 @@ def _dkv_kernel(
 
 def flash_attention_bwd(
     q, k, v, pair, kpad_mask, o, lse, do, *, causal: bool, scale: float,
-    precision=None,
+    precision=None, segment_ids=None,
 ):
     """Equivalent of /root/reference/src/attention_bwd.jl:199 ∇flash_attention."""
     B, QH, QL, E = q.shape
@@ -306,6 +323,7 @@ def flash_attention_bwd(
     num_q, num_kv = cdiv(QL, bq), cdiv(KL, bk)
     has_pair = pair is not None
     has_kpad = kpad_mask is not None
+    has_seg = segment_ids is not None
 
     # δ = Σ_e do·o — the reference's preprocess kernel
     # (attention_bwd.jl:163-197); here a single fused XLA pass.
@@ -351,6 +369,17 @@ def flash_attention_bwd(
             )
         )
         dq_operands.append(kpad_i32)
+    if has_seg:
+        q_seg_arr = segment_ids[0].astype(jnp.int32)[:, :, None]
+        kv_seg_arr = segment_ids[1].astype(jnp.int32)[:, None, :]
+        dq_in_specs.append(
+            pl.BlockSpec((1, bq, 1), lambda b, h, iq, ik: (b, iq, 0))
+        )
+        dq_operands.append(q_seg_arr)
+        dq_in_specs.append(
+            pl.BlockSpec((1, 1, bk), lambda b, h, iq, ik: (b, 0, kv_idx(iq, ik)))
+        )
+        dq_operands.append(kv_seg_arr)
 
     dq_out_specs = [
         pl.BlockSpec((1, 1, bq, E), lambda b, h, iq, ik: (b, h, iq, 0))
@@ -370,6 +399,7 @@ def flash_attention_bwd(
         causal=causal,
         has_pair=has_pair,
         has_kpad=has_kpad,
+        has_seg=has_seg,
         block_q=bq,
         block_k=bk,
         q_len=QL,
@@ -439,6 +469,18 @@ def flash_attention_bwd(
             pl.BlockSpec((1, 1, bk), lambda b, kh, ikv, g, iq: (b, 0, ikv))
         )
         dkv_operands.append(kpad_i32)
+    if has_seg:
+        dkv_in_specs.append(
+            pl.BlockSpec(
+                (1, bq, 1),
+                lambda b, kh, ikv, g, iq: (b, q_idx(ikv, iq), 0),
+            )
+        )
+        dkv_operands.append(q_seg_arr if has_seg else None)
+        dkv_in_specs.append(
+            pl.BlockSpec((1, 1, bk), lambda b, kh, ikv, g, iq: (b, 0, ikv))
+        )
+        dkv_operands.append(kv_seg_arr)
 
     dkv_kernel = functools.partial(
         _dkv_kernel,
@@ -446,6 +488,7 @@ def flash_attention_bwd(
         causal=causal,
         has_pair=has_pair,
         has_kpad=has_kpad,
+        has_seg=has_seg,
         block_q=bq,
         block_k=bk,
         q_len=QL,

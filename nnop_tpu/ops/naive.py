@@ -82,6 +82,7 @@ def naive_attention(
     *,
     causal: bool = False,
     kpad_mask=None,
+    segment_ids=None,
     scale: float | None = None,
 ):
     """Reference attention, mirroring test/attention_testsetup.jl:10-45.
@@ -112,6 +113,10 @@ def naive_attention(
         s = jnp.where(qi >= ki, s, neg)
     if kpad_mask is not None:
         s = jnp.where(kpad_mask[:, None, None, :], s, neg)
+    if segment_ids is not None:
+        q_seg, kv_seg = segment_ids
+        same = q_seg[:, None, :, None] == kv_seg[:, None, None, :]
+        s = jnp.where(same, s, neg)
     p = naive_softmax(s, axis=-1)
     o = jnp.einsum(
         "bhqk,bhke->bhqe", p.astype(v.dtype), v, preferred_element_type=jnp.float32

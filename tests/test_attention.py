@@ -119,3 +119,16 @@ def test_chunked_prefill_offset_zero_matches_causal():
     got = flash_attention_chunked(q, k, v, causal_offset=jnp.int32(0))
     want = flash_attention(q, k, v, causal=True)
     np.testing.assert_allclose(got, want, atol=ATOL, rtol=RTOL)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_attention_segment_ids(causal):
+    """Multi-document packing: only same-segment positions attend."""
+    B, H, L, E = 2, 2, 256, 32
+    q, k, v, _, _ = _mk(B, H, H, L, L, E)
+    seg = jnp.cumsum(
+        jax.random.bernoulli(jax.random.key(7), 0.02, (B, L)), axis=1
+    ).astype(jnp.int32)
+    got = flash_attention(q, k, v, causal=causal, segment_ids=(seg, seg))
+    want = naive_attention(q, k, v, causal=causal, segment_ids=(seg, seg))
+    np.testing.assert_allclose(got, want, atol=ATOL, rtol=RTOL)

@@ -82,3 +82,22 @@ def test_bwd_kpad():
     want = _grads(naive_attention, q, k, v, p, m, False)
     for g, w, name in zip(got, want, "qkv"):
         np.testing.assert_allclose(g, w, atol=ATOL, rtol=RTOL, err_msg=f"d{name}")
+
+
+def test_bwd_segment_ids():
+    B, H, L, E = 2, 2, 192, 32
+    q, k, v, p, m = _mk(B, H, H, L, L, E)
+    seg = jnp.cumsum(
+        jax.random.bernoulli(jax.random.key(8), 0.03, (B, L)), axis=1
+    ).astype(jnp.int32)
+
+    def loss(fn):
+        def f(q, k, v):
+            o = fn(q, k, v, causal=True, segment_ids=(seg, seg))
+            return jnp.sum(o * jnp.sin(0.1 * jnp.arange(E, dtype=jnp.float32)))
+        return f
+
+    got = jax.grad(loss(flash_attention), (0, 1, 2))(q, k, v)
+    want = jax.grad(loss(naive_attention), (0, 1, 2))(q, k, v)
+    for g, w, name in zip(got, want, "qkv"):
+        np.testing.assert_allclose(g, w, atol=ATOL, rtol=RTOL, err_msg=f"d{name}")
