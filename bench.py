@@ -43,7 +43,15 @@ def marginal_time(body, init, n1=None, n2=None, reps=3, target=0.25):
 
     @jax.jit
     def chain(x, n):
-        out = jax.lax.fori_loop(0, n, body, x)
+        # optimization_barrier between iterations: without it XLA fuses
+        # fusable ops ACROSS chain iterations (200 chained rms_norms
+        # collapse into one read + in-register loop + one write), which
+        # would hand the naive side an unreal advantage over pallas_call
+        # (whose HBM boundary can't fuse away).
+        def step(i, x):
+            return jax.lax.optimization_barrier(body(i, x))
+
+        out = jax.lax.fori_loop(0, n, step, x)
         return jnp.sum(
             jax.tree.reduce(
                 lambda a, b: a + jnp.sum(b.astype(jnp.float32)),

@@ -96,7 +96,7 @@ def _bwd_kernel(
 
 def _pick_block_rows(n_rows: int, n_cols: int, n_bufs: int) -> int:
     per_row = n_cols * 4 * n_bufs
-    bm = max(8, VMEM_BUDGET_BYTES // 4 // max(per_row, 1))
+    bm = max(8, VMEM_BUDGET_BYTES // 2 // max(per_row, 1))
     bm = min(bm, round_up(n_rows, 8), 4096)
     return round_up(bm, 8)
 
@@ -123,6 +123,9 @@ def _ln_fwd_impl(x2, w, b, eps):
             jax.ShapeDtypeStruct((n, 1), jnp.float32),
             jax.ShapeDtypeStruct((n, 1), jnp.float32),
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
         interpret=interpret_default(),
     )(x2, w.reshape(1, e), b.reshape(1, e))
 
@@ -156,7 +159,8 @@ def _ln_bwd_impl(x2, w, mu, sigma, dy2):
             pltpu.VMEM((1, e), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",)
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret_default(),
     )(x2, w.reshape(1, e), mu, sigma, dy2)

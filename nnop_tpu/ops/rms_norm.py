@@ -40,7 +40,12 @@ def _fwd_kernel(x_ref, w_ref, y_ref, rstd_ref, *, eps: float, offset: float):
     ms = jnp.mean(x * x, axis=-1, keepdims=True)
     rstd = jax.lax.rsqrt(ms + eps)
     y_ref[...] = (x * rstd * g).astype(y_ref.dtype)
-    rstd_ref[...] = rstd
+    if rstd_ref is not None:
+        rstd_ref[...] = rstd
+
+
+def _fwd_kernel_noresid(x_ref, w_ref, y_ref, *, eps: float, offset: float):
+    _fwd_kernel(x_ref, w_ref, y_ref, None, eps=eps, offset=offset)
 
 
 def _bwd_kernel(
@@ -89,33 +94,45 @@ def _bwd_kernel(
 
 def _pick_block_rows(n_rows: int, n_cols: int, n_bufs: int) -> int:
     per_row = n_cols * 4 * n_bufs
-    bm = max(8, VMEM_BUDGET_BYTES // 4 // max(per_row, 1))
+    bm = max(8, VMEM_BUDGET_BYTES // 2 // max(per_row, 1))
     bm = min(bm, round_up(n_rows, 8), 4096)
     return round_up(bm, 8)
 
 
-def _rms_fwd_impl(x2, w, eps, offset):
+def _rms_fwd_impl(x2, w, eps, offset, want_rstd=True):
     n, e = x2.shape
     bm = _pick_block_rows(n, e, 2)
-    kernel = functools.partial(_fwd_kernel, eps=eps, offset=offset)
-    y, rstd = pl.pallas_call(
+    if want_rstd:
+        kernel = functools.partial(_fwd_kernel, eps=eps, offset=offset)
+        out_specs = [
+            pl.BlockSpec((bm, e), lambda i: (i, 0)),
+            pl.BlockSpec((bm, 1), lambda i: (i, 0)),
+        ]
+        out_shape = [
+            jax.ShapeDtypeStruct((n, e), x2.dtype),
+            jax.ShapeDtypeStruct((n, 1), jnp.float32),
+        ]
+    else:
+        kernel = functools.partial(_fwd_kernel_noresid, eps=eps, offset=offset)
+        out_specs = pl.BlockSpec((bm, e), lambda i: (i, 0))
+        out_shape = jax.ShapeDtypeStruct((n, e), x2.dtype)
+    out = pl.pallas_call(
         kernel,
         grid=(cdiv(n, bm),),
         in_specs=[
             pl.BlockSpec((bm, e), lambda i: (i, 0)),
             pl.BlockSpec((1, e), lambda i: (0, 0)),
         ],
-        out_specs=[
-            pl.BlockSpec((bm, e), lambda i: (i, 0)),
-            pl.BlockSpec((bm, 1), lambda i: (i, 0)),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((n, e), x2.dtype),
-            jax.ShapeDtypeStruct((n, 1), jnp.float32),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
         interpret=interpret_default(),
     )(x2, w.reshape(1, e))
-    return y, rstd
+    if want_rstd:
+        return out
+    return out, None
 
 
 def _rms_bwd_impl(x2, w, rstd, dy2, offset):
@@ -143,7 +160,8 @@ def _rms_bwd_impl(x2, w, rstd, dy2, offset):
         ],
         scratch_shapes=[pltpu.VMEM((1, e), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",)
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret_default(),
     )(x2, w.reshape(1, e), rstd, dy2)
@@ -157,7 +175,9 @@ def rms_norm(x, w, eps: float = 1e-6, offset: float = 0.0):
     Equivalent of /root/reference/src/rms_norm.jl:171-185 (public API +
     rrule). `offset=1.0` gives Gemma-style (1+w) scaling.
     """
-    y, _ = _rms_fwd_impl(x.reshape(-1, x.shape[-1]), w, eps, offset)
+    y, _ = _rms_fwd_impl(
+        x.reshape(-1, x.shape[-1]), w, eps, offset, want_rstd=False
+    )
     return y.reshape(x.shape)
 
 

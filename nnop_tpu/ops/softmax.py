@@ -24,6 +24,7 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from nnop_tpu.utils.platform import (
     VMEM_BUDGET_BYTES,
@@ -60,7 +61,7 @@ def _pick_block_rows(n_rows: int, n_cols: int, itemsize: int) -> int:
     # fwd holds x block + y block (+f32 temps); budget ~1/4 VMEM for the
     # pipelined operands so Mosaic can double-buffer.
     per_row = n_cols * max(itemsize, 4) * 2
-    bm = max(8, VMEM_BUDGET_BYTES // 4 // max(per_row, 1))
+    bm = max(8, VMEM_BUDGET_BYTES // 2 // max(per_row, 1))
     bm = min(bm, round_up(n_rows, 8), 4096)
     return round_up(bm, 8) if bm >= 8 else 8
 
@@ -75,6 +76,9 @@ def _softmax_fwd_impl(x2: jax.Array) -> jax.Array:
         in_specs=[pl.BlockSpec((bm, e), lambda i: (i, 0))],
         out_specs=pl.BlockSpec((bm, e), lambda i: (i, 0)),
         out_shape=jax.ShapeDtypeStruct((n, e), x2.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
         interpret=interpret_default(),
     )(x2)
 
@@ -91,6 +95,9 @@ def _softmax_bwd_impl(y2: jax.Array, dy2: jax.Array) -> jax.Array:
         ],
         out_specs=pl.BlockSpec((bm, e), lambda i: (i, 0)),
         out_shape=jax.ShapeDtypeStruct((n, e), y2.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
         interpret=interpret_default(),
     )(y2, dy2)
 
