@@ -175,9 +175,26 @@ def rms_norm(x, w, eps: float = 1e-6, offset: float = 0.0):
     Equivalent of /root/reference/src/rms_norm.jl:171-185 (public API +
     rrule). `offset=1.0` gives Gemma-style (1+w) scaling.
     """
-    y, _ = _rms_fwd_impl(
-        x.reshape(-1, x.shape[-1]), w, eps, offset, want_rstd=False
-    )
+    x2 = x.reshape(-1, x.shape[-1])
+    n, e = x2.shape
+    # fast path: manual double-buffered streaming (overlapped in/out DMA —
+    # the automatic pipeline serializes them on this stack, see
+    # ops/streaming.py)
+    if n % 8 == 0 and n >= 256:
+        from nnop_tpu.ops.streaming import streaming_rowop
+
+        def f(xb, wb):
+            xf = xb.astype(jnp.float32)
+            g = offset + wb.astype(jnp.float32)
+            ms = jnp.mean(xf * xf, axis=-1, keepdims=True)
+            return (xf * jax.lax.rsqrt(ms + eps) * g,)
+
+        (y,) = streaming_rowop(
+            f, [x2], [jax.ShapeDtypeStruct((n, e), x2.dtype)],
+            const_xs=[w.reshape(1, e)],
+        )
+        return y.reshape(x.shape)
+    y, _ = _rms_fwd_impl(x2, w, eps, offset, want_rstd=False)
     return y.reshape(x.shape)
 
 
