@@ -117,10 +117,22 @@ def _write_tokens(cache, new, positions):
     return jax.vmap(one)(cache, new, positions)
 
 
-def make_decode_step(cfg: LlamaConfig, quantized: bool):
-    """Returns decode_step(stacked_params, state) -> (logits, state)."""
+def sample_tokens(logits, key, temperature: float = 0.0, top_k: int = 0):
+    """Greedy (temperature 0) or temperature/top-k sampling. logits (B, V)."""
+    if temperature <= 0.0:
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    scaled = logits / temperature
+    if top_k > 0:
+        kth = jnp.sort(scaled, axis=-1)[:, -top_k][:, None]
+        scaled = jnp.where(scaled >= kth, scaled, -jnp.inf)
+    return jax.random.categorical(key, scaled, axis=-1).astype(jnp.int32)
 
-    def decode_step(sp, state: EngineState):
+
+def make_decode_step(cfg: LlamaConfig, quantized: bool,
+                     temperature: float = 0.0, top_k: int = 0):
+    """Returns decode_step(stacked_params, state, key) -> (logits, state)."""
+
+    def decode_step(sp, state: EngineState, key):
         B = state.lengths.shape[0]
         tokens = state.last_token[:, None]  # (B, 1)
         positions = state.lengths[:, None]
@@ -174,7 +186,7 @@ def make_decode_step(cfg: LlamaConfig, quantized: bool):
             v_scale=vs_new if quantized else None,
             # only live slots advance (inactive slots hold length 0)
             lengths=state.lengths + (state.lengths > 0).astype(jnp.int32),
-            last_token=jnp.argmax(logits, axis=-1).astype(jnp.int32),
+            last_token=sample_tokens(logits, key, temperature, top_k),
         )
         return logits, new_state
 
@@ -230,7 +242,8 @@ class Engine:
 
     def __init__(self, params, cfg: LlamaConfig, *, max_batch=8,
                  max_seq=2048, quantized_kv=False, eos_id=None,
-                 tokenizer=None):
+                 tokenizer=None, temperature: float = 0.0, top_k: int = 0,
+                 seed: int = 0):
         self.cfg = cfg
         self.tokenizer = tokenizer
         self.max_batch = max_batch
@@ -239,7 +252,10 @@ class Engine:
         self.eos_id = eos_id
         self.sp = stack_layers(params)
         self.state = init_state(cfg, max_batch, max_seq, quantized_kv)
-        self._decode = jax.jit(make_decode_step(cfg, quantized_kv))
+        self._key = jax.random.key(seed)
+        self._decode = jax.jit(
+            make_decode_step(cfg, quantized_kv, temperature, top_k)
+        )
         self._prefill = jax.jit(make_prefill(cfg))
         self.slots: list[Optional[Request]] = [None] * max_batch
         self.queue: list[Request] = []
@@ -306,7 +322,8 @@ class Engine:
         self._admit()
         if all(s is None for s in self.slots):
             return False
-        logits, self.state = self._decode(self.sp, self.state)
+        self._key, step_key = jax.random.split(self._key)
+        logits, self.state = self._decode(self.sp, self.state, step_key)
         next_tokens = jax.device_get(self.state.last_token)
         for slot, req in enumerate(self.slots):
             if req is None:

@@ -68,3 +68,19 @@ def test_engine_int8_kv(params):
     assert req.done
     agree = sum(a == b for a, b in zip(req.out, want)) / len(want)
     assert agree >= 0.5, (req.out, want)
+
+
+def test_engine_sampling(params):
+    """Temperature sampling: runs, differs across seeds, respects top_k."""
+    prompt = [5, 17, 42, 7]
+    outs = []
+    for seed in (0, 1):
+        eng = Engine(
+            params, CFG, max_batch=1, max_seq=64,
+            temperature=1.0, top_k=8, seed=seed,
+        )
+        r = eng.submit(prompt, max_new_tokens=12)
+        eng.run()
+        assert r.done
+        outs.append(tuple(r.out[1:]))  # first token comes from prefill argmax
+    assert outs[0] != outs[1], "different seeds should sample differently"
