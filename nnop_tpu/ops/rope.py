@@ -21,6 +21,7 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from nnop_tpu.utils.platform import cdiv, interpret_default, round_up
 
@@ -98,6 +99,9 @@ def _rope_impl(q, k, cos, sin, sin_sign: float):
             jax.ShapeDtypeStruct(q.shape, q.dtype),
             jax.ShapeDtypeStruct(k.shape, k.dtype),
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
         interpret=interpret_default(),
     )(q, k, cos, sin)
 
