@@ -266,11 +266,11 @@ def main():
     if args.json_all:
         log(json.dumps(results, indent=2))
 
-    head = results.get("attn_fwd_bf16_causal")
+    head = results.get("attn_fwd_bf16") or results.get("attn_fwd_bf16_causal")
     print(
         json.dumps(
             {
-                "metric": "flash_attention_fwd_bf16_causal_L2048_TFLOPs",
+                "metric": "flash_attention_fwd_bf16_L2048_TFLOPs",
                 "value": round(head["tflops"], 3),
                 "unit": "TFLOP/s",
                 "vs_baseline": round(head["speedup"], 3),
