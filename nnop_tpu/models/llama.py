@@ -201,3 +201,44 @@ def loss_fn(params, tokens, targets, cfg: LlamaConfig, *, matmul=None):
     logp = jax.nn.log_softmax(logits, axis=-1)
     ll = jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
     return -jnp.mean(ll)
+
+
+def init_quantized_params(key: jax.Array, cfg: LlamaConfig):
+    """Random weight-only-INT8 params built DIRECTLY as int8 QTensors —
+    never materializes the bf16/f32 full-precision weights (a random 8B in
+    f32 would not fit host+device memory comfortably). Norms and the
+    embedding table stay fp (models/quantized.py rationale)."""
+    from nnop_tpu.ops.quantization import QTensor
+
+    d, hd = cfg.dim, cfg.head_dim
+    keys = jax.random.split(key, cfg.n_layers + 2)
+
+    def qdense(k, shape):
+        fan_in = shape[0]
+        vals = jax.random.randint(k, shape, -127, 128, jnp.int8)
+        # scale so dequantized weights have ~fan-in variance
+        scale = jnp.full((shape[1],), fan_in**-0.5 / 74.0, jnp.float32)
+        return QTensor(vals, scale, 0)
+
+    def layer(k):
+        ks = jax.random.split(k, 7)
+        return {
+            "attn_norm": jnp.ones((d,), cfg.dtype),
+            "wq": qdense(ks[0], (d, cfg.n_heads * hd)),
+            "wk": qdense(ks[1], (d, cfg.n_kv_heads * hd)),
+            "wv": qdense(ks[2], (d, cfg.n_kv_heads * hd)),
+            "wo": qdense(ks[3], (cfg.n_heads * hd, d)),
+            "mlp_norm": jnp.ones((d,), cfg.dtype),
+            "w_gate": qdense(ks[4], (d, cfg.hidden_dim)),
+            "w_up": qdense(ks[5], (d, cfg.hidden_dim)),
+            "w_down": qdense(ks[6], (cfg.hidden_dim, d)),
+        }
+
+    return {
+        "embed": (
+            jax.random.normal(keys[0], (cfg.vocab_size, d), cfg.dtype) * 0.02
+        ),
+        "layers": [layer(keys[i + 1]) for i in range(cfg.n_layers)],
+        "final_norm": jnp.ones((d,), cfg.dtype),
+        "lm_head": qdense(keys[-1], (d, cfg.vocab_size)),
+    }

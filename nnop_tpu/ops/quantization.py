@@ -10,7 +10,7 @@ attention_decode.py), because quantize runs once (weights) or streaming
 
 from __future__ import annotations
 
-from typing import NamedTuple
+import dataclasses
 
 import jax
 import jax.numpy as jnp
@@ -19,12 +19,17 @@ INT8_MAX = 127.0
 FP8_MAX = 448.0  # float8_e4m3fn
 
 
-class QTensor(NamedTuple):
-    """values: int8/fp8 array; scale: fp32, shape = values with `axis` removed."""
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class QTensor:
+    """values: int8/fp8 array; scale: fp32, shape = values with `axis`
+    removed. `axis` is static pytree metadata, so QTensors stack/scan/vmap
+    like plain arrays (needed to stack per-layer quantized weights for the
+    engine's lax.scan decode)."""
 
     values: jax.Array
     scale: jax.Array
-    axis: int  # reduction axis the scale was computed over
+    axis: int = dataclasses.field(metadata=dict(static=True))
 
     @property
     def shape(self):

@@ -31,8 +31,17 @@ import jax.numpy as jnp
 from nnop_tpu.models.llama import LlamaConfig, _merge_heads, _split_heads
 from nnop_tpu.ops.attention_decode import decode_attention
 from nnop_tpu.ops.flash_attention import flash_attention
+from nnop_tpu.ops.quantization import QTensor
+from nnop_tpu.ops.quantized_matmul import quantized_matmul
 from nnop_tpu.ops.rms_norm import rms_norm
 from nnop_tpu.ops.rope import RotaryEmbedding, llama_rope
+
+
+def _mm(x, w):
+    """Matmul dispatch: QTensor weights -> fused-dequant kernel."""
+    if isinstance(w, QTensor):
+        return quantized_matmul(x, w)
+    return x @ w
 
 INT8_MAX = 127.0
 
@@ -142,9 +151,9 @@ def make_decode_step(cfg: LlamaConfig, quantized: bool,
         def body(x, layer_and_cache):
             layer, kc, vc, ksc, vsc = layer_and_cache
             h = rms_norm(x, layer["attn_norm"], cfg.rms_eps)
-            q = _split_heads(h @ layer["wq"], cfg.n_heads, cfg.head_dim)
-            k = _split_heads(h @ layer["wk"], cfg.n_kv_heads, cfg.head_dim)
-            v = _split_heads(h @ layer["wv"], cfg.n_kv_heads, cfg.head_dim)
+            q = _split_heads(_mm(h, layer["wq"]), cfg.n_heads, cfg.head_dim)
+            k = _split_heads(_mm(h, layer["wk"]), cfg.n_kv_heads, cfg.head_dim)
+            v = _split_heads(_mm(h, layer["wv"]), cfg.n_kv_heads, cfg.head_dim)
             q, k = llama_rope(q, k, cos, sin)
 
             if quantized:
@@ -161,12 +170,12 @@ def make_decode_step(cfg: LlamaConfig, quantized: bool,
             o = decode_attention(
                 q, kc, vc, state.lengths + 1, ksc, vsc
             )
-            x = x + _merge_heads(o.astype(x.dtype)) @ layer["wo"]
+            x = x + _mm(_merge_heads(o.astype(x.dtype)), layer["wo"])
 
             h = rms_norm(x, layer["mlp_norm"], cfg.rms_eps)
-            gate = jax.nn.silu((h @ layer["w_gate"]).astype(jnp.float32))
-            up = (h @ layer["w_up"]).astype(jnp.float32)
-            x = x + (gate * up).astype(x.dtype) @ layer["w_down"]
+            gate = jax.nn.silu(_mm(h, layer["w_gate"]).astype(jnp.float32))
+            up = _mm(h, layer["w_up"]).astype(jnp.float32)
+            x = x + _mm((gate * up).astype(x.dtype), layer["w_down"])
             return x, (kc, vc, ksc, vsc)
 
         if quantized:
@@ -177,7 +186,7 @@ def make_decode_step(cfg: LlamaConfig, quantized: bool,
         x, (k_new, v_new, ks_new, vs_new) = jax.lax.scan(body, x, xs)
 
         x = rms_norm(x, sp["final_norm"], cfg.rms_eps)
-        logits = (x @ sp["lm_head"]).astype(jnp.float32)[:, 0]  # (B, V)
+        logits = _mm(x, sp["lm_head"]).astype(jnp.float32)[:, 0]  # (B, V)
 
         new_state = EngineState(
             k=k_new,
@@ -208,21 +217,21 @@ def make_prefill(cfg: LlamaConfig):
 
         def body(x, layer):
             h = rms_norm(x, layer["attn_norm"], cfg.rms_eps)
-            q = _split_heads(h @ layer["wq"], cfg.n_heads, cfg.head_dim)
-            k = _split_heads(h @ layer["wk"], cfg.n_kv_heads, cfg.head_dim)
-            v = _split_heads(h @ layer["wv"], cfg.n_kv_heads, cfg.head_dim)
+            q = _split_heads(_mm(h, layer["wq"]), cfg.n_heads, cfg.head_dim)
+            k = _split_heads(_mm(h, layer["wk"]), cfg.n_kv_heads, cfg.head_dim)
+            v = _split_heads(_mm(h, layer["wv"]), cfg.n_kv_heads, cfg.head_dim)
             q, k = llama_rope(q, k, cos, sin)
             o = flash_attention(q, k, v, causal=True)
-            x = x + _merge_heads(o.astype(x.dtype)) @ layer["wo"]
+            x = x + _mm(_merge_heads(o.astype(x.dtype)), layer["wo"])
             h = rms_norm(x, layer["mlp_norm"], cfg.rms_eps)
-            gate = jax.nn.silu((h @ layer["w_gate"]).astype(jnp.float32))
-            up = (h @ layer["w_up"]).astype(jnp.float32)
-            x = x + (gate * up).astype(x.dtype) @ layer["w_down"]
+            gate = jax.nn.silu(_mm(h, layer["w_gate"]).astype(jnp.float32))
+            up = _mm(h, layer["w_up"]).astype(jnp.float32)
+            x = x + _mm((gate * up).astype(x.dtype), layer["w_down"])
             return x, (k, v)
 
         x, (ks, vs) = jax.lax.scan(body, x, sp["layers"])
         x = rms_norm(x, sp["final_norm"], cfg.rms_eps)
-        logits = (x @ sp["lm_head"]).astype(jnp.float32)  # (B, L, V)
+        logits = _mm(x, sp["lm_head"]).astype(jnp.float32)  # (B, L, V)
         return logits, ks, vs
 
     return prefill

@@ -84,3 +84,19 @@ def test_engine_sampling(params):
         assert r.done
         outs.append(tuple(r.out[1:]))  # first token comes from prefill argmax
     assert outs[0] != outs[1], "different seeds should sample differently"
+
+
+def test_engine_int8_weights():
+    """Engine decode with weight-only INT8 params (QTensor dispatch through
+    the scan — the 8B serving configuration, tiny-sized)."""
+    from nnop_tpu.models.llama import init_quantized_params
+
+    cfg = LlamaConfig.tiny(dtype=jnp.float32)
+    qp = init_quantized_params(jax.random.key(0), cfg)
+    eng = Engine(qp, cfg, max_batch=2, max_seq=64, quantized_kv=True)
+    r1 = eng.submit([5, 17, 42, 7], max_new_tokens=6)
+    r2 = eng.submit([9, 9, 9], max_new_tokens=6)
+    eng.run()
+    assert r1.done and r2.done
+    assert len(r1.out) == 6 and len(r2.out) == 6
+    assert all(0 <= t < cfg.vocab_size for t in r1.out + r2.out)
