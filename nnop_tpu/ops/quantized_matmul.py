@@ -73,8 +73,8 @@ def quantized_matmul(
     w: QTensor,
     *,
     block_m: int | None = None,
-    block_n: int = 256,
-    block_k: int = 512,
+    block_n: int = 512,
+    block_k: int = 1024,
     out_dtype=None,
 ) -> jax.Array:
     """x: (..., K) activations; w: QTensor(values (K, N) int8/fp8, scale (N,)).
@@ -118,6 +118,7 @@ def quantized_matmul(
         scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret_default(),
     )(x2, w.values, w.scale.reshape(1, N))

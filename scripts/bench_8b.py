@@ -12,6 +12,7 @@ Usage: python scripts/bench_8b.py [--batch 8] [--context 2048]
 """
 
 import argparse
+import functools
 import os
 import sys
 import time
@@ -52,8 +53,8 @@ def main():
 
     decode = make_decode_step(cfg, quantized=True)
 
-    @jax.jit
-    def chain(state, key, n):
+    @functools.partial(jax.jit, donate_argnums=(1,))
+    def chain(sp, state, key, n):
         def body(i, carry):
             st, ky = carry
             ky, sub = jax.random.split(ky)
@@ -71,13 +72,27 @@ def main():
     key = jax.random.key(1)
     print("compiling decode chain...", file=sys.stderr, flush=True)
     t0 = time.time()
-    float(chain(state, key, jnp.int32(2)))
+
+    def run(st, n):
+        # state is donated; rebuild it fresh each call
+        return float(chain(sp, st, key, jnp.int32(n)))
+
+    def fresh():
+        st = init_state(cfg, B, S, quantized=True)
+        return EngineState(
+            k=st.k, v=st.v, k_scale=st.k_scale, v_scale=st.v_scale,
+            lengths=jnp.full((B,), args.context, jnp.int32),
+            last_token=jnp.ones((B,), jnp.int32),
+        )
+
+    run(fresh(), 2)
     print(f"compiled in {time.time()-t0:.0f}s", file=sys.stderr, flush=True)
 
     vals = []
     for _ in range(3):
-        t0 = time.perf_counter(); float(chain(state, key, jnp.int32(4)))
-        t1 = time.perf_counter(); float(chain(state, key, jnp.int32(16)))
+        s4 = fresh(); s16 = fresh()
+        t0 = time.perf_counter(); run(s4, 4)
+        t1 = time.perf_counter(); run(s16, 16)
         t2 = time.perf_counter()
         vals.append(((t2 - t1) - (t1 - t0)) / 12)
     vals.sort()
