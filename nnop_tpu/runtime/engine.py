@@ -202,6 +202,33 @@ def make_decode_step(cfg: LlamaConfig, quantized: bool,
     return decode_step
 
 
+def fuse_decode_weights(params):
+    """Concatenate per-layer projections for fewer launches in decode:
+    wq|wk|wv -> wqkv and w_gate|w_up -> w_gateup (QTensor or plain). The
+    unrolled decode detects the fused keys."""
+
+    def cat(ws):
+        if isinstance(ws[0], QTensor):
+            return QTensor(
+                jnp.concatenate([w.values for w in ws], axis=1),
+                jnp.concatenate([w.scale for w in ws], axis=0),
+                0,
+            )
+        return jnp.concatenate(ws, axis=1)
+
+    out = {k: v for k, v in params.items() if k != "layers"}
+    out["layers"] = []
+    for layer in params["layers"]:
+        fused = {
+            k: v for k, v in layer.items()
+            if k not in ("wq", "wk", "wv", "w_gate", "w_up")
+        }
+        fused["wqkv"] = cat([layer["wq"], layer["wk"], layer["wv"]])
+        fused["w_gateup"] = cat([layer["w_gate"], layer["w_up"]])
+        out["layers"].append(fused)
+    return out
+
+
 def make_decode_step_unrolled(cfg: LlamaConfig, quantized: bool,
                               temperature: float = 0.0, top_k: int = 0):
     """Decode step with the layer loop UNROLLED over the per-layer params
@@ -224,11 +251,23 @@ def make_decode_step_unrolled(cfg: LlamaConfig, quantized: bool,
         cos, sin = RotaryEmbedding(cfg.head_dim, cfg.rope_base)(positions)
 
         new_ks, new_vs, new_kss, new_vss = [], [], [], []
+        qd = cfg.n_heads * cfg.head_dim
+        kvd = cfg.n_kv_heads * cfg.head_dim
         for li, layer in enumerate(params["layers"]):
             h = rms_norm(x, layer["attn_norm"], cfg.rms_eps)
-            q = _split_heads(_mm(h, layer["wq"]), cfg.n_heads, cfg.head_dim)
-            k = _split_heads(_mm(h, layer["wk"]), cfg.n_kv_heads, cfg.head_dim)
-            v = _split_heads(_mm(h, layer["wv"]), cfg.n_kv_heads, cfg.head_dim)
+            if "wqkv" in layer:
+                qkv = _mm(h, layer["wqkv"])
+                q = _split_heads(qkv[..., :qd], cfg.n_heads, cfg.head_dim)
+                k = _split_heads(
+                    qkv[..., qd : qd + kvd], cfg.n_kv_heads, cfg.head_dim
+                )
+                v = _split_heads(
+                    qkv[..., qd + kvd :], cfg.n_kv_heads, cfg.head_dim
+                )
+            else:
+                q = _split_heads(_mm(h, layer["wq"]), cfg.n_heads, cfg.head_dim)
+                k = _split_heads(_mm(h, layer["wk"]), cfg.n_kv_heads, cfg.head_dim)
+                v = _split_heads(_mm(h, layer["wv"]), cfg.n_kv_heads, cfg.head_dim)
             q, k = llama_rope(q, k, cos, sin)
 
             kc, vc = ks[li], vs[li]
@@ -253,8 +292,13 @@ def make_decode_step_unrolled(cfg: LlamaConfig, quantized: bool,
             x = x + _mm(_merge_heads(o.astype(x.dtype)), layer["wo"])
 
             h = rms_norm(x, layer["mlp_norm"], cfg.rms_eps)
-            gate = jax.nn.silu(_mm(h, layer["w_gate"]).astype(jnp.float32))
-            up = _mm(h, layer["w_up"]).astype(jnp.float32)
+            if "w_gateup" in layer:
+                gu = _mm(h, layer["w_gateup"]).astype(jnp.float32)
+                gate = jax.nn.silu(gu[..., : cfg.hidden_dim])
+                up = gu[..., cfg.hidden_dim :]
+            else:
+                gate = jax.nn.silu(_mm(h, layer["w_gate"]).astype(jnp.float32))
+                up = _mm(h, layer["w_up"]).astype(jnp.float32)
             x = x + _mm((gate * up).astype(x.dtype), layer["w_down"])
 
         x = rms_norm(x, params["final_norm"], cfg.rms_eps)
