@@ -270,19 +270,25 @@ def make_decode_step_unrolled(cfg: LlamaConfig, quantized: bool,
                 v = _split_heads(_mm(h, layer["wv"]), cfg.n_kv_heads, cfg.head_dim)
             q, k = llama_rope(q, k, cos, sin)
 
+            from nnop_tpu.ops.kv_write import write_kv_token
+
             kc, vc = ks[li], vs[li]
             ksc = kscales[li] if quantized else None
             vsc = vscales[li] if quantized else None
             if quantized:
                 kq, kss = _quant_token(k)
                 vq, vss = _quant_token(v)
-                kc = _write_tokens(kc, kq, lengths)
-                vc = _write_tokens(vc, vq, lengths)
-                ksc = _write_tokens(ksc, kss, lengths)
-                vsc = _write_tokens(vsc, vss, lengths)
+                kc = write_kv_token(kc, kq.astype(kc.dtype), lengths)
+                vc = write_kv_token(vc, vq.astype(vc.dtype), lengths)
+                ksc = write_kv_token(
+                    ksc[..., None], kss[..., None], lengths
+                )[..., 0]
+                vsc = write_kv_token(
+                    vsc[..., None], vss[..., None], lengths
+                )[..., 0]
             else:
-                kc = _write_tokens(kc, k, lengths)
-                vc = _write_tokens(vc, v, lengths)
+                kc = write_kv_token(kc, k.astype(kc.dtype), lengths)
+                vc = write_kv_token(vc, v.astype(vc.dtype), lengths)
             new_ks.append(kc)
             new_vs.append(vc)
             new_kss.append(ksc)
