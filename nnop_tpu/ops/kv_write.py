@@ -55,10 +55,12 @@ def write_kv_token(cache: jax.Array, new: jax.Array, positions: jax.Array):
         num_scalar_prefetch=1,
         grid=(B, KH),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            # both stay in HBM: untiled memrefs allow the size-1 row
+            # slices the DMA needs (int8 VMEM tiling would forbid them)
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
     )
     return pl.pallas_call(
         _write_kernel,
