@@ -280,12 +280,10 @@ def make_decode_step_unrolled(cfg: LlamaConfig, quantized: bool,
                 vq, vss = _quant_token(v)
                 kc = write_kv_token(kc, kq.astype(kc.dtype), lengths)
                 vc = write_kv_token(vc, vq.astype(vc.dtype), lengths)
-                ksc = write_kv_token(
-                    ksc[..., None], kss[..., None], lengths
-                )[..., 0]
-                vsc = write_kv_token(
-                    vsc[..., None], vss[..., None], lengths
-                )[..., 0]
+                # scale caches are E-times smaller: the scatter copy is
+                # cheap, and their lane-dim layout defeats the DMA slicing
+                ksc = _write_tokens(ksc, kss, lengths)
+                vsc = _write_tokens(vsc, vss, lengths)
             else:
                 kc = write_kv_token(kc, k.astype(kc.dtype), lengths)
                 vc = write_kv_token(vc, v.astype(vc.dtype), lengths)
