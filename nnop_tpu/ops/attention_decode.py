@@ -16,18 +16,18 @@ fp copies. Key observation: with per-token scales s_j,
 so dequant costs O(block_k) multiplies per block instead of O(block_k·E),
 and the int8 values go straight from VMEM through a cast into the MXU.
 
+Grid layout: (B, num_kv_blocks) with ALL KV heads riding in each block —
+an unrolled in-kernel head loop. Per-grid-step fixed cost on this part is
+~20 us, so fewer, larger steps win (an earlier (B, KH, num_kv) grid spent
+more time on step overhead than on the KV stream).
+
 Per-sequence cache lengths ride in SMEM via PrefetchScalarGridSpec: index
-maps clamp the KV block index past each sequence's length (skipping both
-the DMA and the compute for dead blocks — continuous batching serves
-mixed-length sequences from one grid).
+maps clamp the KV block index past each sequence's length (repeated index
+-> DMA skipped) and compute is predicated off for dead blocks.
 
 Measured (v5e, B8 QH32 KH8 S4096 E128 int8): 698 GB/s = 85% of the HBM
-roofline at block_k=4096 — at the chip's achievable copy bandwidth (the
-pure-HBM-copy calibration measures 670 GB/s). Bigger blocks win because
-per-grid-step overhead (~1 us) dominates at small blocks.
-
-Layout: q (B, QH, 1, E) grouped as (B, KH, G, E) so all G = QH/KH query
-heads sharing a KV head hit the MXU as one (G, E) tile.
+roofline — at the chip's achievable copy bandwidth (the pure-HBM-copy
+calibration measures 670 GB/s).
 """
 
 from __future__ import annotations
@@ -46,12 +46,14 @@ MASK_VALUE = -1e30
 
 def _decode_kernel(
     lengths_ref,  # scalar prefetch: (B,) int32
-    q_ref,        # (1, 1, G, E)
-    k_ref,        # (1, 1, bk, E) int8 or fp
+    q_ref,        # (1, KH, G, E)
+    k_ref,        # (1, KH, bk, E) int8 or fp
     v_ref,
     *rest,
     scale: float,
     block_k: int,
+    n_kv_heads: int,
+    group: int,
     quantized: bool,
     num_kv: int,
     cache_len: int,
@@ -62,8 +64,9 @@ def _decode_kernel(
         o_ref, acc, m_scr, l_scr = rest
 
     b = pl.program_id(0)
-    ik = pl.program_id(2)
+    ik = pl.program_id(1)
     length = lengths_ref[b]
+    G = group
 
     @pl.when(ik == 0)
     def _init():
@@ -73,71 +76,71 @@ def _decode_kernel(
 
     @pl.when(ik * block_k < length)
     def _step():
-        q = q_ref[0, 0]
-        k = k_ref[0, 0]
-        G = q.shape[0]
-        s = jax.lax.dot_general(
-            q.astype(jnp.bfloat16) if quantized else q,
-            k.astype(jnp.bfloat16) if quantized else k,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        s = s * scale
-        if quantized:
-            s = s * ks_ref[0, 0]  # (1, bk) per-token K scale
-
         cols = ik * block_k + jax.lax.broadcasted_iota(
             jnp.int32, (G, block_k), 1
         )
         mask = cols < length
-        s = jnp.where(mask, s, MASK_VALUE)
-
-        m_prev = m_scr[:, :1]
-        l_prev = l_scr[:, :1]
-        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
-        alpha = jnp.exp(m_prev - m_new)
-        p = jnp.where(mask, jnp.exp(s - m_new), 0.0)
-        l_scr[...] = jnp.broadcast_to(
-            l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True), l_scr.shape
-        )
-        m_scr[...] = jnp.broadcast_to(m_new, m_scr.shape)
-
-        if quantized:
-            vs = vs_ref[0, 0]
-            if cache_len % block_k != 0:
-                # ragged tail: undefined fp32 padding in the scale block
-                # must not meet p (0 * NaN = NaN); int8 v padding is finite
-                vcols = ik * block_k + jax.lax.broadcasted_iota(
-                    jnp.int32, vs.shape, 1
-                )
-                vs = jnp.where(vcols < cache_len, vs, 0.0)
-            p = p * vs  # fold per-token V scale into P
-            pv = jax.lax.dot_general(
-                p.astype(jnp.bfloat16),
-                v_ref[0, 0].astype(jnp.bfloat16),
-                dimension_numbers=(((1,), (0,)), ((), ())),
+        for kh in range(n_kv_heads):
+            sl = slice(kh * G, (kh + 1) * G)
+            q = q_ref[0, kh]
+            k = k_ref[0, kh]
+            s = jax.lax.dot_general(
+                q.astype(jnp.bfloat16) if quantized else q,
+                k.astype(jnp.bfloat16) if quantized else k,
+                dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-        else:
-            v_blk = v_ref[0, 0]
-            if cache_len % block_k != 0:
-                vrows = ik * block_k + jax.lax.broadcasted_iota(
-                    jnp.int32, (block_k, 1), 0
-                )
-                v_blk = jnp.where(vrows < cache_len, v_blk, jnp.zeros_like(v_blk))
-            pv = jax.lax.dot_general(
-                p.astype(v_blk.dtype),
-                v_blk,
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
+            s = s * scale
+            if quantized:
+                s = s * ks_ref[0, kh]  # (1, bk) per-token K scale
+            s = jnp.where(mask, s, MASK_VALUE)
+
+            m_prev = m_scr[sl, :1]
+            l_prev = l_scr[sl, :1]
+            m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+            alpha = jnp.exp(m_prev - m_new)
+            p = jnp.where(mask, jnp.exp(s - m_new), 0.0)
+            l_scr[sl, :] = jnp.broadcast_to(
+                l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True), (G, 128)
             )
-        acc[...] = acc[...] * alpha + pv
+            m_scr[sl, :] = jnp.broadcast_to(m_new, (G, 128))
+
+            if quantized:
+                vs = vs_ref[0, kh]
+                if cache_len % block_k != 0:
+                    vcols = ik * block_k + jax.lax.broadcasted_iota(
+                        jnp.int32, vs.shape, 1
+                    )
+                    vs = jnp.where(vcols < cache_len, vs, 0.0)
+                p = p * vs  # fold per-token V scale into P
+                pv = jax.lax.dot_general(
+                    p.astype(jnp.bfloat16),
+                    v_ref[0, kh].astype(jnp.bfloat16),
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            else:
+                v_blk = v_ref[0, kh]
+                if cache_len % block_k != 0:
+                    vrows = ik * block_k + jax.lax.broadcasted_iota(
+                        jnp.int32, (block_k, 1), 0
+                    )
+                    v_blk = jnp.where(
+                        vrows < cache_len, v_blk, jnp.zeros_like(v_blk)
+                    )
+                pv = jax.lax.dot_general(
+                    p.astype(v_blk.dtype),
+                    v_blk,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            acc[sl, :] = acc[sl, :] * alpha + pv
 
     @pl.when(ik == num_kv - 1)
     def _finish():
         l = l_scr[:, :1]
         l_safe = jnp.where(l == 0.0, 1.0, l)
-        o_ref[0, 0] = (acc[...] / l_safe).astype(o_ref.dtype)
+        o_ref[0] = (acc[...] / l_safe).astype(o_ref.dtype)
 
 
 def decode_attention(
@@ -169,24 +172,26 @@ def decode_attention(
     bk = min(block_k, ((S + sub - 1) // sub) * sub)
     num_kv = cdiv(S, bk)
 
+    # (B, KH*G, E) rows grouped per KV head for the in-kernel head loop
     q_r = q.reshape(B, KH, G, E)
 
-    def kv_idx(b, kh, ik, lens):
+    def kv_idx(b, ik, lens):
         # clamp past the last live block: repeated index -> DMA skipped
         last = jnp.maximum((lens[b] + bk - 1) // bk - 1, 0)
-        return (b, kh, jnp.minimum(ik, last), 0)
+        return (b, 0, jnp.minimum(ik, last), 0)
 
     in_specs = [
-        pl.BlockSpec((1, 1, G, E), lambda b, kh, ik, lens: (b, kh, 0, 0)),
-        pl.BlockSpec((1, 1, bk, E), kv_idx),
-        pl.BlockSpec((1, 1, bk, E), kv_idx),
+        pl.BlockSpec((1, KH, G, E), lambda b, ik, lens: (b, 0, 0, 0)),
+        pl.BlockSpec((1, KH, bk, E), kv_idx),
+        pl.BlockSpec((1, KH, bk, E), kv_idx),
     ]
     operands = [q_r, k_cache, v_cache]
     if quantized:
         sc_spec = pl.BlockSpec(
-            (1, 1, 1, bk),
-            lambda b, kh, ik, lens: (
-                b, kh, 0, jnp.minimum(ik, jnp.maximum((lens[b] + bk - 1) // bk - 1, 0)),
+            (1, KH, 1, bk),
+            lambda b, ik, lens: (
+                b, 0, 0,
+                jnp.minimum(ik, jnp.maximum((lens[b] + bk - 1) // bk - 1, 0)),
             ),
         )
         in_specs += [sc_spec, sc_spec]
@@ -196,29 +201,32 @@ def decode_attention(
         _decode_kernel,
         scale=scale,
         block_k=bk,
+        n_kv_heads=KH,
+        group=G,
         quantized=quantized,
         num_kv=num_kv,
         cache_len=S,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(B, KH, num_kv),
+        grid=(B, num_kv),
         in_specs=in_specs,
         out_specs=pl.BlockSpec(
-            (1, 1, G, E), lambda b, kh, ik, lens: (b, kh, 0, 0)
+            (1, KH * G, E), lambda b, ik, lens: (b, 0, 0)
         ),
         scratch_shapes=[
-            pltpu.VMEM((G, E), jnp.float32),
-            pltpu.VMEM((G, 128), jnp.float32),
-            pltpu.VMEM((G, 128), jnp.float32),
+            pltpu.VMEM((KH * G, E), jnp.float32),
+            pltpu.VMEM((KH * G, 128), jnp.float32),
+            pltpu.VMEM((KH * G, 128), jnp.float32),
         ],
     )
     o = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, KH, G, E), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, KH * G, E), q.dtype),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret_default(),
     )(lengths.astype(jnp.int32), *operands)
