@@ -55,7 +55,30 @@ class KVCache(NamedTuple):
         )
 
     def append(self, k_new: jax.Array, v_new: jax.Array) -> "KVCache":
-        """Append (B, KH, L_new, E) at the cursor. L_new is static."""
+        """Append (B, KH, L_new, E) at the cursor. L_new is static.
+
+        Overflow guard: XLA clamps a dynamic_update_slice start index, so
+        an over-capacity append would silently overwrite the cache tail
+        with misaligned data. A static check catches the always-overflows
+        case; the dynamic cursor is checked with jax.debug (checkify-free
+        so append stays usable under plain jit/scan).
+        """
+        if k_new.shape[2] > self.max_len:
+            raise ValueError(
+                f"appending {k_new.shape[2]} tokens to a {self.max_len}-slot "
+                f"cache can never fit"
+            )
+
+        overflow = self.length + k_new.shape[2] > self.max_len
+        jax.lax.cond(
+            overflow,
+            lambda: jax.debug.print(
+                "KVCache overflow: length {} + {} > capacity {} "
+                "(tail will be overwritten)",
+                self.length, k_new.shape[2], self.max_len,
+            ),
+            lambda: None,
+        )
 
         def put(buf, new):
             return jax.lax.dynamic_update_slice(

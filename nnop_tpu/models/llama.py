@@ -139,17 +139,28 @@ def attention_block(layer, x, cos, sin, cfg: LlamaConfig, *, kv_cache=None,
                 new_cache.v_scale,
             )
         else:
-            # prefill: causal attention over the incoming block. Assumes
-            # the cache was empty before this call (chunked prefill with a
-            # nonzero start offset needs offset-aware causal masking —
-            # planned); K/V still go through the cache so decode sees the
-            # quantized values.
-            if new_cache.quantized:
-                kq, vq = new_cache.dequant_kv()
-                L = k.shape[2]
-                k = kq[:, :, :L].astype(q.dtype)
-                v = vq[:, :, :L].astype(q.dtype)
-            o = flash_attention(q, k, v, causal=True, kpad_mask=kpad_mask)
+            # chunked prefill: the incoming L>1 block may land in a
+            # NON-empty cache, so causal masking must use global positions
+            # (row i attends cache cols <= old_length + i). Routed through
+            # the offset-aware kernel; K/V go through the cache so decode
+            # sees the quantized values.
+            from nnop_tpu.ops.flash_attention import flash_attention_chunked
+
+            kf, vf = new_cache.dequant_kv()
+            valid = new_cache.valid_mask()
+            if kpad_mask is not None:
+                pad = jnp.ones_like(valid)
+                pad = jax.lax.dynamic_update_slice(
+                    pad, kpad_mask, (0, kv_cache.length)
+                )
+                valid = jnp.logical_and(valid, pad)
+            o = flash_attention_chunked(
+                q,
+                kf.astype(q.dtype),
+                vf.astype(q.dtype),
+                causal_offset=kv_cache.length,
+                kpad_mask=valid,
+            )
         return x + mm(_merge_heads(o.astype(x.dtype)), layer["wo"]), new_cache
 
     o = flash_attention(q, k, v, causal=causal, kpad_mask=kpad_mask)

@@ -311,6 +311,237 @@ def _dkv_kernel(
         dv_ref[0, 0] = dv_acc[...].astype(dv_ref.dtype)
 
 
+def _dq_strip_kernel(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
+    *, scale, row0, block_q, sk, precision, causal=True,
+):
+    """dQ for one q-block strip, FULLY STATIC (see _causal_strip_kernel).
+
+    K width = row0 + block_q (the causal prefix); sub-tiles below the
+    diagonal run with no masking passes, diagonal sub-tiles get a
+    compile-time triangular mask on dS only (p's unmasked extra columns
+    are annihilated by the dS mask before touching dq)."""
+    q = (q_ref[0, 0].astype(jnp.float32) * scale).astype(q_ref.dtype)
+    do = do_ref[0, 0]
+    lse = lse_ref[0, 0]
+    delta = delta_ref[0, 0]
+    kw = k_ref.shape[2]
+    dq_acc = None
+    for j in range(kw // sk):
+        k = k_ref[0, 0, j * sk : (j + 1) * sk, :]
+        v = v_ref[0, 0, j * sk : (j + 1) * sk, :]
+        s = jax.lax.dot_general(
+            q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision,
+        )
+        p = jnp.exp(s - lse)
+        dp = jax.lax.dot_general(
+            do, v, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision,
+        )
+        ds = p * (dp - delta)
+        offset = row0 - j * sk  # static
+        if causal and offset < block_q - 1:  # diagonal sub-tile
+            rows = jax.lax.broadcasted_iota(jnp.int32, (block_q, sk), 0)
+            cols = jax.lax.broadcasted_iota(jnp.int32, (block_q, sk), 1)
+            ds = jnp.where(rows + offset >= cols, ds, 0.0)
+        contrib = jax.lax.dot_general(
+            ds.astype(k.dtype), k,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision,
+        )
+        dq_acc = contrib if dq_acc is None else dq_acc + contrib
+    dq_ref[0, 0] = (dq_acc * scale).astype(dq_ref.dtype)
+
+
+def _dkv_strip_kernel(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref,
+    *, scale, col0, block_k, sk, q_len, group, precision, causal=True,
+):
+    """dK/dV for one KV-block strip, FULLY STATIC.
+
+    The KV block at cols [col0, col0+block_k) receives gradients from q
+    rows [col0, q_len) only (causal); the strip loops statically over
+    those q sub-tiles AND the GQA group axis, accumulating dk/dv in
+    values — no scratch, no atomics, no grid-level accumulation phases."""
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
+    dk_acc = None
+    dv_acc = None
+    j0 = col0 // sk if causal else 0
+    for g in range(group):
+        for j in range(j0, q_len // sk):
+            q = q_ref[0, g, j * sk : (j + 1) * sk, :]
+            do = do_ref[0, g, j * sk : (j + 1) * sk, :]
+            lse = lse_ref[0, g, j * sk : (j + 1) * sk, :]
+            delta = delta_ref[0, g, j * sk : (j + 1) * sk, :]
+            q_s = (q.astype(jnp.float32) * scale).astype(q.dtype)
+            s = jax.lax.dot_general(
+                q_s, k, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=precision,
+            )
+            p = jnp.exp(s - lse)
+            offset = j * sk - col0  # static; 0 on the diagonal sub-tile
+            if causal and offset < block_k - 1:
+                rows = jax.lax.broadcasted_iota(jnp.int32, (sk, block_k), 0)
+                cols = jax.lax.broadcasted_iota(jnp.int32, (sk, block_k), 1)
+                p = jnp.where(rows + offset >= cols, p, 0.0)
+            dp = jax.lax.dot_general(
+                do, v, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=precision,
+            )
+            ds = p * (dp - delta)
+            dv_c = jax.lax.dot_general(
+                p.astype(do.dtype), do,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=precision,
+            )
+            dk_c = jax.lax.dot_general(
+                ds.astype(q.dtype), q,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=precision,
+            )
+            dv_acc = dv_c if dv_acc is None else dv_acc + dv_c
+            dk_acc = dk_c if dk_acc is None else dk_acc + dk_c
+    dk_ref[0, 0] = (dk_acc * scale).astype(dk_ref.dtype)
+    dv_ref[0, 0] = dv_acc.astype(dv_ref.dtype)
+
+
+def _bwd_causal_multicall(q, k, v, lse, delta, do, scale, precision, bq):
+    """Causal backward as static strip calls (fwd analogue in
+    flash_attention._fwd_causal_multicall)."""
+    B, QH, QL, E = q.shape
+    _, KH, KL, _ = k.shape
+    group = QH // KH
+    num_q = QL // bq
+
+    dqs = []
+    for ci in range(num_q):
+        kw = (ci + 1) * bq
+        kernel = functools.partial(
+            _dq_strip_kernel, scale=scale, row0=ci * bq, block_q=bq,
+            sk=min(512, bq), precision=precision,
+        )
+        dq_i = pl.pallas_call(
+            kernel,
+            grid=(B, QH),
+            in_specs=[
+                pl.BlockSpec((1, 1, bq, E), lambda b, h, ci=ci: (b, h, ci, 0)),
+                pl.BlockSpec((1, 1, kw, E), lambda b, h: (b, h // group, 0, 0)),
+                pl.BlockSpec((1, 1, kw, E), lambda b, h: (b, h // group, 0, 0)),
+                pl.BlockSpec((1, 1, bq, E), lambda b, h, ci=ci: (b, h, ci, 0)),
+                pl.BlockSpec((1, 1, bq, 1), lambda b, h, ci=ci: (b, h, ci, 0)),
+                pl.BlockSpec((1, 1, bq, 1), lambda b, h, ci=ci: (b, h, ci, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, 1, bq, E), lambda b, h: (b, h, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct((B, QH, bq, E), q.dtype),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel"),
+            ),
+            interpret=interpret_default(),
+        )(q, k, v, do, lse, delta)
+        dqs.append(dq_i)
+    dq = jnp.concatenate(dqs, axis=2)
+
+    dks, dvs = [], []
+    for cj in range(num_q):
+        kernel = functools.partial(
+            _dkv_strip_kernel, scale=scale, col0=cj * bq, block_k=bq,
+            sk=min(512, bq), q_len=QL, group=group, precision=precision,
+        )
+        dk_j, dv_j = pl.pallas_call(
+            kernel,
+            grid=(B, KH),
+            in_specs=[
+                pl.BlockSpec((1, group, QL, E), lambda b, kh: (b, kh, 0, 0)),
+                pl.BlockSpec((1, 1, bq, E), lambda b, kh, cj=cj: (b, kh, cj, 0)),
+                pl.BlockSpec((1, 1, bq, E), lambda b, kh, cj=cj: (b, kh, cj, 0)),
+                pl.BlockSpec((1, group, QL, E), lambda b, kh: (b, kh, 0, 0)),
+                pl.BlockSpec((1, group, QL, 1), lambda b, kh: (b, kh, 0, 0)),
+                pl.BlockSpec((1, group, QL, 1), lambda b, kh: (b, kh, 0, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, 1, bq, E), lambda b, kh: (b, kh, 0, 0)),
+                pl.BlockSpec((1, 1, bq, E), lambda b, kh: (b, kh, 0, 0)),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((B, KH, bq, E), k.dtype),
+                jax.ShapeDtypeStruct((B, KH, bq, E), v.dtype),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel"),
+            ),
+            interpret=interpret_default(),
+        )(q, k, v, do, lse, delta)
+        dks.append(dk_j)
+        dvs.append(dv_j)
+    dk = jnp.concatenate(dks, axis=2)
+    dv = jnp.concatenate(dvs, axis=2)
+    return dq, dk, dv
+
+
+def _bwd_rect_static(q, k, v, lse, delta, do, scale, precision, bq):
+    """Non-causal featureless backward: static full-width kernels, grid-
+    indexed q / kv blocks (one call each for dQ and dK/dV)."""
+    B, QH, QL, E = q.shape
+    _, KH, KL, _ = k.shape
+    group = QH // KH
+    num_q = QL // bq
+    sk = min(512, bq)
+
+    dq = pl.pallas_call(
+        functools.partial(
+            _dq_strip_kernel, scale=scale, row0=0, block_q=bq,
+            sk=min(512, KL), precision=precision, causal=False,
+        ),
+        grid=(B, QH, num_q),
+        in_specs=[
+            pl.BlockSpec((1, 1, bq, E), lambda b, h, iq: (b, h, iq, 0)),
+            pl.BlockSpec((1, 1, KL, E), lambda b, h, iq: (b, h // group, 0, 0)),
+            pl.BlockSpec((1, 1, KL, E), lambda b, h, iq: (b, h // group, 0, 0)),
+            pl.BlockSpec((1, 1, bq, E), lambda b, h, iq: (b, h, iq, 0)),
+            pl.BlockSpec((1, 1, bq, 1), lambda b, h, iq: (b, h, iq, 0)),
+            pl.BlockSpec((1, 1, bq, 1), lambda b, h, iq: (b, h, iq, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, bq, E), lambda b, h, iq: (b, h, iq, 0)),
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel"),
+        ),
+        interpret=interpret_default(),
+    )(q, k, v, do, lse, delta)
+
+    num_kv = KL // bq
+    dk, dv = pl.pallas_call(
+        functools.partial(
+            _dkv_strip_kernel, scale=scale, col0=0, block_k=bq, sk=sk,
+            q_len=QL, group=group, precision=precision, causal=False,
+        ),
+        grid=(B, KH, num_kv),
+        in_specs=[
+            pl.BlockSpec((1, group, QL, E), lambda b, kh, ikv: (b, kh, 0, 0)),
+            pl.BlockSpec((1, 1, bq, E), lambda b, kh, ikv: (b, kh, ikv, 0)),
+            pl.BlockSpec((1, 1, bq, E), lambda b, kh, ikv: (b, kh, ikv, 0)),
+            pl.BlockSpec((1, group, QL, E), lambda b, kh, ikv: (b, kh, 0, 0)),
+            pl.BlockSpec((1, group, QL, 1), lambda b, kh, ikv: (b, kh, 0, 0)),
+            pl.BlockSpec((1, group, QL, 1), lambda b, kh, ikv: (b, kh, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, bq, E), lambda b, kh, ikv: (b, kh, ikv, 0)),
+            pl.BlockSpec((1, 1, bq, E), lambda b, kh, ikv: (b, kh, ikv, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct(k.shape, k.dtype),
+            jax.ShapeDtypeStruct(v.shape, v.dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel"),
+        ),
+        interpret=interpret_default(),
+    )(q, k, v, do, lse, delta)
+    return dq, dk, dv
+
+
 def flash_attention_bwd(
     q, k, v, pair, kpad_mask, o, lse, do, *, causal: bool, scale: float,
     precision=None, segment_ids=None,
@@ -331,7 +562,38 @@ def flash_attention_bwd(
         do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1, keepdims=True
     )  # (B, QH, QL, 1)
 
+    if (
+        causal
+        and not (has_pair or has_kpad or has_seg)
+        and QL == KL
+        and QL % bq == 0
+        and 1 < QL // bq <= 8
+        and group * QL * E * jnp.dtype(q.dtype).itemsize <= 4 * 1024 * 1024
+    ):
+        dq, dk, dv = _bwd_causal_multicall(
+            q, k, v, lse, delta, do, scale, precision, bq
+        )
+        return dq, dk, dv, None
+
+    if (
+        not causal
+        and not (has_pair or has_kpad or has_seg)
+        and QL % bq == 0
+        and KL % bq == 0
+        and KL % min(512, KL) == 0
+        and QL % min(512, bq) == 0
+        and KL * E * jnp.dtype(k.dtype).itemsize <= 2 * 1024 * 1024
+        and group * QL * E * jnp.dtype(q.dtype).itemsize <= 4 * 1024 * 1024
+    ):
+        dq, dk, dv = _bwd_rect_static(
+            q, k, v, lse, delta, do, scale, precision, bq
+        )
+        return dq, dk, dv, None
+
     kpad_i32 = kpad_mask.astype(jnp.int32)[:, None, :] if has_kpad else None
+    if has_seg:
+        q_seg_arr = segment_ids[0].astype(jnp.int32)[:, :, None]
+        kv_seg_arr = segment_ids[1].astype(jnp.int32)[:, None, :]
     skip = causal and not has_pair
 
     # ---------------- dQ (+ dpair) kernel: grid (B, QH, num_q, num_kv) ---
@@ -370,8 +632,6 @@ def flash_attention_bwd(
         )
         dq_operands.append(kpad_i32)
     if has_seg:
-        q_seg_arr = segment_ids[0].astype(jnp.int32)[:, :, None]
-        kv_seg_arr = segment_ids[1].astype(jnp.int32)[:, None, :]
         dq_in_specs.append(
             pl.BlockSpec((1, bq, 1), lambda b, h, iq, ik: (b, iq, 0))
         )
@@ -476,7 +736,7 @@ def flash_attention_bwd(
                 lambda b, kh, ikv, g, iq: (b, q_idx(ikv, iq), 0),
             )
         )
-        dkv_operands.append(q_seg_arr if has_seg else None)
+        dkv_operands.append(q_seg_arr)
         dkv_in_specs.append(
             pl.BlockSpec((1, 1, bk), lambda b, kh, ikv, g, iq: (b, 0, ikv))
         )

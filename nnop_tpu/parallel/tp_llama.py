@@ -74,8 +74,18 @@ def _local_forward(params, tokens, cfg: LlamaConfig, axis: str = "model",
     with rotary positions offset by the shard's global start.
     """
     tp = jax.lax.psum(1, axis)
+    if cfg.n_heads % tp != 0:
+        raise ValueError(f"n_heads {cfg.n_heads} not divisible by tp={tp}")
+    if cfg.n_kv_heads % tp != 0:
+        # wk/wv are column-sharded into tp pieces; tp > n_kv_heads would
+        # leave each shard with a fraction of a head (KV-head replication
+        # is not implemented) — fail loudly instead of computing garbage.
+        raise ValueError(
+            f"n_kv_heads {cfg.n_kv_heads} not divisible by tp={tp}; "
+            f"use tp <= n_kv_heads"
+        )
     n_heads = cfg.n_heads // tp
-    n_kv = max(1, cfg.n_kv_heads // tp)
+    n_kv = cfg.n_kv_heads // tp
 
     B, L = tokens.shape
     pos0 = 0

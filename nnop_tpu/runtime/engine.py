@@ -371,6 +371,8 @@ class Engine:
         self.max_seq = max_seq
         self.quantized = quantized_kv
         self.eos_id = eos_id
+        self.temperature = temperature
+        self.top_k = top_k
         self.sp = stack_layers(params)
         self.state = init_state(cfg, max_batch, max_seq, quantized_kv)
         self._key = jax.random.key(seed)
@@ -434,9 +436,20 @@ class Engine:
                     vs_l.astype(self.state.v.dtype)
                 )
             self.state.lengths = self.state.lengths.at[slot].set(L)
-            first = int(jnp.argmax(logits[0]))
+            # sample the prefill token with the same settings as decode
+            # (and EOS-check it) — not unconditional argmax
+            self._key, sub = jax.random.split(self._key)
+            first = int(
+                sample_tokens(logits, sub, self.temperature, self.top_k)[0]
+            )
             self.state.last_token = self.state.last_token.at[slot].set(first)
             req.out.append(first)
+            if (self.eos_id is not None and first == self.eos_id) or (
+                req.max_new_tokens <= 1
+            ):
+                req.done = True
+                self.slots[slot] = None
+                self.state.lengths = self.state.lengths.at[slot].set(0)
 
     def step(self):
         """Admit pending requests, run one batched decode step, collect."""

@@ -23,15 +23,23 @@ _LIB_PATH = os.path.join(_NATIVE_DIR, "libnnop_tokenizer.so")
 
 
 def _load_native():
-    if not os.path.exists(_LIB_PATH):
+    src = os.path.join(_NATIVE_DIR, "tokenizer.cpp")
+    stale = (
+        os.path.exists(_LIB_PATH)
+        and os.path.exists(src)
+        and os.path.getmtime(_LIB_PATH) < os.path.getmtime(src)
+    )
+    if not os.path.exists(_LIB_PATH) or stale:
         try:
             subprocess.run(
-                ["make", "-C", _NATIVE_DIR],
+                ["make", "-C", _NATIVE_DIR, "-B"] if stale
+                else ["make", "-C", _NATIVE_DIR],
                 check=True,
                 capture_output=True,
             )
         except Exception:
-            return None
+            if not os.path.exists(_LIB_PATH):
+                return None
     try:
         lib = ctypes.CDLL(_LIB_PATH)
     except OSError:
