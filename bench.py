@@ -22,6 +22,7 @@ from __future__ import annotations
 import argparse
 import functools
 import json
+import os
 import sys
 import time
 
@@ -31,6 +32,21 @@ import jax.numpy as jnp
 
 def log(msg):
     print(msg, file=sys.stderr, flush=True)
+
+
+def peak_temp_bytes(fn, *args):
+    """Compiled-program temp allocation (XLA memory_analysis) — the
+    machine-checked analogue of the reference's GPUArrays.AllocCache peak
+    tracking (benchmarks/main.jl:91-127): fused flash attention must show
+    O(L) temps where the naive path materializes the O(L^2) score matrix.
+    Returns bytes or None when the backend doesn't expose the analysis."""
+    try:
+        ma = jax.jit(fn).lower(*args).compile().memory_analysis()
+        if ma is None:
+            return None
+        return int(ma.temp_size_in_bytes)
+    except Exception:
+        return None
 
 
 def marginal_time(body, init, n1=None, n2=None, reps=3, target=0.25):
@@ -112,12 +128,18 @@ def bench_attention(results, quick):
             tf = marginal_time(fwd_body(fused), q)
             tn = marginal_time(fwd_body(naive), q)
             name = f"attn_fwd_{tag}{'_causal' if causal else ''}"
+            mf = peak_temp_bytes(lambda x: fused(x, k, v), q)
+            mn = peak_temp_bytes(lambda x: naive(x, k, v), q)
             results[name] = dict(
                 fused_s=tf, naive_s=tn, speedup=tn / tf,
                 tflops=flops / tf / 1e12,
+                fused_temp_bytes=mf, naive_temp_bytes=mn,
             )
+            mem = ""
+            if mf is not None and mn is not None:
+                mem = f" temps {mf/1e6:.1f} vs {mn/1e6:.1f} MB"
             log(f"{name}: fused {tf*1e3:.3f} ms ({flops/tf/1e12:.1f} TFLOP/s) "
-                f"naive {tn*1e3:.3f} ms speedup {tn/tf:.2f}x")
+                f"naive {tn*1e3:.3f} ms speedup {tn/tf:.2f}x{mem}")
 
             def bwd_body(fn):
                 def loss(q, k, v):
@@ -218,6 +240,26 @@ def bench_rope(results):
     log(f"rope_fwd: fused {tf*1e3:.3f} ms naive {tn*1e3:.3f} ms "
         f"speedup {tn/tf:.2f}x")
 
+    def bwd_body(fn):
+        def loss(qq):
+            qo, ko = fn(qq, k, cos, sin)
+            return jnp.sum(qo.astype(jnp.float32)) + jnp.sum(
+                ko.astype(jnp.float32)
+            )
+
+        g = jax.grad(loss)
+
+        def f(i, qq):
+            return g(qq)
+
+        return f
+
+    tf = marginal_time(bwd_body(llama_rope), q)
+    tn = marginal_time(bwd_body(naive_rope), q)
+    results["rope_bwd"] = dict(fused_s=tf, naive_s=tn, speedup=tn / tf)
+    log(f"rope_bwd: fused {tf*1e3:.3f} ms naive {tn*1e3:.3f} ms "
+        f"speedup {tn/tf:.2f}x")
+
 
 def bench_decode(results):
     """INT8-KV decode attention: tokens/s and HBM roofline fraction."""
@@ -263,6 +305,9 @@ def main():
         bench_rope(results)
         bench_decode(results)
 
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_LOCAL.json"), "w") as f:
+        json.dump(results, f, indent=2, default=str)
     if args.json_all:
         log(json.dumps(results, indent=2))
 

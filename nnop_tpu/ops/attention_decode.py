@@ -57,11 +57,21 @@ def _decode_kernel(
     quantized: bool,
     num_kv: int,
     cache_len: int,
+    staged: bool = False,
+    stacked: bool = False,
 ):
+    rest = list(rest)
+    ks_ref = vs_ref = kst_ref = vst_ref = stn_ref = None
     if quantized:
-        ks_ref, vs_ref, o_ref, acc, m_scr, l_scr = rest
-    else:
-        o_ref, acc, m_scr, l_scr = rest
+        ks_ref = rest.pop(0)
+        vs_ref = rest.pop(0)
+    if staged:
+        # un-flushed recent tokens (bf16): (1, KH, W, E) + valid count
+        kst_ref = rest.pop(0)
+        vst_ref = rest.pop(0)
+        stn_ref = rest.pop(0)
+    o_ref, acc, m_scr, l_scr = rest
+    lead = (0, 0) if stacked else (0,)
 
     b = pl.program_id(0)
     ik = pl.program_id(1)
@@ -83,7 +93,7 @@ def _decode_kernel(
         for kh in range(n_kv_heads):
             sl = slice(kh * G, (kh + 1) * G)
             q = q_ref[0, kh]
-            k = k_ref[0, kh]
+            k = k_ref[(*lead, kh)]
             s = jax.lax.dot_general(
                 q.astype(jnp.bfloat16) if quantized else q,
                 k.astype(jnp.bfloat16) if quantized else k,
@@ -92,7 +102,7 @@ def _decode_kernel(
             )
             s = s * scale
             if quantized:
-                s = s * ks_ref[0, kh]  # (1, bk) per-token K scale
+                s = s * ks_ref[(*lead, kh)]  # (1, bk) per-token K scale
             s = jnp.where(mask, s, MASK_VALUE)
 
             m_prev = m_scr[sl, :1]
@@ -106,7 +116,7 @@ def _decode_kernel(
             m_scr[sl, :] = jnp.broadcast_to(m_new, (G, 128))
 
             if quantized:
-                vs = vs_ref[0, kh]
+                vs = vs_ref[(*lead, kh)]
                 if cache_len % block_k != 0:
                     vcols = ik * block_k + jax.lax.broadcasted_iota(
                         jnp.int32, vs.shape, 1
@@ -115,12 +125,12 @@ def _decode_kernel(
                 p = p * vs  # fold per-token V scale into P
                 pv = jax.lax.dot_general(
                     p.astype(jnp.bfloat16),
-                    v_ref[0, kh].astype(jnp.bfloat16),
+                    v_ref[(*lead, kh)].astype(jnp.bfloat16),
                     dimension_numbers=(((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )
             else:
-                v_blk = v_ref[0, kh]
+                v_blk = v_ref[(*lead, kh)]
                 if cache_len % block_k != 0:
                     vrows = ik * block_k + jax.lax.broadcasted_iota(
                         jnp.int32, (block_k, 1), 0
@@ -135,6 +145,46 @@ def _decode_kernel(
                     preferred_element_type=jnp.float32,
                 )
             acc[sl, :] = acc[sl, :] * alpha + pv
+
+    if staged:
+
+        @pl.when(ik == num_kv - 1)
+        def _staging():
+            # attend the un-flushed staging tokens (bf16, no dequant):
+            # global positions [length, length + n_st)
+            n_st = stn_ref[0]
+            W = kst_ref.shape[-2]
+            cols = jax.lax.broadcasted_iota(jnp.int32, (G, W), 1)
+            mask = jnp.logical_and(cols < n_st, length > 0)
+            for kh in range(n_kv_heads):
+                sl = slice(kh * G, (kh + 1) * G)
+                q = q_ref[0, kh]
+                s = jax.lax.dot_general(
+                    q.astype(jnp.bfloat16),
+                    kst_ref[(*lead, kh)],
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                s = jnp.where(mask, s * scale, MASK_VALUE)
+                m_prev = m_scr[sl, :1]
+                l_prev = l_scr[sl, :1]
+                m_new = jnp.maximum(
+                    m_prev, jnp.max(s, axis=-1, keepdims=True)
+                )
+                alpha = jnp.exp(m_prev - m_new)
+                p = jnp.where(mask, jnp.exp(s - m_new), 0.0)
+                l_scr[sl, :] = jnp.broadcast_to(
+                    l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True),
+                    (G, 128),
+                )
+                m_scr[sl, :] = jnp.broadcast_to(m_new, (G, 128))
+                pv = jax.lax.dot_general(
+                    p.astype(jnp.bfloat16),
+                    vst_ref[(*lead, kh)],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                acc[sl, :] = acc[sl, :] * alpha + pv
 
     @pl.when(ik == num_kv - 1)
     def _finish():
@@ -153,19 +203,36 @@ def decode_attention(
     *,
     scale: float | None = None,
     block_k: int = 4096,
+    k_stage=None,
+    v_stage=None,
+    staged_n=None,
+    layer: int | None = None,
 ):
     """Single-token decode attention over a (possibly INT8) KV cache.
 
     Args:
       q: (B, QH, 1, E). k_cache/v_cache: (B, KH, S, E), fp or int8.
-      lengths: (B,) int32 — valid prefix length per sequence.
+      lengths: (B,) int32 — valid prefix length per sequence (cache only;
+        staged tokens are counted separately).
       k_scale/v_scale: (B, KH, S) fp32 per-token scales (int8 caches).
+      k_stage/v_stage: optional (B, KH, W, E) bf16 staging buffers holding
+        the last `staged_n` un-flushed tokens (global positions
+        [lengths[b], lengths[b]+staged_n)); attended without dequant.
+        When `layer` is given, staging is (B, n_layers, KH, W, E).
+      staged_n: scalar int32, uniform across the batch (the engine
+        advances all live slots together within a flush window).
+      layer: when caches are STACKED 5D (n_layers, B, KH, S, E) — the
+        engine's layout — pass the static layer index. The layer slice is
+        taken by the BlockSpec index maps, so no per-layer slice copy of
+        the cache is ever materialized.
     Returns (B, QH, 1, E) in q.dtype.
     """
     B, QH, _, E = q.shape
-    _, KH, S, _ = k_cache.shape
+    stacked = layer is not None
+    _, KH, S, _ = k_cache.shape[-4:]
     G = QH // KH
     quantized = k_cache.dtype == jnp.int8
+    staged = k_stage is not None
     if scale is None:
         scale = 1.0 / (E**0.5)
     sub = 32 if quantized else 8
@@ -175,27 +242,68 @@ def decode_attention(
     # (B, KH*G, E) rows grouped per KV head for the in-kernel head loop
     q_r = q.reshape(B, KH, G, E)
 
-    def kv_idx(b, ik, lens):
+    def kv_last(b, lens):
         # clamp past the last live block: repeated index -> DMA skipped
-        last = jnp.maximum((lens[b] + bk - 1) // bk - 1, 0)
-        return (b, 0, jnp.minimum(ik, last), 0)
+        return jnp.maximum((lens[b] + bk - 1) // bk - 1, 0)
+
+    if stacked:
+        def kv_idx(b, ik, lens):
+            return (layer, b, 0, jnp.minimum(ik, kv_last(b, lens)), 0)
+
+        kv_block = (1, 1, KH, bk, E)
+    else:
+        def kv_idx(b, ik, lens):
+            return (b, 0, jnp.minimum(ik, kv_last(b, lens)), 0)
+
+        kv_block = (1, KH, bk, E)
 
     in_specs = [
         pl.BlockSpec((1, KH, G, E), lambda b, ik, lens: (b, 0, 0, 0)),
-        pl.BlockSpec((1, KH, bk, E), kv_idx),
-        pl.BlockSpec((1, KH, bk, E), kv_idx),
+        pl.BlockSpec(kv_block, kv_idx),
+        pl.BlockSpec(kv_block, kv_idx),
     ]
     operands = [q_r, k_cache, v_cache]
     if quantized:
-        sc_spec = pl.BlockSpec(
-            (1, KH, 1, bk),
-            lambda b, ik, lens: (
-                b, 0, 0,
-                jnp.minimum(ik, jnp.maximum((lens[b] + bk - 1) // bk - 1, 0)),
-            ),
-        )
+        if stacked:
+            sc_spec = pl.BlockSpec(
+                (1, 1, KH, 1, bk),
+                lambda b, ik, lens: (
+                    layer, b, 0, 0, jnp.minimum(ik, kv_last(b, lens))
+                ),
+            )
+            operands += [
+                k_scale.reshape(k_scale.shape[0], B, KH, 1, S),
+                v_scale.reshape(v_scale.shape[0], B, KH, 1, S),
+            ]
+        else:
+            sc_spec = pl.BlockSpec(
+                (1, KH, 1, bk),
+                lambda b, ik, lens: (
+                    b, 0, 0, jnp.minimum(ik, kv_last(b, lens))
+                ),
+            )
+            operands += [k_scale[:, :, None, :], v_scale[:, :, None, :]]
         in_specs += [sc_spec, sc_spec]
-        operands += [k_scale[:, :, None, :], v_scale[:, :, None, :]]
+    if staged:
+        W = k_stage.shape[-2]
+        if stacked:
+            st_spec = pl.BlockSpec(
+                (1, 1, KH, W, E), lambda b, ik, lens: (b, layer, 0, 0, 0)
+            )
+        else:
+            st_spec = pl.BlockSpec(
+                (1, KH, W, E), lambda b, ik, lens: (b, 0, 0, 0)
+            )
+        in_specs += [
+            st_spec,
+            st_spec,
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ]
+        operands += [
+            k_stage.astype(jnp.bfloat16),
+            v_stage.astype(jnp.bfloat16),
+            jnp.asarray(staged_n, jnp.int32).reshape(1),
+        ]
 
     kernel = functools.partial(
         _decode_kernel,
@@ -206,6 +314,8 @@ def decode_attention(
         quantized=quantized,
         num_kv=num_kv,
         cache_len=S,
+        staged=staged,
+        stacked=stacked,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,

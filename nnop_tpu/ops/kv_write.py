@@ -1,4 +1,4 @@
-"""Surgical in-place KV-cache token writes.
+"""Surgical in-place KV-cache writes: per-token RMW and staged flush.
 
 The straightforward cache append — vmap(dynamic_update_slice) with
 per-sequence positions — lowers to an XLA scatter that copies the ENTIRE
@@ -14,6 +14,8 @@ whole cache.
 """
 
 from __future__ import annotations
+
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -88,3 +90,460 @@ def write_kv_token(cache: jax.Array, new: jax.Array, positions: jax.Array):
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret_default(),
     )(positions.astype(jnp.int32), new_w, cache)
+
+
+# ---------------------------------------------------------------------------
+# Staged flush: move a whole window of recent tokens (held in a bf16 staging
+# buffer by the decode loop) into the INT8 (or fp) caches of every layer in
+# ONE pallas call. The decode loop appends to staging with a uniform-index
+# dynamic_update_slice (in-place inside the jitted chunk — no scatter), so
+# the per-step append cost collapses to the token row itself; this flush
+# runs once per W steps and is amortized to ~us/step.
+#
+# Alignment: Mosaic DMA slices on the sublane dim must be 32-divisible, but
+# each sequence's write position is arbitrary — so the kernel RMWs an
+# aligned (W + 32)-row window per (batch, layer): read window, overlay the
+# quantized staged rows at the in-window offset, write back.
+# Scales are lane-packed ((..., S) f32) and are instead computed in XLA and
+# scatter-written ONCE PER FLUSH by the caller (a full scale-cache copy per
+# flush is ~4 us/step amortized; round 1's mistake was per-STEP scatters).
+# ---------------------------------------------------------------------------
+
+
+def _flush_kernel(
+    lens_ref,      # (B,) int32 cache base per sequence
+    kst_ref,       # (B, nl, KH, W, E) bf16 staging (ANY)
+    vst_ref,
+    ksc_ref,       # (B, nl, KH, 128) f32 scales, lane-padded (ANY)
+    vsc_ref,
+    kc_in, vc_in,  # (nl, B, KH, S, E) caches (ANY, aliased)
+    kc_out, vc_out,
+    *, n_layers, n_kv_heads, win_tokens, head_dim, quantized,
+):
+    b = pl.program_id(0)
+    base = lens_ref[b]
+    base_al = pl.multiple_of((base // 32) * 32, 32)
+    off = base - base_al
+    W = win_tokens
+    WIN = W + 32
+    KH, E, nl = n_kv_heads, head_dim, n_layers
+    cdtype = kc_in.dtype
+
+    def body(kstb, vstb, kwin, vwin, kscb, vscb, sems):
+        ins = [
+            pltpu.make_async_copy(kst_ref.at[b], kstb, sems.at[0]),
+            pltpu.make_async_copy(vst_ref.at[b], vstb, sems.at[1]),
+            pltpu.make_async_copy(
+                kc_in.at[:, b, :, pl.ds(base_al, WIN), :], kwin, sems.at[2]
+            ),
+            pltpu.make_async_copy(
+                vc_in.at[:, b, :, pl.ds(base_al, WIN), :], vwin, sems.at[3]
+            ),
+        ]
+        if quantized:
+            ins.append(
+                pltpu.make_async_copy(ksc_ref.at[b], kscb, sems.at[4])
+            )
+            ins.append(
+                pltpu.make_async_copy(vsc_ref.at[b], vscb, sems.at[5])
+            )
+        for dma in ins:
+            dma.start()
+        for dma in ins:
+            dma.wait()
+
+        def quantize(stb, scb):
+            # f32 result: Mosaic's vector rotate is 32-bit-only, so the
+            # dtype cast happens after the roll in `overlay`
+            x = stb[...].astype(jnp.float32)
+            if not quantized:
+                return x
+            s = jnp.maximum(scb[..., :W], 1e-8)[..., None]
+            return jnp.clip(jnp.round(x / s), -127.0, 127.0)
+
+        # overlay staged rows at the (unaligned) in-window offset without
+        # a dynamic sublane store: pad to WIN rows, rotate by `off`, select
+        rows = jax.lax.broadcasted_iota(jnp.int32, (nl, KH, WIN, E), 2)
+        sel = jnp.logical_and(rows >= off, rows < off + W)
+
+        def overlay(win_ref, stb, scb):
+            q = quantize(stb, scb)
+            q_pad = jnp.concatenate(
+                [q, jnp.zeros((nl, KH, WIN - W, E), q.dtype)], axis=2
+            )
+            rolled = pltpu.roll(q_pad, off, 2).astype(cdtype)
+            win_ref[...] = jnp.where(sel, rolled, win_ref[...])
+
+        overlay(kwin, kstb, kscb)
+        overlay(vwin, vstb, vscb)
+
+        outs = [
+            pltpu.make_async_copy(
+                kwin, kc_out.at[:, b, :, pl.ds(base_al, WIN), :], sems.at[0]
+            ),
+            pltpu.make_async_copy(
+                vwin, vc_out.at[:, b, :, pl.ds(base_al, WIN), :], sems.at[1]
+            ),
+        ]
+        for dma in outs:
+            dma.start()
+        for dma in outs:
+            dma.wait()
+
+    pl.run_scoped(
+        body,
+        pltpu.VMEM((nl, KH, W, E), jnp.bfloat16),
+        pltpu.VMEM((nl, KH, W, E), jnp.bfloat16),
+        pltpu.VMEM((nl, KH, WIN, E), cdtype),
+        pltpu.VMEM((nl, KH, WIN, E), cdtype),
+        pltpu.VMEM((nl, KH, 128), jnp.float32),
+        pltpu.VMEM((nl, KH, 128), jnp.float32),
+        pltpu.SemaphoreType.DMA((6,)),
+    )
+
+
+def flush_staging(k_cache, v_cache, k_scale, v_scale, k_stage, v_stage,
+                  base_lens):
+    """Flush staged tokens into the stacked per-layer caches, in place.
+
+    k_cache/v_cache: (nl, B, KH, S, E) int8 or fp (aliased in/out).
+    k_scale/v_scale: (nl, B, KH, S) f32 or None.
+    k_stage/v_stage: (B, nl, KH, W, E) bf16 — W staged tokens per slot at
+      global positions [base_lens[b], base_lens[b]+W). Slots where fewer
+      than W tokens are live still get all W rows written (the tail is
+      garbage above the slot's length and is overwritten by later
+      flushes / never read).
+    base_lens: (B,) int32. Caller must guarantee base + W + 32 <= S.
+
+    Returns (k_cache, v_cache, k_scale, v_scale) updated.
+    """
+    nl, B, KH, S, E = k_cache.shape
+    W = k_stage.shape[3]
+    quantized = k_cache.dtype == jnp.int8
+    if S % 32 != 0:
+        raise ValueError(f"cache length {S} must be a multiple of 32")
+
+    if quantized:
+        def scales_of(st):
+            amax = jnp.max(
+                jnp.abs(st.astype(jnp.float32)), axis=-1
+            )  # (B, nl, KH, W)
+            return jnp.maximum(amax, 1e-8) / 127.0
+
+        ks = scales_of(k_stage)
+        vs = scales_of(v_stage)
+        lane_pad = [(0, 0)] * 3 + [(0, 128 - W)]
+        sc_ops = [jnp.pad(ks, lane_pad), jnp.pad(vs, lane_pad)]
+    else:
+        sc_ops = []
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * (4 + len(sc_ops)),
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2,
+    )
+    n_in_scales = len(sc_ops)
+    kernel = functools.partial(
+        _flush_kernel,
+        n_layers=nl,
+        n_kv_heads=KH,
+        win_tokens=W,
+        head_dim=E,
+        quantized=quantized,
+    )
+    if not quantized:
+        kernel = functools.partial(_flush_no_scales, kernel)
+
+    operands = [
+        k_stage.astype(jnp.bfloat16),
+        v_stage.astype(jnp.bfloat16),
+        *sc_ops,
+        k_cache,
+        v_cache,
+    ]
+    alias_base = 1 + 2 + n_in_scales  # prefetch + stages + scales
+    k_new, v_new = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct(k_cache.shape, k_cache.dtype),
+            jax.ShapeDtypeStruct(v_cache.shape, v_cache.dtype),
+        ],
+        input_output_aliases={alias_base: 0, alias_base + 1: 1},
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret_default(),
+    )(base_lens.astype(jnp.int32), *operands)
+
+    if quantized:
+        # lane-packed scale caches: one vmapped DUS per flush (copies the
+        # scale caches once — E-times smaller than the values)
+        def put(cache, new, pos):
+            def one_b(c, n, p):
+                # c: (nl, KH, S), n: (nl, KH, W)
+                return jax.lax.dynamic_update_slice(c, n, (0, 0, p))
+
+            moved = jnp.moveaxis(cache, 1, 0)  # (B, nl, KH, S)
+            out = jax.vmap(one_b)(moved, new, pos)
+            return jnp.moveaxis(out, 0, 1)
+
+        ks_new = put(k_scale, ks, base_lens)
+        vs_new = put(v_scale, vs, base_lens)
+        return k_new, v_new, ks_new, vs_new
+    return k_new, v_new, None, None
+
+
+def _flush_no_scales(kernel, lens_ref, kst, vst, kc_in, vc_in, kc, vc):
+    kernel(lens_ref, kst, vst, None, None, kc_in, vc_in, kc, vc)
+
+
+# ---------------------------------------------------------------------------
+# Paged staged flush: same contract as flush_staging, but the destination
+# is a PAGE POOL (nl, n_pages, KH, page_size, E) with a per-sequence page
+# table. The (W=32)-token window may cross a page boundary, so values are
+# written as TWO 32-row RMW windows (each 32-aligned, hence each fully
+# inside one page since page_size % 32 == 0) and scales as TWO 128-lane
+# RMW windows (page_size % 128 == 0). The caller must keep one page of
+# slack allocated past each sequence's length so clamped/overhanging
+# windows always resolve to a page owned by the same sequence.
+# ---------------------------------------------------------------------------
+
+
+def _paged_flush_kernel(
+    lens_ref,      # (B,) int32 pool token count per sequence
+    table_ref,     # (B, max_pages) int32 page ids
+    kst_ref,       # (B, nl, KH, W, E) bf16 staging (ANY)
+    vst_ref,
+    ksc_ref,       # (B, nl, KH, 128) f32 lane-padded scales [quantized]
+    vsc_ref,
+    kp_in, vp_in,  # (nl, n_pages, KH, page, E) pools (ANY, aliased)
+    kps_in, vps_in,  # (nl, n_pages, KH, page) f32 scale pools [quantized]
+    kp_out, vp_out,
+    kps_out, vps_out,
+    *, n_layers, n_kv_heads, win_tokens, head_dim, page_size, max_pages,
+    quantized,
+):
+    b = pl.program_id(0)
+    base = lens_ref[b]
+    base_al = pl.multiple_of((base // 32) * 32, 32)
+    off = base - base_al
+    W = win_tokens
+    KH, E, nl = n_kv_heads, head_dim, n_layers
+    cdtype = kp_in.dtype
+
+    def page_of(g):
+        slot = jnp.clip(g // page_size, 0, max_pages - 1)
+        return table_ref[b, slot], pl.multiple_of(g % page_size, 32)
+
+    def body(kstb, vstb, kscb, vscb, wins, swins, sems):
+        # wins: (2 caches, 2 windows, nl, KH, 32, E); swins: lane windows
+        ins = [
+            pltpu.make_async_copy(kst_ref.at[b], kstb, sems.at[0]),
+            pltpu.make_async_copy(vst_ref.at[b], vstb, sems.at[1]),
+        ]
+        for w in range(2):
+            g = base_al + w * 32
+            for ci, pool in enumerate((kp_in, vp_in)):
+                pid, r = page_of(g)
+                ins.append(
+                    pltpu.make_async_copy(
+                        pool.at[:, pid, :, pl.ds(r, 32), :],
+                        wins.at[ci, w],
+                        sems.at[2 + ci * 2 + w],
+                    )
+                )
+        if quantized:
+            ins.append(pltpu.make_async_copy(ksc_ref.at[b], kscb, sems.at[6]))
+            ins.append(pltpu.make_async_copy(vsc_ref.at[b], vscb, sems.at[7]))
+            for w in range(2):
+                gl = (base // 128) * 128 + w * 128
+                gl = pl.multiple_of(gl, 128)
+                for ci, spool in enumerate((kps_in, vps_in)):
+                    slot = jnp.clip(gl // page_size, 0, max_pages - 1)
+                    pid = table_ref[b, slot]
+                    r = pl.multiple_of(gl % page_size, 128)
+                    ins.append(
+                        pltpu.make_async_copy(
+                            spool.at[:, pid, :, pl.ds(r, 128)],
+                            swins.at[ci, w],
+                            sems.at[8 + ci * 2 + w],
+                        )
+                    )
+        for dma in ins:
+            dma.start()
+        for dma in ins:
+            dma.wait()
+
+        def quantize(stb, scb):
+            x = stb[...].astype(jnp.float32)
+            if not quantized:
+                return x
+            s = jnp.maximum(scb[..., :W], 1e-8)[..., None]
+            return jnp.clip(jnp.round(x / s), -127.0, 127.0)
+
+        rows64 = jax.lax.broadcasted_iota(jnp.int32, (nl, KH, 64, E), 2)
+        for ci, (stb, scb) in enumerate(((kstb, kscb), (vstb, vscb))):
+            q = quantize(stb, scb)
+            q_pad = jnp.concatenate(
+                [q, jnp.zeros((nl, KH, 64 - W, E), q.dtype)], axis=2
+            )
+            rolled = pltpu.roll(q_pad, off, 2).astype(cdtype)
+            sel = jnp.logical_and(rows64 >= off, rows64 < off + W)
+            for w in range(2):
+                sub = slice(w * 32, (w + 1) * 32)
+                wins[ci, w] = jnp.where(
+                    sel[:, :, sub], rolled[:, :, sub], wins[ci, w]
+                )
+        if quantized:
+            loff = base - (base // 128) * 128  # lane offset of token 0
+            lanes = jax.lax.broadcasted_iota(jnp.int32, (nl, KH, 256), 2)
+            for ci, scb in enumerate((kscb, vscb)):
+                s_pad = jnp.concatenate(
+                    [scb[..., :W],
+                     jnp.zeros((nl, KH, 256 - W), jnp.float32)], axis=-1
+                )
+                rolled = pltpu.roll(s_pad, loff, 2)
+                sel = jnp.logical_and(lanes >= loff, lanes < loff + W)
+                for w in range(2):
+                    sub = slice(w * 128, (w + 1) * 128)
+                    swins[ci, w] = jnp.where(
+                        sel[..., sub], rolled[..., sub], swins[ci, w]
+                    )
+
+        outs = []
+        for w in range(2):
+            g = base_al + w * 32
+            for ci, pool in enumerate((kp_out, vp_out)):
+                pid, r = page_of(g)
+                outs.append(
+                    pltpu.make_async_copy(
+                        wins.at[ci, w],
+                        pool.at[:, pid, :, pl.ds(r, 32), :],
+                        sems.at[2 + ci * 2 + w],
+                    )
+                )
+        if quantized:
+            for w in range(2):
+                gl = pl.multiple_of((base // 128) * 128 + w * 128, 128)
+                for ci, spool in enumerate((kps_out, vps_out)):
+                    slot = jnp.clip(gl // page_size, 0, max_pages - 1)
+                    pid = table_ref[b, slot]
+                    r = pl.multiple_of(gl % page_size, 128)
+                    outs.append(
+                        pltpu.make_async_copy(
+                            swins.at[ci, w],
+                            spool.at[:, pid, :, pl.ds(r, 128)],
+                            sems.at[8 + ci * 2 + w],
+                        )
+                    )
+        for dma in outs:
+            dma.start()
+        for dma in outs:
+            dma.wait()
+
+    pl.run_scoped(
+        body,
+        pltpu.VMEM((nl, KH, W, E), jnp.bfloat16),
+        pltpu.VMEM((nl, KH, W, E), jnp.bfloat16),
+        pltpu.VMEM((nl, KH, 128), jnp.float32),
+        pltpu.VMEM((nl, KH, 128), jnp.float32),
+        pltpu.VMEM((2, 2, nl, KH, 32, E), cdtype),
+        pltpu.VMEM((2, 2, nl, KH, 128), jnp.float32),
+        pltpu.SemaphoreType.DMA((12,)),
+    )
+
+
+def flush_staging_paged(pool_k, pool_v, pool_ks, pool_vs, k_stage, v_stage,
+                        base_lens, page_table, page_size):
+    """Paged analogue of flush_staging.
+
+    pool_k/pool_v: (nl, n_pages, KH, page_size, E) int8 or fp (aliased).
+    pool_ks/pool_vs: (nl, n_pages, KH, page_size) f32 or None.
+    k_stage/v_stage: (B, nl, KH, W, E) bf16.
+    base_lens: (B,) pool token counts; page_table: (B, max_pages).
+    Requires page_size % 128 == 0 and one page of allocation slack past
+    base + W (see _paged_flush_kernel header).
+    """
+    nl, n_pages, KH, pg, E = pool_k.shape
+    assert pg == page_size and page_size % 128 == 0
+    B = k_stage.shape[0]
+    W = k_stage.shape[3]
+    max_pages = page_table.shape[1]
+    quantized = pool_k.dtype == jnp.int8
+
+    sc_ops = []
+    if quantized:
+        def scales_of(st):
+            amax = jnp.max(jnp.abs(st.astype(jnp.float32)), axis=-1)
+            return jnp.maximum(amax, 1e-8) / 127.0
+
+        lane_pad = [(0, 0)] * 3 + [(0, 128 - W)]
+        sc_ops = [
+            jnp.pad(scales_of(k_stage), lane_pad),
+            jnp.pad(scales_of(v_stage), lane_pad),
+        ]
+
+    n_cache_ops = 4 if quantized else 2
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)]
+        * (2 + len(sc_ops) + n_cache_ops),
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * n_cache_ops,
+    )
+    kernel = functools.partial(
+        _paged_flush_kernel,
+        n_layers=nl,
+        n_kv_heads=KH,
+        win_tokens=W,
+        head_dim=E,
+        page_size=page_size,
+        max_pages=max_pages,
+        quantized=quantized,
+    )
+    if not quantized:
+        kernel = functools.partial(_paged_flush_no_scales, kernel)
+
+    operands = [
+        k_stage.astype(jnp.bfloat16),
+        v_stage.astype(jnp.bfloat16),
+        *sc_ops,
+        pool_k,
+        pool_v,
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct(pool_k.shape, pool_k.dtype),
+        jax.ShapeDtypeStruct(pool_v.shape, pool_v.dtype),
+    ]
+    alias_base = 2 + 2 + len(sc_ops)  # 2 prefetch + 2 stages + scales
+    aliases = {alias_base: 0, alias_base + 1: 1}
+    if quantized:
+        operands += [pool_ks, pool_vs]
+        out_shape += [
+            jax.ShapeDtypeStruct(pool_ks.shape, pool_ks.dtype),
+            jax.ShapeDtypeStruct(pool_vs.shape, pool_vs.dtype),
+        ]
+        aliases[alias_base + 2] = 2
+        aliases[alias_base + 3] = 3
+
+    outs = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        input_output_aliases=aliases,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret_default(),
+    )(
+        base_lens.astype(jnp.int32),
+        page_table.astype(jnp.int32),
+        *operands,
+    )
+    if quantized:
+        return outs
+    return outs[0], outs[1], None, None
+
+
+def _paged_flush_no_scales(kernel, lens_ref, table_ref, kst, vst,
+                           kp_in, vp_in, kp_out, vp_out):
+    kernel(lens_ref, table_ref, kst, vst, None, None, kp_in, vp_in,
+           None, None, kp_out, vp_out, None, None)

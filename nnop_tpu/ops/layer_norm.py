@@ -25,6 +25,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from nnop_tpu.utils.platform import (
+    norm_impl,
     VMEM_BUDGET_BYTES,
     cdiv,
     interpret_default,
@@ -168,12 +169,7 @@ def _ln_bwd_impl(x2, w, mu, sigma, dy2):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def layer_norm(x, w, b, eps: float = 1e-6):
-    """Fused layer norm over the last axis.
-
-    Equivalent of /root/reference/src/layer_norm.jl:206-220 (public API +
-    rrule).
-    """
+def _layer_norm_pallas(x, w, b, eps: float = 1e-6):
     y, _, _ = _ln_fwd_impl(x.reshape(-1, x.shape[-1]), w, b, eps)
     return y.reshape(x.shape)
 
@@ -191,4 +187,22 @@ def _vjp_bwd(eps, res, dy):
     return dx.reshape(x.shape), dw.astype(w.dtype), db.astype(w.dtype)
 
 
-layer_norm.defvjp(_vjp_fwd, _vjp_bwd)
+_layer_norm_pallas.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+def layer_norm(x, w, b, eps: float = 1e-6):
+    """Layer norm over the last axis, fp32 accumulation.
+
+    Equivalent of /root/reference/src/layer_norm.jl:206-220 (public API +
+    rrule). Implementation dispatch as in rms_norm (platform.norm_impl):
+    compiled TPU uses the XLA formulation, which meets or beats the
+    pallas kernels at every benchmarked shape on this stack.
+    """
+    if norm_impl() == "xla":
+        xf = x.astype(jnp.float32)
+        mu = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.mean((xf - mu) ** 2, axis=-1, keepdims=True)
+        y = (xf - mu) * jax.lax.rsqrt(var + eps)
+        y = y * w.astype(jnp.float32) + b.astype(jnp.float32)
+        return y.astype(x.dtype)
+    return _layer_norm_pallas(x, w, b, eps)

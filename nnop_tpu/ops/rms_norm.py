@@ -27,6 +27,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from nnop_tpu.utils.platform import (
+    norm_impl,
     VMEM_BUDGET_BYTES,
     cdiv,
     interpret_default,
@@ -169,12 +170,7 @@ def _rms_bwd_impl(x2, w, rstd, dy2, offset):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
-def rms_norm(x, w, eps: float = 1e-6, offset: float = 0.0):
-    """Fused RMS norm over the last axis.
-
-    Equivalent of /root/reference/src/rms_norm.jl:171-185 (public API +
-    rrule). `offset=1.0` gives Gemma-style (1+w) scaling.
-    """
+def _rms_norm_pallas(x, w, eps: float = 1e-6, offset: float = 0.0):
     x2 = x.reshape(-1, x.shape[-1])
     n, e = x2.shape
     # fast path: manual double-buffered streaming (overlapped in/out DMA —
@@ -211,4 +207,24 @@ def _vjp_bwd(eps, offset, res, dy):
     return dx.reshape(x.shape), dw.astype(w.dtype)
 
 
-rms_norm.defvjp(_vjp_fwd, _vjp_bwd)
+_rms_norm_pallas.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+def rms_norm(x, w, eps: float = 1e-6, offset: float = 0.0):
+    """RMS norm over the last axis, fp32 accumulation.
+
+    Equivalent of /root/reference/src/rms_norm.jl:171-185 (public API +
+    rrule). `offset=1.0` gives Gemma-style (1+w) scaling.
+
+    Implementation dispatch (platform.norm_impl): the Pallas kernels
+    (fused fwd with cached rstd + fused bwd with in-kernel dw) or the XLA
+    formulation, whichever is faster on the running stack — on v5e the
+    XLA fusion wins at every benchmarked shape (NOTES.md), so compiled
+    TPU uses it and the library is never slower than naive.
+    """
+    if norm_impl() == "xla":
+        xf = x.astype(jnp.float32)
+        g = offset + w.astype(jnp.float32)
+        ms = jnp.mean(xf * xf, axis=-1, keepdims=True)
+        return (xf * jax.lax.rsqrt(ms + eps) * g).astype(x.dtype)
+    return _rms_norm_pallas(x, w, eps, offset)

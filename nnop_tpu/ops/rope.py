@@ -23,7 +23,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from nnop_tpu.utils.platform import cdiv, interpret_default, round_up
+from nnop_tpu.utils.platform import cdiv, interpret_default, norm_impl, round_up
 
 
 class RotaryEmbedding:
@@ -107,12 +107,7 @@ def _rope_impl(q, k, cos, sin, sin_sign: float):
 
 
 @jax.custom_vjp
-def llama_rope(q, k, cos, sin):
-    """Apply rotary embedding to q (B, QH, L, E) and k (B, KH, L, E) in one
-    fused launch. cos/sin: (B, L, E) from `RotaryEmbedding`.
-
-    Equivalent of /root/reference/src/rope/llama_rope.jl:91 `llama_rope`.
-    """
+def _llama_rope_pallas(q, k, cos, sin):
     return _rope_impl(q, k, cos, sin, 1.0)
 
 
@@ -127,4 +122,27 @@ def _vjp_bwd(res, dout):
     return dq_in, dk_in, None, None
 
 
-llama_rope.defvjp(_vjp_fwd, _vjp_bwd)
+_llama_rope_pallas.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+def llama_rope(q, k, cos, sin):
+    """Apply rotary embedding to q (B, QH, L, E) and k (B, KH, L, E) in one
+    fused launch. cos/sin: (B, L, E) from `RotaryEmbedding`.
+
+    Equivalent of /root/reference/src/rope/llama_rope.jl:91 `llama_rope`.
+    Implementation dispatch as in rms_norm (platform.norm_impl); the XLA
+    formulation differentiates through JAX AD (rotation inverse =
+    negated sine falls out of the arithmetic).
+    """
+    if norm_impl() == "xla":
+        c = cos[:, None, :, :].astype(jnp.float32)
+        s = sin[:, None, :, :].astype(jnp.float32)
+
+        def rot(x):
+            half = x.shape[-1] // 2
+            x1, x2 = x[..., :half], x[..., half:]
+            r = jnp.concatenate([-x2, x1], axis=-1)
+            return (x.astype(jnp.float32) * c + r.astype(jnp.float32) * s)
+
+        return rot(q).astype(q.dtype), rot(k).astype(k.dtype)
+    return _llama_rope_pallas(q, k, cos, sin)

@@ -27,6 +27,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from nnop_tpu.utils.platform import (
+    norm_impl,
     VMEM_BUDGET_BYTES,
     cdiv,
     interpret_default,
@@ -103,20 +104,14 @@ def _softmax_bwd_impl(y2: jax.Array, dy2: jax.Array) -> jax.Array:
 
 
 @jax.custom_vjp
-def online_softmax(x: jax.Array) -> jax.Array:
-    """Numerically-stable fused softmax over the last axis.
-
-    Equivalent of /root/reference/src/softmax.jl:60-68 `online_softmax`
-    (launcher) + :82-86 (rrule). Accepts any rank >= 1; leading axes are
-    flattened into rows.
-    """
+def _online_softmax_pallas(x: jax.Array) -> jax.Array:
     shape = x.shape
     y = _softmax_fwd_impl(x.reshape(-1, shape[-1]))
     return y.reshape(shape)
 
 
 def _vjp_fwd(x):
-    y = online_softmax(x)
+    y = _online_softmax_pallas(x)
     return y, y
 
 
@@ -128,4 +123,20 @@ def _vjp_bwd(y, dy):
     return (dx.reshape(shape),)
 
 
-online_softmax.defvjp(_vjp_fwd, _vjp_bwd)
+_online_softmax_pallas.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+def online_softmax(x: jax.Array) -> jax.Array:
+    """Numerically-stable softmax over the last axis.
+
+    Equivalent of /root/reference/src/softmax.jl:60-68 `online_softmax`
+    (launcher) + :82-86 (rrule). Accepts any rank >= 1; leading axes are
+    flattened into rows. Implementation dispatch as in rms_norm
+    (platform.norm_impl).
+    """
+    if norm_impl() == "xla":
+        xf = x.astype(jnp.float32)
+        m = jnp.max(xf, axis=-1, keepdims=True)
+        e = jnp.exp(xf - m)
+        return (e / jnp.sum(e, axis=-1, keepdims=True)).astype(x.dtype)
+    return _online_softmax_pallas(x)

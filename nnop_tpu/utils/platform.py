@@ -67,3 +67,23 @@ def sublane_tile(dtype) -> int:
 
     itemsize = jnp.dtype(dtype).itemsize
     return max(8, 32 // max(1, itemsize))
+
+
+def norm_impl() -> str:
+    """'pallas' or 'xla' for the pointwise/reduction ops (norms, softmax,
+    rope).
+
+    Measured on v5e (NOTES.md "Small fused ops vs XLA on TPU"): XLA's
+    fused formulations meet or beat the pallas kernels at EVERY
+    benchmarked shape on this stack — the working sets are VMEM-resident
+    at small shapes and the pallas HBM write path caps at ~half the duplex
+    bandwidth at streaming shapes (scripts/dma_cap_probe.py) — so the
+    library must never hand users the slower path (BASELINE.md: "fused >=
+    naive"). Compiled-TPU defaults to 'xla'; interpret/test mode defaults
+    to 'pallas' so the kernel suite stays exercised. Override with
+    NNOP_NORM_IMPL=pallas|xla.
+    """
+    v = os.environ.get("NNOP_NORM_IMPL", "auto")
+    if v in ("pallas", "xla"):
+        return v
+    return "xla" if (on_tpu() and not interpret_default()) else "pallas"

@@ -1,22 +1,18 @@
 """Llama-3-8B weight-only-INT8 + INT8-KV decode throughput on one chip.
 
 The north-star serving number (BASELINE.json: "decode tokens/sec/chip
-(INT8 KV) at 8B"). Random int8 weights built directly as QTensors (no fp
-materialization), fused qkv/gate-up projections, UNROLLED layer loop (a
-lax.scan over stacked weights dynamic-slices ~14 GB/step of hidden weight
-copies), decode steps chained inside one jit (loop-carried caches alias
-in place), marginal-timed.
+(INT8 KV) at 8B"). This drives the ENGINE's own fast path
+(runtime/engine.make_decode_chunk): random int8 weights as QTensors,
+fused qkv/gate-up projections, unrolled layers, staged KV appends
+(uniform-index DUS in-place + one flush_staging per chunk) — the same
+jitted chunk program the Engine dispatches, chained n_chunks times inside
+one jit for marginal timing.
 
-Measured (v5e, vocab trimmed to 32000 to fit the 16 GB single-program
-budget alongside the KV cache):
-  B=16: 21.6 ms/step =  742 tok/s/chip
-  B=32: 31.3 ms/step = 1024 tok/s/chip
-  B=64: 50.3 ms/step = 1272 tok/s/chip
-Component bisect at B=32: qmm weight stream 11.5 ms (630 GB/s — at the
-chip's pallas ceiling), attention ~5.5 ms, KV append scatters ~13 ms (the
-next optimization target; see NOTES.md).
+Round-1 path (per-token scatters/kv_write) measured 31.3 ms/step at B=32;
+the staged path replaces the ~13 ms/step append cost with ~us-level
+amortized flushes.
 
-Usage: python scripts/bench_8b.py [--batch 32] [--context 512]
+Usage: python scripts/bench_8b.py [--batch 32] [--context 512] [--chunk 16]
 """
 
 import argparse
@@ -36,11 +32,12 @@ def main():
     ap.add_argument("--context", type=int, default=512)
     ap.add_argument("--max-seq", type=int, default=640)
     ap.add_argument("--vocab", type=int, default=32000)
+    ap.add_argument("--chunk", type=int, default=16)
     args = ap.parse_args()
 
     from nnop_tpu.models.llama import LlamaConfig, init_quantized_params
     from nnop_tpu.runtime.engine import (
-        fuse_decode_weights, make_decode_step_unrolled,
+        STAGE_W, fuse_decode_weights, init_state, make_decode_chunk,
     )
 
     cfg = LlamaConfig.llama3_8b(vocab_size=args.vocab)
@@ -48,46 +45,42 @@ def main():
     params = fuse_decode_weights(init_quantized_params(jax.random.key(0), cfg))
     jax.block_until_ready(jax.tree.leaves(params)[0])
 
-    raw = make_decode_step_unrolled(cfg, quantized=True)
-    nl, KH, E = cfg.n_layers, cfg.n_kv_heads, cfg.head_dim
-    B, S, ctx = args.batch, args.max_seq, args.context
-    lengths = jnp.full((B,), ctx, jnp.int32)
+    B, ctx, chunk = args.batch, args.context, args.chunk
+    alloc = -(-(args.max_seq + STAGE_W + 32) // 32) * 32
+    state = init_state(cfg, B, alloc, quantized=True, chunk=chunk)
+    state.lengths = jnp.full((B,), ctx, jnp.int32)
+    state.last_token = jnp.ones((B,), jnp.int32)
+
+    chunk_fn = make_decode_chunk(cfg, quantized=True, chunk=chunk)
 
     @jax.jit
-    def chain(params, ks, vs, kss, vss, last, key, n):
+    def chain(params, state, key, n_chunks):
         def body(i, carry):
-            ks, vs, kss, vss, last, key = carry
+            state, key = carry
             key, sub = jax.random.split(key)
-            _, ks, vs, kss, vss, _, last = raw(
-                params, ks, vs, kss, vss, lengths, last, sub
-            )
-            return (ks, vs, kss, vss, last, key)
+            toks, state = chunk_fn(params, state, sub)
+            # keep lengths pinned so the KV stream per step is constant
+            # across the chain (marginal timing isolates steady-state cost)
+            state.lengths = jnp.full((B,), ctx, jnp.int32)
+            return (state, key)
 
-        ks, vs, kss, vss, last, _ = jax.lax.fori_loop(
-            0, n, body, (ks, vs, kss, vss, last, key)
-        )
-        return jnp.sum(last)
+        state, _ = jax.lax.fori_loop(0, n_chunks, body, (state, key))
+        return jnp.sum(state.last_token)
 
-    ks = [jnp.zeros((B, KH, S, E), jnp.int8) for _ in range(nl)]
-    vs = [jnp.zeros((B, KH, S, E), jnp.int8) for _ in range(nl)]
-    kss = [jnp.zeros((B, KH, S), jnp.float32) for _ in range(nl)]
-    vss = [jnp.zeros((B, KH, S), jnp.float32) for _ in range(nl)]
     key = jax.random.key(1)
-    last = jnp.ones((B,), jnp.int32)
-
     print("compiling decode chain...", file=sys.stderr, flush=True)
     t0 = time.time()
-    float(chain(params, ks, vs, kss, vss, last, key, jnp.int32(2)))
+    float(chain(params, state, key, jnp.int32(1)))
     print(f"compiled in {time.time()-t0:.0f}s", file=sys.stderr, flush=True)
 
     vals = []
     for _ in range(3):
         t0 = time.perf_counter()
-        float(chain(params, ks, vs, kss, vss, last, key, jnp.int32(4)))
+        float(chain(params, state, key, jnp.int32(1)))
         t1 = time.perf_counter()
-        float(chain(params, ks, vs, kss, vss, last, key, jnp.int32(16)))
+        float(chain(params, state, key, jnp.int32(5)))
         t2 = time.perf_counter()
-        vals.append(((t2 - t1) - (t1 - t0)) / 12)
+        vals.append(((t2 - t1) - (t1 - t0)) / (4 * chunk))
     vals.sort()
     step = vals[1]
 
@@ -96,8 +89,8 @@ def main():
         if hasattr(v, "dtype") and v.dtype == jnp.int8
     )
     print(
-        f"8B INT8 decode: B={B} ctx={ctx}: {step*1e3:.2f} ms/step = "
-        f"{B/step:.0f} tokens/s/chip "
+        f"8B INT8 decode (staged engine path): B={B} ctx={ctx} chunk={chunk}: "
+        f"{step*1e3:.2f} ms/step = {B/step:.0f} tokens/s/chip "
         f"({wbytes/1e9:.1f} GB int8 weights -> {wbytes/step/1e9:.0f} GB/s)",
         flush=True,
     )

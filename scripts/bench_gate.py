@@ -1,0 +1,52 @@
+"""Perf-regression gate: diff two bench JSON files, fail on regressions.
+
+Compares the fused timings (and speedups) of a candidate run against a
+baseline (e.g. the committed BENCH_LOCAL.json from the previous round) and
+exits nonzero if any shared row regressed by more than --tolerance
+(default 10%). Marginal-timing noise is a few percent; 10% catches real
+regressions without flaking.
+
+Usage:
+  python bench.py                     # writes BENCH_LOCAL.json
+  python scripts/bench_gate.py BASELINE.json BENCH_LOCAL.json [--tolerance 0.10]
+"""
+
+import argparse
+import json
+import sys
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("baseline")
+    ap.add_argument("candidate")
+    ap.add_argument("--tolerance", type=float, default=0.10)
+    args = ap.parse_args()
+
+    base = json.load(open(args.baseline))
+    cand = json.load(open(args.candidate))
+
+    failures = []
+    for key in sorted(set(base) & set(cand)):
+        b, c = base[key], cand[key]
+        for metric, higher_is_better in (("fused_s", False), ("time_s", False)):
+            if metric in b and metric in c:
+                try:
+                    bv, cv = float(b[metric]), float(c[metric])
+                except (TypeError, ValueError):
+                    continue
+                ratio = cv / bv
+                flag = ratio > 1 + args.tolerance
+                mark = "REGRESSED" if flag else "ok"
+                print(f"{key}.{metric}: {bv*1e3:.3f} -> {cv*1e3:.3f} ms "
+                      f"({ratio:.2f}x) {mark}")
+                if flag:
+                    failures.append(key)
+    if failures:
+        print(f"\n{len(failures)} regression(s): {failures}", file=sys.stderr)
+        sys.exit(1)
+    print("\nno regressions")
+
+
+if __name__ == "__main__":
+    main()

@@ -6,6 +6,11 @@ cartesian products:
   attention_tests.jl:6-18, causal_attention_tests.jl:6-16,
   gqa_attention_tests.jl:6-18, softmax_tests.jl:12-16,
   rmsnorm_tests.jl:11-17, layernorm_tests.jl:13-17, rope_tests.jl:21-27.
+
+Every sweep point asserts the GRADIENTS too — the reference checks
+`Zygote.gradient(sum∘op)` at every point (attention_tests.jl:20-48,
+rmsnorm_tests.jl:24-32, rope_tests.jl:33-55); here the cotangent is a
+fixed cosine weighting (strictly stronger than the reference's all-ones).
 """
 
 import jax
@@ -24,6 +29,24 @@ from nnop_tpu import (
 from nnop_tpu.ops import naive
 
 pytestmark = pytest.mark.full
+
+
+def _loss(fn):
+    """sum(op * cos-weighting): a non-degenerate fixed cotangent."""
+
+    def wrapped(*args, **kw):
+        out = fn(*args, **kw)
+        w = jnp.cos(jnp.arange(out.shape[-1], dtype=jnp.float32))
+        return jnp.sum(out * w)
+
+    return wrapped
+
+
+def _assert_grads(fused_fn, naive_fn, args, argnums, atol, rtol):
+    gf = jax.grad(_loss(fused_fn), argnums=argnums)(*args)
+    gn = jax.grad(_loss(naive_fn), argnums=argnums)(*args)
+    for a, b in zip(gf, gn):
+        np.testing.assert_allclose(a, b, atol=atol, rtol=rtol)
 
 
 def _mk_attn(B, QH, KH, QL, KL, E, *, pair=False, kpad=False, seed=0):
@@ -52,6 +75,12 @@ def test_attention_full(kpad, pair, E, QL, KL):
     got = flash_attention(q, k, v, p, kpad_mask=m)
     want = naive.naive_attention(q, k, v, p, kpad_mask=m)
     np.testing.assert_allclose(got, want, atol=1e-3, rtol=1e-3)
+    argnums = (0, 1, 2, 3) if pair else (0, 1, 2)
+    _assert_grads(
+        lambda q, k, v, p=None: flash_attention(q, k, v, p, kpad_mask=m),
+        lambda q, k, v, p=None: naive.naive_attention(q, k, v, p, kpad_mask=m),
+        (q, k, v, p)[: len(argnums)], argnums, 2e-3, 2e-3,
+    )
 
 
 # causal_attention_tests.jl:6-16
@@ -64,6 +93,16 @@ def test_causal_attention_full(kpad, pair, E, L):
     got = flash_attention(q, k, v, p, causal=True, kpad_mask=m)
     want = naive.naive_attention(q, k, v, p, causal=True, kpad_mask=m)
     np.testing.assert_allclose(got, want, atol=1e-3, rtol=1e-3)
+    argnums = (0, 1, 2, 3) if pair else (0, 1, 2)
+    _assert_grads(
+        lambda q, k, v, p=None: flash_attention(
+            q, k, v, p, causal=True, kpad_mask=m
+        ),
+        lambda q, k, v, p=None: naive.naive_attention(
+            q, k, v, p, causal=True, kpad_mask=m
+        ),
+        (q, k, v, p)[: len(argnums)], argnums, 2e-3, 2e-3,
+    )
 
 
 # gqa_attention_tests.jl:6-18
@@ -77,6 +116,11 @@ def test_gqa_full(QH, KH, causal, E, L):
     got = flash_attention(q, k, v, causal=causal)
     want = naive.naive_attention(q, k, v, causal=causal)
     np.testing.assert_allclose(got, want, atol=1e-3, rtol=1e-3)
+    _assert_grads(
+        lambda q, k, v: flash_attention(q, k, v, causal=causal),
+        lambda q, k, v: naive.naive_attention(q, k, v, causal=causal),
+        (q, k, v), (0, 1, 2), 2e-3, 2e-3,
+    )
 
 
 # softmax_tests.jl:12-16
@@ -86,6 +130,7 @@ def test_softmax_full(seq):
     np.testing.assert_allclose(
         online_softmax(x), naive.naive_softmax(x), atol=1e-6, rtol=1e-6
     )
+    _assert_grads(online_softmax, naive.naive_softmax, (x,), (0,), 1e-5, 1e-4)
 
 
 # rmsnorm_tests.jl:11-17 / layernorm_tests.jl:13-17
@@ -102,9 +147,17 @@ def test_norms_full(emb, n):
             naive.naive_rms_norm(x, w, offset=offset),
             atol=1e-6, rtol=1e-5,
         )
+        _assert_grads(
+            lambda x, w: rms_norm(x, w, 1e-6, offset),
+            lambda x, w: naive.naive_rms_norm(x, w, offset=offset),
+            (x, w), (0, 1), 1e-4, 1e-3,
+        )
     np.testing.assert_allclose(
         layer_norm(x, w, b), naive.naive_layer_norm(x, w, b),
         atol=1e-5, rtol=1e-5,
+    )
+    _assert_grads(
+        layer_norm, naive.naive_layer_norm, (x, w, b), (0, 1, 2), 1e-4, 1e-3
     )
 
 
@@ -122,3 +175,15 @@ def test_rope_full(L, QH, KH):
     qn, kn = naive.naive_rope(q, k, cos, sin)
     np.testing.assert_allclose(qo, qn, atol=1e-6, rtol=1e-5)
     np.testing.assert_allclose(ko, kn, atol=1e-6, rtol=1e-5)
+
+    def loss2(fn):
+        def f(q, k):
+            qo, ko = fn(q, k, cos, sin)
+            wl = jnp.cos(jnp.arange(qo.shape[-1], dtype=jnp.float32))
+            return jnp.sum(qo * wl) + jnp.sum(ko * wl * 0.5)
+        return f
+
+    gf = jax.grad(loss2(llama_rope), argnums=(0, 1))(q, k)
+    gn = jax.grad(loss2(naive.naive_rope), argnums=(0, 1))(q, k)
+    for a, b in zip(gf, gn):
+        np.testing.assert_allclose(a, b, atol=1e-5, rtol=1e-4)
