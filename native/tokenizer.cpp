@@ -78,6 +78,35 @@ uint32_t tok_encode(void* handle, const uint8_t* bytes, uint32_t n_bytes,
     return static_cast<uint32_t>(toks.size());
 }
 
+// Encode from an ARBITRARY initial token-id sequence (real vocabularies —
+// HF tokenizer.json — give byte-level tokens arbitrary ids, not 0..255;
+// the Python wrapper maps raw bytes to their byte-token ids first).
+// Merges in place; returns the number of tokens written to out.
+uint32_t tok_encode_ids(void* handle, const uint32_t* ids, uint32_t n_ids,
+                        uint32_t* out) {
+    auto* t = static_cast<Tokenizer*>(handle);
+    if (n_ids == 0) return 0;
+    std::vector<uint32_t> toks(ids, ids + n_ids);
+    for (;;) {
+        uint32_t best_rank = UINT32_MAX;
+        size_t best_pos = 0;
+        for (size_t i = 0; i + 1 < toks.size(); ++i) {
+            auto it = t->merges.find(Tokenizer::key(toks[i], toks[i + 1]));
+            if (it != t->merges.end() && it->second.first < best_rank) {
+                best_rank = it->second.first;
+                best_pos = i;
+            }
+        }
+        if (best_rank == UINT32_MAX) break;
+        auto it = t->merges.find(
+            Tokenizer::key(toks[best_pos], toks[best_pos + 1]));
+        toks[best_pos] = it->second.second;
+        toks.erase(toks.begin() + best_pos + 1);
+    }
+    std::memcpy(out, toks.data(), toks.size() * sizeof(uint32_t));
+    return static_cast<uint32_t>(toks.size());
+}
+
 // Batch encode: inputs are concatenated byte buffers with offsets
 // (n_inputs+1 entries). Outputs are written contiguously; out_offsets
 // (n_inputs+1) receives token offsets.

@@ -65,13 +65,16 @@ def shard_params(params, mesh: Mesh, cfg: LlamaConfig):
 
 
 def _local_forward(params, tokens, cfg: LlamaConfig, axis: str = "model",
-                   seq_axis: str | None = None):
+                   seq_axis: str | None = None, zigzag: bool = False):
     """Per-shard forward: local head/feature shards + psum over `axis`.
 
     Runs inside shard_map; `params` leaves are LOCAL shards. When
     `seq_axis` is set, `tokens` is additionally sequence-sharded over that
     axis and attention runs as ring flash attention (context parallelism)
-    with rotary positions offset by the shard's global start.
+    with rotary positions offset by the shard's global start. With
+    `zigzag`, the shards are ZIGZAG pairs (chunk idx + chunk 2n-1-idx —
+    see ring_attention.zigzag_shard) and attention uses the balanced
+    zigzag causal ring; positions are computed per half.
     """
     tp = jax.lax.psum(1, axis)
     if cfg.n_heads % tp != 0:
@@ -88,12 +91,22 @@ def _local_forward(params, tokens, cfg: LlamaConfig, axis: str = "model",
     n_kv = cfg.n_kv_heads // tp
 
     B, L = tokens.shape
-    pos0 = 0
-    if seq_axis is not None:
-        pos0 = jax.lax.axis_index(seq_axis) * L
-    positions = pos0 + jnp.broadcast_to(
-        jnp.arange(L, dtype=jnp.int32)[None], (B, L)
-    )
+    if seq_axis is not None and zigzag:
+        n = jax.lax.psum(1, seq_axis)
+        idx = jax.lax.axis_index(seq_axis)
+        C = L // 2
+        ar = jnp.arange(C, dtype=jnp.int32)
+        positions = jnp.concatenate(
+            [idx * C + ar, (2 * n - 1 - idx) * C + ar]
+        )[None, :]
+        positions = jnp.broadcast_to(positions, (B, L))
+    else:
+        pos0 = 0
+        if seq_axis is not None:
+            pos0 = jax.lax.axis_index(seq_axis) * L
+        positions = pos0 + jnp.broadcast_to(
+            jnp.arange(L, dtype=jnp.int32)[None], (B, L)
+        )
     cos, sin = RotaryEmbedding(cfg.head_dim, cfg.rope_base)(positions)
     x = params["embed"][tokens]
 
@@ -103,7 +116,13 @@ def _local_forward(params, tokens, cfg: LlamaConfig, axis: str = "model",
         k = _split_heads(h @ layer["wk"], n_kv, cfg.head_dim)
         v = _split_heads(h @ layer["wv"], n_kv, cfg.head_dim)
         q, k = llama_rope(q, k, cos, sin)
-        if seq_axis is not None:
+        if seq_axis is not None and zigzag:
+            from nnop_tpu.parallel.ring_attention import (
+                zigzag_ring_flash_attention,
+            )
+
+            o = zigzag_ring_flash_attention(q, k, v, seq_axis)
+        elif seq_axis is not None:
             from nnop_tpu.parallel.ring_attention import ring_flash_attention
 
             o = ring_flash_attention(q, k, v, seq_axis, True, None)
@@ -189,21 +208,27 @@ class AdamW:
         return new_params, {"mu": new_mu, "nu": new_nu, "count": count}
 
 
-def make_train_step(mesh: Mesh, cfg: LlamaConfig, optimizer: AdamW | None = None):
+def make_train_step(mesh: Mesh, cfg: LlamaConfig, optimizer: AdamW | None = None,
+                    zigzag: bool = True):
     """Returns (jitted train_step(params, opt_state, tokens, targets),
     optimizer) with dp over "data", tp over "model", and — when the mesh's
-    "seq" axis is >1 — sp (ring attention) over "seq"."""
+    "seq" axis is >1 — sp over "seq" (balanced ZIGZAG causal ring
+    attention by default; zigzag=False keeps the contiguous ring)."""
     optimizer = optimizer or AdamW(1e-3)
     pspecs = param_specs(cfg)
     opt_specs = {"mu": pspecs, "nu": pspecs, "count": P()}
     use_seq = "seq" in mesh.shape and mesh.shape["seq"] > 1
     seq_axis = "seq" if use_seq else None
+    zigzag = zigzag and use_seq
     data_spec = P("data", "seq") if use_seq else P("data")
     rep_axes = ("data", "seq") if use_seq else ("data",)
+    n_seq = mesh.shape.get("seq", 1)
 
     def step(params, opt_state, tokens, targets):
         def loss_fn(p):
-            logits = _local_forward(p, tokens, cfg, seq_axis=seq_axis)
+            logits = _local_forward(
+                p, tokens, cfg, seq_axis=seq_axis, zigzag=zigzag
+            )
             return _sharded_xent(logits, targets)
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
@@ -223,4 +248,21 @@ def make_train_step(mesh: Mesh, cfg: LlamaConfig, optimizer: AdamW | None = None
         out_specs=(pspecs, opt_specs, P()),
         check_rep=False,
     )
+
+    if zigzag:
+        from nnop_tpu.parallel.ring_attention import zigzag_shard
+
+        def outer(params, opt_state, tokens, targets):
+            # permute the global sequence so contiguous shard d receives
+            # the zigzag pair (chunk d, chunk 2n-1-d); the mean loss is
+            # permutation-invariant, params/grads are position-free
+            tokens = jnp.concatenate(
+                zigzag_shard(tokens, n_seq, axis=1), axis=1
+            )
+            targets = jnp.concatenate(
+                zigzag_shard(targets, n_seq, axis=1), axis=1
+            )
+            return sharded(params, opt_state, tokens, targets)
+
+        return jax.jit(outer), optimizer
     return jax.jit(sharded), optimizer

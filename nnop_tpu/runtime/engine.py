@@ -81,11 +81,14 @@ class EngineState:
     last_token: jax.Array  # (B,) int32
     k_stage: Optional[jax.Array] = None  # (B, n_layers, KH, W, E) bf16
     v_stage: Optional[jax.Array] = None
+    # paged mode: k/v above are POOLS (nl, n_pages, KH, page, E) and this
+    # is the per-slot page table (B, max_pages) int32
+    page_table: Optional[jax.Array] = None
 
     def tree_flatten(self):
         return (
             (self.k, self.v, self.k_scale, self.v_scale, self.lengths,
-             self.last_token, self.k_stage, self.v_stage),
+             self.last_token, self.k_stage, self.v_stage, self.page_table),
             None,
         )
 
@@ -131,6 +134,34 @@ def init_state(cfg: LlamaConfig, batch: int, max_seq: int,
         last_token=jnp.zeros((batch,), jnp.int32),
         k_stage=stage(),
         v_stage=stage(),
+    )
+
+
+def init_state_paged(cfg: LlamaConfig, batch: int, n_pages: int,
+                     page_size: int, max_pages: int, quantized: bool,
+                     chunk: int) -> EngineState:
+    nl, kh, e = cfg.n_layers, cfg.n_kv_heads, cfg.head_dim
+
+    def stage():
+        return jnp.zeros((batch, nl, kh, STAGE_W, e), jnp.bfloat16)
+
+    pool_dtype = jnp.int8 if quantized else cfg.dtype
+    return EngineState(
+        k=jnp.zeros((nl, n_pages, kh, page_size, e), pool_dtype),
+        v=jnp.zeros((nl, n_pages, kh, page_size, e), pool_dtype),
+        k_scale=(
+            jnp.zeros((nl, n_pages, kh, page_size), jnp.float32)
+            if quantized else None
+        ),
+        v_scale=(
+            jnp.zeros((nl, n_pages, kh, page_size), jnp.float32)
+            if quantized else None
+        ),
+        lengths=jnp.zeros((batch,), jnp.int32),
+        last_token=jnp.zeros((batch,), jnp.int32),
+        k_stage=stage(),
+        v_stage=stage(),
+        page_table=jnp.zeros((batch, max_pages), jnp.int32),
     )
 
 
@@ -333,7 +364,8 @@ def make_decode_step_unrolled(cfg: LlamaConfig, quantized: bool,
 
 
 def make_decode_chunk(cfg: LlamaConfig, quantized: bool, chunk: int,
-                      temperature: float = 0.0, top_k: int = 0):
+                      temperature: float = 0.0, top_k: int = 0,
+                      paged: bool = False, page_size: int = 0):
     """The engine fast path: W(=chunk) decode steps in ONE dispatch.
 
     Per step, each layer's new K/V token is appended to the bf16 staging
@@ -348,7 +380,10 @@ def make_decode_chunk(cfg: LlamaConfig, quantized: bool, chunk: int,
     Takes UNROLLED (optionally weight-fused) params. Returns
     chunk_fn(params, state, key) -> (tokens (chunk, B) int32, new_state).
     """
-    from nnop_tpu.ops.kv_write import flush_staging
+    from nnop_tpu.ops.kv_write import flush_staging, flush_staging_paged
+
+    if paged:
+        from nnop_tpu.ops.attention_decode_paged import paged_decode_attention
 
     qd = cfg.n_heads * cfg.head_dim
     kvd = cfg.n_kv_heads * cfg.head_dim
@@ -389,12 +424,20 @@ def make_decode_chunk(cfg: LlamaConfig, quantized: bool, chunk: int,
                     v_stage, v.astype(jnp.bfloat16)[:, None], (0, li, 0, i, 0)
                 )
 
-                o = decode_attention(
-                    q, state.k, state.v, state.lengths,
-                    state.k_scale, state.v_scale,
-                    k_stage=k_stage, v_stage=v_stage, staged_n=i + 1,
-                    layer=li,
-                )
+                if paged:
+                    o = paged_decode_attention(
+                        q, state.k, state.v, state.page_table,
+                        state.lengths, state.k_scale, state.v_scale,
+                        k_stage=k_stage, v_stage=v_stage, staged_n=i + 1,
+                        layer=li,
+                    )
+                else:
+                    o = decode_attention(
+                        q, state.k, state.v, state.lengths,
+                        state.k_scale, state.v_scale,
+                        k_stage=k_stage, v_stage=v_stage, staged_n=i + 1,
+                        layer=li,
+                    )
                 x = x + _mm(_merge_heads(o.astype(x.dtype)), layer["wo"])
 
                 h = rms_norm(x, layer["mlp_norm"], cfg.rms_eps)
@@ -421,16 +464,24 @@ def make_decode_chunk(cfg: LlamaConfig, quantized: bool, chunk: int,
             (state.k_stage, state.v_stage, state.last_token, key, toks0),
         )
 
-        kc, vc, ksc, vsc = flush_staging(
-            state.k, state.v, state.k_scale, state.v_scale,
-            k_stage, v_stage, state.lengths,
-        )
+        if paged:
+            kc, vc, ksc, vsc = flush_staging_paged(
+                state.k, state.v, state.k_scale, state.v_scale,
+                k_stage, v_stage, state.lengths, state.page_table,
+                page_size,
+            )
+        else:
+            kc, vc, ksc, vsc = flush_staging(
+                state.k, state.v, state.k_scale, state.v_scale,
+                k_stage, v_stage, state.lengths,
+            )
         active = (state.lengths > 0).astype(jnp.int32)
         new_state = EngineState(
             k=kc, v=vc, k_scale=ksc, v_scale=vsc,
             lengths=state.lengths + chunk * active,
             last_token=last,
             k_stage=k_stage, v_stage=v_stage,
+            page_table=state.page_table,
         )
         return toks, new_state
 
@@ -487,6 +538,79 @@ def make_prefill_unrolled(cfg: LlamaConfig):
         return logits, jnp.stack(ks), jnp.stack(vs)
 
     return prefill
+
+
+def make_prefill_chunk_step(cfg: LlamaConfig):
+    """CHUNKED prefill into a live K/V buffer: processes one chunk of the
+    prompt whose rows start at `offset` (traced), attending the fp K/V of
+    all PREVIOUS chunks through the offset-aware causal kernel
+    (flash_attention_chunked — row i sees buffer cols <= offset + i).
+    Bounds prefill latency/compile shapes for long prompts: the buffer
+    shape is fixed (one compile per bucket), offset is dynamic.
+
+    step(params, tokens_c (1, C), ks_buf, vs_buf (nl, 1, KH, S, E) bf16,
+         offset) -> (chunk logits (1, C, V), ks_buf, vs_buf updated)
+    """
+    from nnop_tpu.ops.flash_attention import flash_attention_chunked
+
+    qd = cfg.n_heads * cfg.head_dim
+    kvd = cfg.n_kv_heads * cfg.head_dim
+
+    def step(params, tokens_c, ks_buf, vs_buf, offset):
+        B, C = tokens_c.shape
+        S = ks_buf.shape[3]
+        positions = offset + jnp.broadcast_to(
+            jnp.arange(C, dtype=jnp.int32)[None], (B, C)
+        )
+        x = params["embed"][tokens_c]
+        cos, sin = RotaryEmbedding(cfg.head_dim, cfg.rope_base)(positions)
+        valid = (
+            jnp.arange(S, dtype=jnp.int32)[None] < offset + C
+        )  # (1, S)
+        for li, layer in enumerate(params["layers"]):
+            h = rms_norm(x, layer["attn_norm"], cfg.rms_eps)
+            if "wqkv" in layer:
+                qkv = _mm(h, layer["wqkv"])
+                q = _split_heads(qkv[..., :qd], cfg.n_heads, cfg.head_dim)
+                k = _split_heads(
+                    qkv[..., qd : qd + kvd], cfg.n_kv_heads, cfg.head_dim
+                )
+                v = _split_heads(
+                    qkv[..., qd + kvd :], cfg.n_kv_heads, cfg.head_dim
+                )
+            else:
+                q = _split_heads(_mm(h, layer["wq"]), cfg.n_heads, cfg.head_dim)
+                k = _split_heads(_mm(h, layer["wk"]), cfg.n_kv_heads, cfg.head_dim)
+                v = _split_heads(_mm(h, layer["wv"]), cfg.n_kv_heads, cfg.head_dim)
+            q, k = llama_rope(q, k, cos, sin)
+            ks_buf = jax.lax.dynamic_update_slice(
+                ks_buf, k.astype(jnp.bfloat16)[None], (li, 0, 0, offset, 0)
+            )
+            vs_buf = jax.lax.dynamic_update_slice(
+                vs_buf, v.astype(jnp.bfloat16)[None], (li, 0, 0, offset, 0)
+            )
+            o = flash_attention_chunked(
+                q,
+                ks_buf[li].astype(q.dtype),
+                vs_buf[li].astype(q.dtype),
+                causal_offset=offset,
+                kpad_mask=valid,
+            )
+            x = x + _mm(_merge_heads(o.astype(x.dtype)), layer["wo"])
+            h = rms_norm(x, layer["mlp_norm"], cfg.rms_eps)
+            if "w_gateup" in layer:
+                gu = _mm(h, layer["w_gateup"]).astype(jnp.float32)
+                gate = jax.nn.silu(gu[..., : cfg.hidden_dim])
+                up = gu[..., cfg.hidden_dim :]
+            else:
+                gate = jax.nn.silu(_mm(h, layer["w_gate"]).astype(jnp.float32))
+                up = _mm(h, layer["w_up"]).astype(jnp.float32)
+            x = x + _mm((gate * up).astype(x.dtype), layer["w_down"])
+        x = rms_norm(x, params["final_norm"], cfg.rms_eps)
+        logits = _mm(x, params["lm_head"]).astype(jnp.float32)
+        return logits, ks_buf, vs_buf
+
+    return step
 
 
 def make_prefill(cfg: LlamaConfig):
@@ -546,7 +670,9 @@ class Engine:
     def __init__(self, params, cfg: LlamaConfig, *, max_batch=8,
                  max_seq=2048, quantized_kv=False, eos_id=None,
                  tokenizer=None, temperature: float = 0.0, top_k: int = 0,
-                 seed: int = 0, chunk_size: int = 8, fuse_weights=True):
+                 seed: int = 0, chunk_size: int = 8, fuse_weights=True,
+                 paged: bool = False, page_size: int = 512,
+                 n_pages: Optional[int] = None, prefill_chunk: int = 512):
         self.cfg = cfg
         self.tokenizer = tokenizer
         self.max_batch = max_batch
@@ -559,21 +685,62 @@ class Engine:
             raise ValueError(f"chunk_size must be in [1, {STAGE_W}]")
         self.chunk_size = chunk_size
         self.params = fuse_decode_weights(params) if fuse_weights else params
-        # flush RMWs an aligned (STAGE_W+32)-row window: pad the cache
-        alloc = -(-(max_seq + STAGE_W + 32) // 32) * 32
-        self.state = init_state(
-            cfg, max_batch, alloc, quantized_kv, chunk=chunk_size
-        )
+        self.paged = paged
+        if paged:
+            # paged mode: KV lives in a shared page pool; a slot only
+            # holds pages for its live length (+ flush slack), so total
+            # pool memory tracks actual load, not max_batch * max_seq
+            if page_size % 128 != 0:
+                raise ValueError("page_size must be a multiple of 128")
+            self.page_size = page_size
+            slack = STAGE_W + 128  # staged-flush window overhang
+            self.max_pages = -(-(max_seq + slack) // page_size) + 1
+            self.n_pages = n_pages or max_batch * self.max_pages
+            self.state = init_state_paged(
+                cfg, max_batch, self.n_pages, page_size, self.max_pages,
+                quantized_kv, chunk_size,
+            )
+            self._free_pages = list(range(self.n_pages))
+            self._slot_pages: list[list[int]] = [
+                [] for _ in range(max_batch)
+            ]
+        else:
+            # flush RMWs an aligned (STAGE_W+32)-row window: pad the cache
+            alloc = -(-(max_seq + STAGE_W + 32) // 32) * 32
+            self.state = init_state(
+                cfg, max_batch, alloc, quantized_kv, chunk=chunk_size
+            )
         self._key = jax.random.key(seed)
         self._chunk = jax.jit(
             make_decode_chunk(cfg, quantized_kv, chunk_size, temperature,
-                              top_k),
+                              top_k, paged=paged,
+                              page_size=page_size if paged else 0),
             donate_argnums=(1,),
         )
         self._prefill = jax.jit(make_prefill_unrolled(cfg))
+        self.prefill_chunk = prefill_chunk
+        self._prefill_chunk_fn = jax.jit(make_prefill_chunk_step(cfg))
         self.slots: list[Optional[Request]] = [None] * max_batch
         self.queue: list[Request] = []
         self._rid = 0
+
+    def _ensure_pages(self, slot: int, tokens_needed: int):
+        need = -(-tokens_needed // self.page_size)
+        pages = self._slot_pages[slot]
+        while len(pages) < need:
+            if not self._free_pages:
+                raise RuntimeError(
+                    "page pool exhausted — raise n_pages or lower load"
+                )
+            pages.append(self._free_pages.pop())
+        row = jnp.zeros((self.max_pages,), jnp.int32).at[: len(pages)].set(
+            jnp.asarray(pages, jnp.int32)
+        )
+        self.state.page_table = self.state.page_table.at[slot].set(row)
+
+    def _release_pages(self, slot: int):
+        self._free_pages.extend(self._slot_pages[slot])
+        self._slot_pages[slot] = []
 
     def submit(self, prompt: list[int], max_new_tokens: int = 32) -> Request:
         if len(prompt) + max_new_tokens > self.max_seq:
@@ -596,6 +763,36 @@ class Engine:
             raise ValueError("Engine was built without a tokenizer")
         return self.tokenizer.decode(req.out)
 
+    def _admit_paged(self, slot: int, L: int, ks_l, vs_l):
+        """Write a prefilled prompt's K/V into this slot's pages."""
+        self._ensure_pages(slot, L + STAGE_W + 128)
+        pg = self.page_size
+        if self.quantized:
+            kq, ksc = _quant_token(ks_l)
+            vq, vsc = _quant_token(vs_l)
+        else:
+            kq, vq = ks_l, vs_l
+            ksc = vsc = None
+        for pi, pid in enumerate(self._slot_pages[slot]):
+            r0 = pi * pg
+            if r0 >= L:
+                break
+            r1 = min(L, r0 + pg)
+            n = r1 - r0
+            self.state.k = self.state.k.at[:, pid, :, :n].set(
+                kq[:, :, r0:r1].astype(self.state.k.dtype)
+            )
+            self.state.v = self.state.v.at[:, pid, :, :n].set(
+                vq[:, :, r0:r1].astype(self.state.v.dtype)
+            )
+            if self.quantized:
+                self.state.k_scale = self.state.k_scale.at[
+                    :, pid, :, :n
+                ].set(ksc[:, :, r0:r1])
+                self.state.v_scale = self.state.v_scale.at[
+                    :, pid, :, :n
+                ].set(vsc[:, :, r0:r1])
+
     def _admit(self):
         for slot in range(self.max_batch):
             if self.slots[slot] is not None or not self.queue:
@@ -603,16 +800,43 @@ class Engine:
             req = self.queue.pop(0)
             self.slots[slot] = req
             L = len(req.prompt)
-            # pad prompts to a bucket so prefill compiles once per bucket,
-            # not once per prompt length (compiles are expensive)
-            bucket = max(64, 1 << (L - 1).bit_length())
-            padded = req.prompt + [0] * (bucket - L)
-            tokens = jnp.asarray([padded], jnp.int32)
-            logits_seq, ks, vs = self._prefill(self.params, tokens)
-            logits = logits_seq[:, L - 1]
+            if L > self.prefill_chunk:
+                # CHUNKED prefill into a live K/V buffer: later chunks
+                # attend everything before them via the offset-aware
+                # causal kernel — bounded per-dispatch latency and one
+                # compile for any prompt length (fixed buffer bucket)
+                C = self.prefill_chunk
+                n_chunks = -(-L // C)
+                nl, kh, e = (
+                    self.cfg.n_layers, self.cfg.n_kv_heads, self.cfg.head_dim
+                )
+                sbuf = n_chunks * C
+                ks = jnp.zeros((nl, 1, kh, sbuf, e), jnp.bfloat16)
+                vs = jnp.zeros((nl, 1, kh, sbuf, e), jnp.bfloat16)
+                logits_c = None
+                for ci in range(n_chunks):
+                    chunk = req.prompt[ci * C : (ci + 1) * C]
+                    chunk = chunk + [0] * (C - len(chunk))
+                    logits_c, ks, vs = self._prefill_chunk_fn(
+                        self.params,
+                        jnp.asarray([chunk], jnp.int32),
+                        ks, vs,
+                        jnp.int32(ci * C),
+                    )
+                logits = logits_c[:, (L - 1) - (n_chunks - 1) * C]
+            else:
+                # pad prompts to a bucket so prefill compiles once per
+                # bucket, not once per prompt length
+                bucket = max(64, 1 << (L - 1).bit_length())
+                padded = req.prompt + [0] * (bucket - L)
+                tokens = jnp.asarray([padded], jnp.int32)
+                logits_seq, ks, vs = self._prefill(self.params, tokens)
+                logits = logits_seq[:, L - 1]
             ks_l = ks[:, 0, :, :L]  # strip batch dim + bucket padding
             vs_l = vs[:, 0, :, :L]
-            if self.quantized:
+            if self.paged:
+                self._admit_paged(slot, L, ks_l, vs_l)
+            elif self.quantized:
                 kq, ksc = _quant_token(ks_l)
                 vq, vsc = _quant_token(vs_l)
                 self.state.k = self.state.k.at[:, slot, :, :L].set(kq)
@@ -648,6 +872,14 @@ class Engine:
         self._admit()
         if all(s is None for s in self.slots):
             return False
+        if self.paged:
+            lens = jax.device_get(self.state.lengths)
+            for slot, req in enumerate(self.slots):
+                if req is not None:
+                    self._ensure_pages(
+                        slot,
+                        int(lens[slot]) + self.chunk_size + STAGE_W + 128,
+                    )
         self._key, step_key = jax.random.split(self._key)
         toks, self.state = self._chunk(self.params, self.state, step_key)
         toks = jax.device_get(toks)  # (chunk, B)
@@ -668,6 +900,8 @@ class Engine:
                     req.done = True
                     self.slots[slot] = None
                     self.state.lengths = self.state.lengths.at[slot].set(0)
+                    if self.paged:
+                        self._release_pages(slot)
                     break
         return True
 

@@ -33,7 +33,7 @@ from jax.experimental.pallas import tpu as pltpu
 from bench import marginal_time
 
 N, E = 16384, 4096  # 256 MB f32
-BLK = 512
+BLK = 256  # 2 pipelines x 2 slots x (BLK,E) f32 = 8 MB VMEM
 
 
 def copy_block_kernel(x_ref, o_ref):
@@ -137,11 +137,11 @@ def main():
 
     rows = [
         ("A auto pipeline (r+w)", lambda i, a: auto_pipeline(a), gb_rw),
+        ("C write-only", lambda i, a: write_only(a), gb_w),
+        ("D xla fused copy (r+w)", lambda i, a: a + 1.0, gb_rw),
         ("B manual 1-chan (r+w)", lambda i, a: manual_kchan(a, 1), gb_rw),
         ("B manual 4-chan (r+w)", lambda i, a: manual_kchan(a, 4), gb_rw),
         ("B manual 8-chan (r+w)", lambda i, a: manual_kchan(a, 8), gb_rw),
-        ("C write-only", lambda i, a: write_only(a), gb_w),
-        ("D xla fused copy (r+w)", lambda i, a: a + 1.0, gb_rw),
     ]
     for name, body, gb in rows:
         t = marginal_time(body, x)

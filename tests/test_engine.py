@@ -100,3 +100,58 @@ def test_engine_int8_weights():
     assert r1.done and r2.done
     assert len(r1.out) == 6 and len(r2.out) == 6
     assert all(0 <= t < cfg.vocab_size for t in r1.out + r2.out)
+
+
+@pytest.mark.parametrize("quantized", [False, True])
+def test_engine_paged_matches_contiguous(params, quantized):
+    """Engine(paged=True) produces the same tokens as the contiguous
+    engine (exact for fp pools; int8 pools share the same quantizer so
+    greedy argmax stays identical on this scale of model)."""
+    prompt = [5, 17, 42, 7, 99, 3, 12, 8]
+    eng_c = Engine(
+        params, CFG, max_batch=2, max_seq=64, quantized_kv=quantized
+    )
+    r_c = eng_c.submit(prompt, max_new_tokens=8)
+    eng_c.run()
+
+    eng_p = Engine(
+        params, CFG, max_batch=2, max_seq=64, quantized_kv=quantized,
+        paged=True, page_size=128,
+    )
+    r_p = eng_p.submit(prompt, max_new_tokens=8)
+    eng_p.run()
+    assert r_p.done
+    assert r_p.out == r_c.out, (r_p.out, r_c.out)
+
+
+def test_engine_paged_continuous_batching_reuses_pages(params):
+    """Pages released by finished sequences are reused by later ones."""
+    eng = Engine(
+        params, CFG, max_batch=2, max_seq=64, paged=True, page_size=128,
+        n_pages=6,  # deliberately tight: forces reuse across requests
+    )
+    prompts = [[1, 2, 3], [10, 20, 30, 40], [7] * 5, [9] * 6]
+    reqs = [eng.submit(p, max_new_tokens=5) for p in prompts]
+    eng.run()
+    for r in reqs:
+        assert r.done and len(r.out) == 5
+    assert len(eng._free_pages) == 6  # all returned
+
+
+def test_engine_chunked_prefill_into_live_cache(params):
+    """A prompt longer than prefill_chunk is prefilled in chunks, later
+    chunks attending the live K/V of earlier ones through the
+    offset-aware causal kernel — tokens must match the single-shot
+    prefill engine exactly."""
+    prompt = [(7 * i + 3) % CFG.vocab_size for i in range(37)]
+    eng_one = Engine(params, CFG, max_batch=1, max_seq=96,
+                     prefill_chunk=512)
+    r_one = eng_one.submit(prompt, max_new_tokens=6)
+    eng_one.run()
+
+    eng_chunk = Engine(params, CFG, max_batch=1, max_seq=96,
+                       prefill_chunk=16)  # 37 tokens -> 3 chunks
+    r_chunk = eng_chunk.submit(prompt, max_new_tokens=6)
+    eng_chunk.run()
+    assert r_chunk.done
+    assert r_chunk.out == r_one.out, (r_chunk.out, r_one.out)
