@@ -28,6 +28,7 @@ from nnop_tpu.ops.layer_norm import layer_norm
 from nnop_tpu.ops.rope import RotaryEmbedding, llama_rope
 from nnop_tpu.ops.flash_attention import flash_attention
 from nnop_tpu.ops.attention_decode import decode_attention
+from nnop_tpu.ops.flash_attention import flash_attention_chunked
 from nnop_tpu.ops.quantization import QTensor, dequantize, quantize
 from nnop_tpu.ops.quantized_matmul import quantized_matmul
 
@@ -38,6 +39,7 @@ __all__ = [
     "RotaryEmbedding",
     "llama_rope",
     "flash_attention",
+    "flash_attention_chunked",
     "decode_attention",
     "QTensor",
     "quantize",

@@ -3,37 +3,38 @@
 Round 1 measured: XLA's fused elementwise loops full-duplex at ~670 GB/s
 while write-heavy pallas kernels cap at ~331 GB/s aggregate, and a manual
 double-buffered DMA pipeline measured IDENTICAL to the automatic block
-pipeline. This probe tries the remaining queued ideas:
+pipeline (NOTES.md). This probe pins down the remaining queued ideas
+WITHOUT hand-rolled semaphore pipelines (a manual multi-channel DMA
+variant wedged the TPU worker on this stack — axon watchdog recovery,
+nothing learned; the automatic pipeline already issues one DMA per
+block/output, so splitting outputs is the supported way to get multiple
+concurrent write streams):
 
-  A. auto block pipeline (baseline, 1 in + 1 out stream)
-  B. manual pipeline with K parallel out-DMA channels (K semaphores,
-     interleaved row chunks, all in flight at once)
-  C. write-only kernel (isolates the write direction)
-  D. XLA fused elementwise copy (the naive formulation's transport)
+  A. auto block pipeline, 1 output        (baseline: 1 out-DMA stream)
+  B. auto block pipeline, 2/4 outputs     (2/4 concurrent out-DMA streams)
+  C. write-only kernel                    (isolates the write direction)
+  D. XLA fused elementwise copy           (the naive formulation)
 
-If B cannot beat A, the cap is a stack/hardware property of pallas HBM
-writes and the library is right to dispatch norm/softmax-style streaming
-ops to their XLA formulations (see ops/rms_norm.py dispatch).
+If B cannot beat A, the cap is a stack property of pallas HBM writes and
+the library is right to dispatch norm/softmax-style streaming ops to
+their XLA formulations (utils/platform.py::norm_impl).
 
 Usage: python scripts/dma_cap_probe.py
 """
 
-import functools
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
 from bench import marginal_time
 
 N, E = 16384, 4096  # 256 MB f32
-BLK = 256  # 2 pipelines x 2 slots x (BLK,E) f32 = 8 MB VMEM
+BLK = 256
 
 
 def copy_block_kernel(x_ref, o_ref):
@@ -50,69 +51,31 @@ def auto_pipeline(x):
     )(x)
 
 
-def manual_kchan_kernel(x_hbm, o_hbm, *, k_chan):
+def split_kernel(x_ref, *o_refs):
+    n = len(o_refs)
+    rows = BLK // n
+    for c, o_ref in enumerate(o_refs):
+        o_ref[...] = x_ref[c * rows : (c + 1) * rows, :] + 1.0
+
+
+def split_pipeline(x, n_out):
+    """Same traffic as A, but each block's rows go out through n_out
+    separate OUTPUT ARRAYS — the block pipeline issues one out-DMA per
+    output per grid step, so n_out write streams are concurrently in
+    flight (the supported analogue of parallel out-DMA channels)."""
+    rows = BLK // n_out
     nblk = N // BLK
-
-    def body(inbuf, outbuf, in_sems, out_sems):
-        def get_in(slot, i):
-            return pltpu.make_async_copy(
-                x_hbm.at[pl.ds(i * BLK, BLK)], inbuf.at[slot], in_sems.at[slot]
-            )
-
-        def put_out(slot, i, chan):
-            # split the block into k_chan interleaved row chunks, one DMA
-            # per chunk on its own semaphore — all concurrently in flight
-            rows = BLK // k_chan
-            return pltpu.make_async_copy(
-                outbuf.at[slot, pl.ds(chan * rows, rows)],
-                o_hbm.at[pl.ds(i * BLK + chan * rows, rows)],
-                out_sems.at[slot, chan],
-            )
-
-        get_in(0, 0).start()
-
-        def loop(i, _):
-            slot = i % 2
-            nxt = (i + 1) % 2
-
-            @pl.when(i + 1 < nblk)
-            def _():
-                get_in(nxt, i + 1).start()
-
-            get_in(slot, i).wait()
-
-            @pl.when(i >= 2)
-            def _():
-                for c in range(k_chan):
-                    put_out(slot, i - 2, c).wait()
-
-            outbuf[slot] = inbuf[slot] + 1.0
-            for c in range(k_chan):
-                put_out(slot, i, c).start()
-            return 0
-
-        jax.lax.fori_loop(0, nblk, loop, 0)
-        for i in (nblk - 2, nblk - 1):
-            slot = i % 2
-            for c in range(k_chan):
-                put_out(slot, i, c).wait()
-
-    pl.run_scoped(
-        body,
-        pltpu.VMEM((2, BLK, E), jnp.float32),
-        pltpu.VMEM((2, BLK, E), jnp.float32),
-        pltpu.SemaphoreType.DMA((2,)),
-        pltpu.SemaphoreType.DMA((2, 8)),
-    )
-
-
-def manual_kchan(x, k_chan):
     return pl.pallas_call(
-        functools.partial(manual_kchan_kernel, k_chan=k_chan),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=pl.BlockSpec(memory_space=pl.ANY),
-        out_shape=jax.ShapeDtypeStruct((N, E), jnp.float32),
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        split_kernel,
+        grid=(nblk,),
+        in_specs=[pl.BlockSpec((BLK, E), lambda i: (i, 0))],
+        out_specs=[
+            pl.BlockSpec((rows, E), lambda i: (i, 0)) for _ in range(n_out)
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nblk * rows, E), jnp.float32)
+            for _ in range(n_out)
+        ],
     )(x)
 
 
@@ -139,9 +102,8 @@ def main():
         ("A auto pipeline (r+w)", lambda i, a: auto_pipeline(a), gb_rw),
         ("C write-only", lambda i, a: write_only(a), gb_w),
         ("D xla fused copy (r+w)", lambda i, a: a + 1.0, gb_rw),
-        ("B manual 1-chan (r+w)", lambda i, a: manual_kchan(a, 1), gb_rw),
-        ("B manual 4-chan (r+w)", lambda i, a: manual_kchan(a, 4), gb_rw),
-        ("B manual 8-chan (r+w)", lambda i, a: manual_kchan(a, 8), gb_rw),
+        ("B 2-output split (r+w)", lambda i, a: split_pipeline(a, 2)[0], gb_rw),
+        ("B 4-output split (r+w)", lambda i, a: split_pipeline(a, 4)[0], gb_rw),
     ]
     for name, body, gb in rows:
         t = marginal_time(body, x)

@@ -392,3 +392,50 @@ def test_ring_kpad_and_segments():
     want = jax.grad(ref_loss, (0, 1, 2))(q, k, v)
     for g, w, name in zip(got, want, "qkv"):
         np.testing.assert_allclose(g, w, atol=2e-3, rtol=2e-3, err_msg=name)
+
+
+def test_tp_decode_matches_single_device():
+    """TP-sharded chunked decode (serving path) produces the same greedy
+    tokens as the single-device engine chunk on identical state."""
+    import dataclasses
+
+    from nnop_tpu.models.llama import LlamaConfig, init_params
+    from nnop_tpu.runtime.engine import (
+        STAGE_W, init_state, make_decode_chunk,
+    )
+    from nnop_tpu.parallel.tp_decode import (
+        make_tp_decode_chunk, shard_decode_params, shard_decode_state,
+    )
+
+    cfg = LlamaConfig.tiny(dtype=jnp.float32, n_heads=4, n_kv_heads=2)
+    params = init_params(jax.random.key(0), cfg)
+    B, L, S, chunk = 2, 12, 128, 6
+
+    def mk_state():
+        st = init_state(cfg, B, S, quantized=False, chunk=chunk)
+        ks = jax.random.split(jax.random.key(7), 2)
+        kv_shape = (cfg.n_layers, B, cfg.n_kv_heads, S, cfg.head_dim)
+        kfull = jax.random.normal(ks[0], kv_shape, jnp.float32) * 0.3
+        vfull = jax.random.normal(ks[1], kv_shape, jnp.float32) * 0.3
+        mask = (jnp.arange(S) < L)[None, None, None, :, None]
+        return dataclasses.replace(
+            st,
+            k=jnp.where(mask, kfull, 0.0).astype(st.k.dtype),
+            v=jnp.where(mask, vfull, 0.0).astype(st.v.dtype),
+            lengths=jnp.full((B,), L, jnp.int32),
+            last_token=jnp.array([3, 11], jnp.int32),
+        )
+
+    key = jax.random.key(1)
+    ref_chunk = jax.jit(make_decode_chunk(cfg, False, chunk))
+    toks_ref, _ = ref_chunk(params, mk_state(), key)
+
+    mesh = make_mesh(model=2)
+    sp = shard_decode_params(params, mesh, cfg)
+    sst = shard_decode_state(mk_state(), mesh)
+    tp_chunk = make_tp_decode_chunk(mesh, cfg, False, chunk)
+    toks_tp, new_state = tp_chunk(sp, sst, key)
+    np.testing.assert_array_equal(
+        np.asarray(toks_tp), np.asarray(toks_ref)
+    )
+    assert int(new_state.lengths[0]) == L + chunk
