@@ -159,6 +159,43 @@ def main():
     print(f"{'PASS' if rel < 0.02 else 'FAIL'} qmm: rel_fro_err={rel:.4f}")
     ok &= rel < 0.02
 
+    # staged decode + flush (the serving fast path, round 2)
+    from nnop_tpu.ops.attention_decode import decode_attention
+    from nnop_tpu.ops.kv_write import flush_staging
+
+    NL, B, KH, G, E, S, W = 2, 3, 2, 4, 128, 256, 32
+    kk = jax.random.split(jax.random.key(12), 6)
+    kc = jnp.zeros((NL, B, KH, S, E), jnp.int8)
+    vc = jnp.zeros((NL, B, KH, S, E), jnp.int8)
+    ksc = jnp.zeros((NL, B, KH, S), jnp.float32)
+    vsc = jnp.zeros((NL, B, KH, S), jnp.float32)
+    kst = jax.random.normal(kk[0], (B, NL, KH, W, E), jnp.bfloat16)
+    vst = jax.random.normal(kk[1], (B, NL, KH, W, E), jnp.bfloat16)
+    base = jnp.array([0, 17, 50], jnp.int32)
+    kc2, vc2, ksc2, vsc2 = flush_staging(kc, vc, ksc, vsc, kst, vst, base)
+    b_, p_ = 1, 17
+    got = (
+        np.asarray(kc2, np.float32)[0, b_, :, p_ : p_ + W]
+        * np.asarray(ksc2)[0, b_, :, p_ : p_ + W][..., None]
+    )
+    ok &= check(
+        "flush_staging", got, np.asarray(kst, np.float32)[b_, 0], 2e-2, 2e-2
+    )
+
+    qd = jax.random.normal(kk[2], (B, KH * G, 1, E), jnp.bfloat16)
+    o_flushed = decode_attention(
+        qd, kc2[0], vc2[0], base + W * (base > 0), ksc2[0], vsc2[0]
+    )
+    o_staged = decode_attention(
+        qd, kc2, vc2, base, ksc2, vsc2,
+        k_stage=kst, v_stage=vst, staged_n=W, layer=0,
+    )
+    # staged path attends staging in bf16 vs the flushed int8 rows:
+    # differences are quantization-level
+    ok &= check(
+        "decode_staged_vs_flushed", o_staged[:2], o_flushed[:2], 4e-2, 4e-2
+    )
+
     print(f"total {time.time()-t0:.1f}s")
     sys.exit(0 if ok else 1)
 
