@@ -35,10 +35,17 @@ def _seq_to_heads(x, axis_name):
 
 
 def ulysses_attention(q, k, v, axis_name: str, causal: bool = True,
-                      scale: float | None = None):
+                      scale: float | None = None, kpad_mask=None,
+                      segment_ids=None):
     """q/k/v: LOCAL shards (B, H, L/n, E), sequence-sharded over axis_name.
     H must be divisible by the axis size. Returns the local (B, H, L/n, E)
-    output shard."""
+    output shard.
+
+    kpad_mask / segment_ids are LOCAL (B, L/n) shards; after the
+    head-scatter every device holds the FULL sequence, so the masks are
+    all-gathered along the sequence (cheap: O(B*L) bools vs O(B*H*L*E)
+    activations) and applied by the full-sequence flash kernel.
+    """
     n = jax.lax.psum(1, axis_name)
     if q.shape[1] % n != 0:
         raise ValueError(
@@ -47,5 +54,19 @@ def ulysses_attention(q, k, v, axis_name: str, causal: bool = True,
     qg = _heads_to_seq(q, axis_name)
     kg = _heads_to_seq(k, axis_name)
     vg = _heads_to_seq(v, axis_name)
-    og = flash_attention(qg, kg, vg, causal=causal, scale=scale)
+
+    def gather_seq(m):
+        if m is None:
+            return None
+        g = jax.lax.all_gather(m, axis_name)  # (n, B, L/n)
+        return g.transpose(1, 0, 2).reshape(m.shape[0], -1)
+
+    kpad_g = gather_seq(kpad_mask)
+    seg_g = None
+    if segment_ids is not None:
+        seg_g = (gather_seq(segment_ids[0]), gather_seq(segment_ids[1]))
+    og = flash_attention(
+        qg, kg, vg, causal=causal, scale=scale, kpad_mask=kpad_g,
+        segment_ids=seg_g,
+    )
     return _seq_to_heads(og, axis_name)

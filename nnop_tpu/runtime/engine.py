@@ -1,23 +1,30 @@
-"""Inference engine: prefill + scan-based decode + continuous batching.
+"""Inference engine: chunked staged decode + continuous batching.
 
 North-star scope (BASELINE.json: "continuous batching ... decode tokens/s
 per chip") — no reference counterpart (SURVEY.md §1: the reference is a
-kernel library with no runtime). TPU-first design decisions:
+kernel library with no runtime). TPU-first design (round 2):
 
-* Decode step is ONE jitted program: layer params are stacked along a
-  leading axis and the transformer loop is `lax.scan`, so the trace (and
-  the Mosaic compile) covers a single layer regardless of depth — critical
-  when compiles are expensive and n_layers is 32+.
+* THE fast path is `make_decode_chunk`: chunk_size decode steps in one
+  dispatch over weight-fused UNROLLED layers. Each step appends its K/V
+  token to a bf16 STAGING buffer with a uniform-index
+  dynamic_update_slice (in-place inside the fori_loop — no scatter), and
+  the fused decode kernel attends cache + staging; at chunk end ONE
+  flush_staging pallas call quantizes the window in-VMEM and DMAs it
+  into the int8 caches. This replaced per-token append scatters
+  (~13 ms/step at 8B B=32) and amortizes the host round-trip over
+  chunk_size tokens. Measured: 8B INT8 1840/2718 tok/s at B=32/64.
 * The KV cache holds all layers as single stacked arrays
-  (n_layers, B, KH, S, E) with per-sequence lengths (B,). Writes are
-  per-slot dynamic_update_slice (vmapped over batch); reads go through the
-  fused flash-decode kernel (ops/attention_decode.py), which uses the
-  lengths to mask and to skip dead KV blocks.
+  (n_layers, B, KH, S, E); the decode kernel's BlockSpec index maps take
+  the static per-layer slice, so no layer slice is ever materialized.
+  `Engine(paged=True)` swaps the arrays for page pools + page tables
+  (same staging design, paged flush).
 * Continuous batching: fixed B slots. A slot is freed when its sequence
-  finishes; new requests prefill into a free slot (batch-1 causal flash)
-  while other slots keep decoding. Host-side scheduler, device-side state.
-* INT8 KV: new tokens are quantized per-(head, token) on append; decode
-  dequant is fused in-kernel.
+  finishes (mid-chunk finishes waste at most chunk_size-1 steps); new
+  requests prefill into a free slot — long prompts stream through
+  chunked prefill (offset-aware causal kernel into a live K/V buffer).
+* `make_decode_step` (lax.scan over stacked weights) remains as the
+  compile-time-friendly fallback: one layer traced regardless of depth,
+  at ~2x the decode cost (weight slices copy; NOTES.md round 1).
 """
 
 from __future__ import annotations
@@ -276,91 +283,6 @@ def fuse_decode_weights(params):
         fused["w_gateup"] = cat([layer["w_gate"], layer["w_up"]])
         out["layers"].append(fused)
     return out
-
-
-def make_decode_step_unrolled(cfg: LlamaConfig, quantized: bool,
-                              temperature: float = 0.0, top_k: int = 0):
-    """Decode step with the layer loop UNROLLED over the per-layer params
-    list (no stacking, no lax.scan). The scan variant dynamic-slices each
-    layer's stacked weights per step, which XLA materializes as a copy —
-    for an 8B that hides ~14 GB/step of extra HBM traffic and halves
-    decode throughput. Unrolling trades a longer trace/compile for
-    weight reads straight from the parameter buffers.
-
-    Takes the UNSTACKED params (init_params/init_quantized_params output)
-    and unstacked per-layer cache lists.
-    """
-
-    def decode_step(params, ks, vs, kscales, vscales, lengths, last_token,
-                    key):
-        B = lengths.shape[0]
-        tokens = last_token[:, None]
-        positions = lengths[:, None]
-        x = params["embed"][tokens]
-        cos, sin = RotaryEmbedding(cfg.head_dim, cfg.rope_base)(positions)
-
-        new_ks, new_vs, new_kss, new_vss = [], [], [], []
-        qd = cfg.n_heads * cfg.head_dim
-        kvd = cfg.n_kv_heads * cfg.head_dim
-        for li, layer in enumerate(params["layers"]):
-            h = rms_norm(x, layer["attn_norm"], cfg.rms_eps)
-            if "wqkv" in layer:
-                qkv = _mm(h, layer["wqkv"])
-                q = _split_heads(qkv[..., :qd], cfg.n_heads, cfg.head_dim)
-                k = _split_heads(
-                    qkv[..., qd : qd + kvd], cfg.n_kv_heads, cfg.head_dim
-                )
-                v = _split_heads(
-                    qkv[..., qd + kvd :], cfg.n_kv_heads, cfg.head_dim
-                )
-            else:
-                q = _split_heads(_mm(h, layer["wq"]), cfg.n_heads, cfg.head_dim)
-                k = _split_heads(_mm(h, layer["wk"]), cfg.n_kv_heads, cfg.head_dim)
-                v = _split_heads(_mm(h, layer["wv"]), cfg.n_kv_heads, cfg.head_dim)
-            q, k = llama_rope(q, k, cos, sin)
-
-            from nnop_tpu.ops.kv_write import write_kv_token
-
-            kc, vc = ks[li], vs[li]
-            ksc = kscales[li] if quantized else None
-            vsc = vscales[li] if quantized else None
-            if quantized:
-                kq, kss = _quant_token(k)
-                vq, vss = _quant_token(v)
-                kc = write_kv_token(kc, kq.astype(kc.dtype), lengths)
-                vc = write_kv_token(vc, vq.astype(vc.dtype), lengths)
-                # scale caches are E-times smaller: the scatter copy is
-                # cheap, and their lane-dim layout defeats the DMA slicing
-                ksc = _write_tokens(ksc, kss, lengths)
-                vsc = _write_tokens(vsc, vss, lengths)
-            else:
-                kc = write_kv_token(kc, k.astype(kc.dtype), lengths)
-                vc = write_kv_token(vc, v.astype(vc.dtype), lengths)
-            new_ks.append(kc)
-            new_vs.append(vc)
-            new_kss.append(ksc)
-            new_vss.append(vsc)
-
-            o = decode_attention(q, kc, vc, lengths + 1, ksc, vsc)
-            x = x + _mm(_merge_heads(o.astype(x.dtype)), layer["wo"])
-
-            h = rms_norm(x, layer["mlp_norm"], cfg.rms_eps)
-            if "w_gateup" in layer:
-                gu = _mm(h, layer["w_gateup"]).astype(jnp.float32)
-                gate = jax.nn.silu(gu[..., : cfg.hidden_dim])
-                up = gu[..., cfg.hidden_dim :]
-            else:
-                gate = jax.nn.silu(_mm(h, layer["w_gate"]).astype(jnp.float32))
-                up = _mm(h, layer["w_up"]).astype(jnp.float32)
-            x = x + _mm((gate * up).astype(x.dtype), layer["w_down"])
-
-        x = rms_norm(x, params["final_norm"], cfg.rms_eps)
-        logits = _mm(x, params["lm_head"]).astype(jnp.float32)[:, 0]
-        next_tok = sample_tokens(logits, key, temperature, top_k)
-        new_lengths = lengths + (lengths > 0).astype(jnp.int32)
-        return logits, new_ks, new_vs, new_kss, new_vss, new_lengths, next_tok
-
-    return decode_step
 
 
 def make_decode_chunk(cfg: LlamaConfig, quantized: bool, chunk: int,

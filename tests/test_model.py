@@ -73,3 +73,40 @@ def test_decode_matches_full_forward(params, quantized):
         assert agree > 0.95, f"argmax agreement {agree}"
     else:
         np.testing.assert_allclose(dec_logits, full_logits, atol=2e-3, rtol=2e-3)
+
+
+def test_train_checkpoint_resume(params, tmp_path):
+    """Checkpoint/resume mid-training: params + AdamW state saved after
+    step k and reloaded must continue BIT-IDENTICALLY (the reference has
+    no checkpointing at all — SURVEY.md §5; this is north-star scope)."""
+    import numpy as np
+
+    from nnop_tpu.models.llama import loss_fn
+    from nnop_tpu.models.weights import load_checkpoint, save_checkpoint
+    from nnop_tpu.parallel.tp_llama import AdamW
+
+    opt = AdamW(lr=1e-3)
+    state = opt.init(params)
+    toks = jnp.arange(2 * 32, dtype=jnp.int32).reshape(2, 32) % CFG.vocab_size
+    tgts = (toks + 1) % CFG.vocab_size
+
+    @jax.jit
+    def step(p, s, toks, tgts):
+        loss, grads = jax.value_and_grad(loss_fn)(p, toks, tgts, CFG)
+        p, s = opt.update(grads, s, p)
+        return p, s, loss
+
+    p, s = params, state
+    for _ in range(2):
+        p, s, _ = step(p, s, toks, tgts)
+
+    save_checkpoint(str(tmp_path / "p.npz"), p)
+    save_checkpoint(str(tmp_path / "s.npz"), s)
+    p2 = load_checkpoint(str(tmp_path / "p.npz"), p)
+    s2 = load_checkpoint(str(tmp_path / "s.npz"), s)
+
+    pa, sa, la = step(p, s, toks, tgts)
+    pb, sb, lb = step(p2, s2, toks, tgts)
+    assert float(la) == float(lb)
+    for a, b in zip(jax.tree.leaves(pa), jax.tree.leaves(pb)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -439,3 +439,36 @@ def test_tp_decode_matches_single_device():
         np.asarray(toks_tp), np.asarray(toks_ref)
     )
     assert int(new_state.lengths[0]) == L + chunk
+
+
+def test_ulysses_kpad_and_segments():
+    from nnop_tpu.parallel.ulysses import ulysses_attention
+
+    n = 4
+    mesh = make_mesh(seq=n)
+    B, H, L, E = 2, 4, 256, 32
+    ks = jax.random.split(jax.random.key(3), 5)
+    q = jax.random.normal(ks[0], (B, H, L, E), jnp.float32)
+    k = jax.random.normal(ks[1], (B, H, L, E), jnp.float32)
+    v = jax.random.normal(ks[2], (B, H, L, E), jnp.float32)
+    kpad = (jax.random.uniform(ks[3], (B, L)) > 0.2).at[:, 0].set(True)
+    seg = jnp.cumsum(
+        jax.random.uniform(ks[4], (B, L)) > 0.97, axis=-1
+    ).astype(jnp.int32)
+
+    uly = shard_map(
+        lambda q, k, v, kp, qs, kvs: ulysses_attention(
+            q, k, v, "seq", False, None, kpad_mask=kp,
+            segment_ids=(qs, kvs),
+        ),
+        mesh=mesh,
+        in_specs=(
+            (P(None, None, "seq", None),) * 3
+            + (P(None, "seq"),) * 3
+        ),
+        out_specs=P(None, None, "seq", None),
+        check_rep=False,
+    )
+    got = jax.jit(uly)(q, k, v, kpad, seg, seg)
+    want = naive_attention(q, k, v, kpad_mask=kpad, segment_ids=(seg, seg))
+    np.testing.assert_allclose(got, want, atol=1e-3, rtol=1e-3)
