@@ -13,13 +13,19 @@ TPU-first kernel — not a translation:
 * The reference saves separate row-max `ms` and denominator `ls`
   (attention.jl:128-129); this build saves the single standard
   LSE = m + log(l) residual.
-* Grid = (B, QH, q_blocks, kv_blocks) with the KV dimension innermost and
-  sequential; the online state (m, l, acc) lives in VMEM scratch across KV
-  steps. GQA folds into the K/V index maps (kv_head = q_head // group,
+* Two kernel families (round 2). FAST PATH for featureless aligned
+  shapes: fully STATIC strip kernels — one pallas_call per causal q-block
+  strip with a static KV width (`_fwd_causal_multicall`, realizing the 2x
+  causal flop saving: 27.6 -> 59.6 TF/s measured), and a full-width
+  static kernel for non-causal (`_fwd_rect_static`). Softmax state lives
+  in VALUES (no scratch, no pl.when, no dynamic addressing) — at E=64
+  the per-grid-step fixed machinery otherwise dominates (NOTES.md).
+  GENERAL PATH (`_fwd_kernel_rect`): grid (B, QH, q_blocks, kv_blocks)
+  with scratch online state, serving pair bias / kpad / segments /
+  ragged tails / chunked-prefill offsets; causal tile-skip via clamped
+  index maps + predicates (the reference's `end_iter`, attention.jl:47).
+* GQA folds into the K/V index maps (kv_head = q_head // group,
   mirroring attention.jl:14,28).
-* Causal tile-skip (attention.jl:47 `end_iter`): K/V/pair index maps clamp
-  the KV block index to the last needed block, so Pallas skips the DMA for
-  masked-out tiles, and a `pl.when` predicate skips the compute.
 
 Feature parity (SURVEY.md §2.6): causal mask by absolute position
 (attention.jl:67-72), key-padding mask for varlen (attention.jl:73-79),

@@ -472,3 +472,53 @@ def test_ulysses_kpad_and_segments():
     got = jax.jit(uly)(q, k, v, kpad, seg, seg)
     want = naive_attention(q, k, v, kpad_mask=kpad, segment_ids=(seg, seg))
     np.testing.assert_allclose(got, want, atol=1e-3, rtol=1e-3)
+
+
+def test_tp_decode_int8_close_to_single_device():
+    """TP decode with INT8 caches: per-shard quantization in the flush
+    is per-(head, token), so shard-local quant == global quant and the
+    greedy tokens must match the single-device int8 engine."""
+    import dataclasses
+
+    from nnop_tpu.models.llama import LlamaConfig, init_params
+    from nnop_tpu.runtime.engine import init_state, make_decode_chunk
+    from nnop_tpu.parallel.tp_decode import (
+        make_tp_decode_chunk, shard_decode_params, shard_decode_state,
+    )
+
+    cfg = LlamaConfig.tiny(dtype=jnp.float32, n_heads=4, n_kv_heads=2)
+    params = init_params(jax.random.key(0), cfg)
+    B, L, S, chunk = 2, 10, 128, 5
+
+    def mk_state():
+        st = init_state(cfg, B, S, quantized=True, chunk=chunk)
+        ks = jax.random.split(jax.random.key(9), 2)
+        kv_shape = (cfg.n_layers, B, cfg.n_kv_heads, S, cfg.head_dim)
+        kf = jax.random.normal(ks[0], kv_shape, jnp.float32) * 0.3
+        vf = jax.random.normal(ks[1], kv_shape, jnp.float32) * 0.3
+        amax = jnp.maximum(jnp.max(jnp.abs(kf), -1), 1e-8)
+        ksc = amax / 127.0
+        vsc = jnp.maximum(jnp.max(jnp.abs(vf), -1), 1e-8) / 127.0
+        mask4 = (jnp.arange(S) < L)[None, None, None, :]
+        return dataclasses.replace(
+            st,
+            k=jnp.clip(jnp.round(kf / ksc[..., None]), -127, 127).astype(jnp.int8),
+            v=jnp.clip(jnp.round(vf / vsc[..., None]), -127, 127).astype(jnp.int8),
+            k_scale=jnp.where(mask4, ksc, 0.0),
+            v_scale=jnp.where(mask4, vsc, 0.0),
+            lengths=jnp.full((B,), L, jnp.int32),
+            last_token=jnp.array([5, 9], jnp.int32),
+        )
+
+    key = jax.random.key(2)
+    toks_ref, _ = jax.jit(make_decode_chunk(cfg, True, chunk))(
+        params, mk_state(), key
+    )
+    mesh = make_mesh(model=2)
+    tp_chunk = make_tp_decode_chunk(mesh, cfg, True, chunk)
+    toks_tp, _ = tp_chunk(
+        shard_decode_params(params, mesh, cfg),
+        shard_decode_state(mk_state(), mesh),
+        key,
+    )
+    np.testing.assert_array_equal(np.asarray(toks_tp), np.asarray(toks_ref))
