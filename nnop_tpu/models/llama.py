@@ -14,6 +14,7 @@ weight-only INT8 matmuls (ops/quantized_matmul.py).
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Any
 
 import jax
@@ -26,6 +27,22 @@ from nnop_tpu.ops.rope import RotaryEmbedding, llama_rope
 
 @dataclasses.dataclass(frozen=True)
 class LlamaConfig:
+    """Decoder-transformer config covering the Llama lineage of families.
+
+    Family knobs (all default to Llama-3 semantics):
+      sliding_window: Mistral — causal attention restricted to the last
+        `sliding_window` keys (kernel support: flash_attention(window=),
+        decode_attention(window=)).
+      rms_offset: Gemma — rms_norm computes (offset + w) * x_hat, so
+        weights store w - 1 ("zero-centered"). The fused rms_norm kernel
+        carries this natively (reference parity: rms_norm.jl:117).
+      act: "silu" (Llama/Mistral/Qwen SwiGLU) or "gelu" (Gemma GeGLU).
+      qkv_bias: Qwen2 — additive bias on the q/k/v projections only.
+      tie_embeddings: lm_head = embed^T (Gemma, Qwen2-small).
+      embed_scale: multiply embeddings by this after lookup (Gemma:
+        sqrt(dim)).
+    """
+
     vocab_size: int = 128256
     dim: int = 4096
     n_layers: int = 32
@@ -37,10 +54,70 @@ class LlamaConfig:
     rms_eps: float = 1e-5
     max_seq_len: int = 8192
     dtype: Any = jnp.bfloat16
+    sliding_window: int | None = None
+    rms_offset: float = 0.0
+    act: str = "silu"
+    qkv_bias: bool = False
+    tie_embeddings: bool = False
+    embed_scale: float | None = None
 
     @staticmethod
     def llama3_8b(**kw):
         return LlamaConfig(**kw)
+
+    @staticmethod
+    def mistral_7b(**kw):
+        defaults = dict(
+            vocab_size=32000,
+            dim=4096,
+            n_layers=32,
+            n_heads=32,
+            n_kv_heads=8,
+            head_dim=128,
+            hidden_dim=14336,
+            rope_base=10000.0,
+            rms_eps=1e-5,
+            sliding_window=4096,
+        )
+        defaults.update(kw)
+        return LlamaConfig(**defaults)
+
+    @staticmethod
+    def gemma_2b(**kw):
+        defaults = dict(
+            vocab_size=256000,
+            dim=2048,
+            n_layers=18,
+            n_heads=8,
+            n_kv_heads=1,
+            head_dim=256,
+            hidden_dim=16384,
+            rope_base=10000.0,
+            rms_eps=1e-6,
+            rms_offset=1.0,
+            act="gelu",
+            tie_embeddings=True,
+            embed_scale=2048.0**0.5,
+        )
+        defaults.update(kw)
+        return LlamaConfig(**defaults)
+
+    @staticmethod
+    def qwen2_7b(**kw):
+        defaults = dict(
+            vocab_size=152064,
+            dim=3584,
+            n_layers=28,
+            n_heads=28,
+            n_kv_heads=4,
+            head_dim=128,
+            hidden_dim=18944,
+            rope_base=1000000.0,
+            rms_eps=1e-6,
+            qkv_bias=True,
+        )
+        defaults.update(kw)
+        return LlamaConfig(**defaults)
 
     @staticmethod
     def tiny(**kw):
@@ -70,28 +147,39 @@ def init_params(key: jax.Array, cfg: LlamaConfig):
             cfg.dtype
         )
 
+    # Gemma-style zero-centered norm weights: kernel computes
+    # (rms_offset + w) * x_hat, so identity-init w is 1 - offset
+    norm_init = 1.0 - cfg.rms_offset
+
     def layer(k):
         ks = jax.random.split(k, 7)
-        return {
-            "attn_norm": jnp.ones((d,), cfg.dtype),
+        out = {
+            "attn_norm": jnp.full((d,), norm_init, cfg.dtype),
             "wq": dense(ks[0], (d, cfg.n_heads * hd)),
             "wk": dense(ks[1], (d, cfg.n_kv_heads * hd)),
             "wv": dense(ks[2], (d, cfg.n_kv_heads * hd)),
             "wo": dense(ks[3], (cfg.n_heads * hd, d)),
-            "mlp_norm": jnp.ones((d,), cfg.dtype),
+            "mlp_norm": jnp.full((d,), norm_init, cfg.dtype),
             "w_gate": dense(ks[4], (d, cfg.hidden_dim)),
             "w_up": dense(ks[5], (d, cfg.hidden_dim)),
             "w_down": dense(ks[6], (cfg.hidden_dim, d)),
         }
+        if cfg.qkv_bias:
+            out["bq"] = jnp.zeros((cfg.n_heads * hd,), cfg.dtype)
+            out["bk"] = jnp.zeros((cfg.n_kv_heads * hd,), cfg.dtype)
+            out["bv"] = jnp.zeros((cfg.n_kv_heads * hd,), cfg.dtype)
+        return out
 
-    return {
+    params = {
         "embed": (
             jax.random.normal(keys[0], (cfg.vocab_size, d), jnp.float32) * 0.02
         ).astype(cfg.dtype),
         "layers": [layer(keys[i + 1]) for i in range(cfg.n_layers)],
-        "final_norm": jnp.ones((d,), cfg.dtype),
-        "lm_head": dense(keys[-1], (d, cfg.vocab_size)),
+        "final_norm": jnp.full((d,), norm_init, cfg.dtype),
     }
+    if not cfg.tie_embeddings:
+        params["lm_head"] = dense(keys[-1], (d, cfg.vocab_size))
+    return params
 
 
 def _split_heads(x, n_heads, head_dim):
@@ -114,11 +202,15 @@ def attention_block(layer, x, cos, sin, cfg: LlamaConfig, *, kv_cache=None,
     end-to-end slice") plus KV-cache support for decode.
     """
     mm = matmul or (lambda x, w: jnp.einsum("bld,do->blo", x, w))
-    h = rms_norm(x, layer["attn_norm"], cfg.rms_eps)
-    q = _split_heads(mm(h, layer["wq"]), cfg.n_heads, cfg.head_dim)
-    k = _split_heads(mm(h, layer["wk"]), cfg.n_kv_heads, cfg.head_dim)
-    v = _split_heads(mm(h, layer["wv"]), cfg.n_kv_heads, cfg.head_dim)
+    h = rms_norm(x, layer["attn_norm"], cfg.rms_eps, offset=cfg.rms_offset)
+    xq, xk, xv = mm(h, layer["wq"]), mm(h, layer["wk"]), mm(h, layer["wv"])
+    if cfg.qkv_bias:
+        xq, xk, xv = xq + layer["bq"], xk + layer["bk"], xv + layer["bv"]
+    q = _split_heads(xq, cfg.n_heads, cfg.head_dim)
+    k = _split_heads(xk, cfg.n_kv_heads, cfg.head_dim)
+    v = _split_heads(xv, cfg.n_kv_heads, cfg.head_dim)
     q, k = llama_rope(q, k, cos, sin)
+    window = cfg.sliding_window
 
     new_cache = None
     if kv_cache is not None:
@@ -137,6 +229,7 @@ def attention_block(layer, x, cos, sin, cfg: LlamaConfig, *, kv_cache=None,
                 lengths,
                 new_cache.k_scale,
                 new_cache.v_scale,
+                window=window,
             )
         else:
             # chunked prefill: the incoming L>1 block may land in a
@@ -160,17 +253,24 @@ def attention_block(layer, x, cos, sin, cfg: LlamaConfig, *, kv_cache=None,
                 vf.astype(q.dtype),
                 causal_offset=kv_cache.length,
                 kpad_mask=valid,
+                window=window,
             )
         return x + mm(_merge_heads(o.astype(x.dtype)), layer["wo"]), new_cache
 
-    o = flash_attention(q, k, v, causal=causal, kpad_mask=kpad_mask)
+    o = flash_attention(
+        q, k, v, causal=causal, kpad_mask=kpad_mask,
+        window=window if causal else None,
+    )
     return x + mm(_merge_heads(o.astype(x.dtype)), layer["wo"]), new_cache
 
 
 def mlp_block(layer, x, cfg: LlamaConfig, *, matmul=None):
     mm = matmul or (lambda x, w: jnp.einsum("bld,do->blo", x, w))
-    h = rms_norm(x, layer["mlp_norm"], cfg.rms_eps)
-    gate = jax.nn.silu(mm(h, layer["w_gate"]).astype(jnp.float32))
+    h = rms_norm(x, layer["mlp_norm"], cfg.rms_eps, offset=cfg.rms_offset)
+    act = jax.nn.silu if cfg.act == "silu" else functools.partial(
+        jax.nn.gelu, approximate=True
+    )
+    gate = act(mm(h, layer["w_gate"]).astype(jnp.float32))
     up = mm(h, layer["w_up"]).astype(jnp.float32)
     return x + mm((gate * up).astype(x.dtype), layer["w_down"])
 
@@ -186,6 +286,8 @@ def forward(params, tokens, cfg: LlamaConfig, *, positions=None,
     if positions is None:
         positions = jnp.broadcast_to(jnp.arange(L, dtype=jnp.int32)[None], (B, L))
     x = params["embed"][tokens]
+    if cfg.embed_scale is not None:
+        x = (x.astype(jnp.float32) * cfg.embed_scale).astype(x.dtype)
     rope = RotaryEmbedding(cfg.head_dim, cfg.rope_base)
     cos, sin = rope(positions)
     new_caches = [] if kv_caches is not None else None
@@ -198,9 +300,14 @@ def forward(params, tokens, cfg: LlamaConfig, *, positions=None,
         if new_caches is not None:
             new_caches.append(new_cache)
         x = mlp_block(layer, x, cfg, matmul=matmul)
-    x = rms_norm(x, params["final_norm"], cfg.rms_eps)
+    x = rms_norm(x, params["final_norm"], cfg.rms_eps, offset=cfg.rms_offset)
     mm = matmul or (lambda x, w: jnp.einsum("bld,do->blo", x, w))
-    logits = mm(x, params["lm_head"]).astype(jnp.float32)
+    if cfg.tie_embeddings:
+        logits = jnp.einsum(
+            "bld,vd->blv", x, params["embed"]
+        ).astype(jnp.float32)
+    else:
+        logits = mm(x, params["lm_head"]).astype(jnp.float32)
     if kv_caches is not None:
         return logits, new_caches
     return logits

@@ -82,6 +82,7 @@ def _attn_step(
     precision,
     row_offset=0,
     block_k_inner=None,
+    window=None,
 ):
     """One online-softmax step over a KV block.
 
@@ -133,6 +134,10 @@ def _attn_step(
             jnp.int32, (block_q, block_k), 1
         )
         cm = rows >= cols
+        if window is not None:
+            # sliding window (Mistral): q attends only the last `window`
+            # keys — rows - cols < window, self included
+            cm = jnp.logical_and(cm, rows - cols < window)
         mask = cm if mask is None else jnp.logical_and(mask, cm)
 
     if mask is not None:
@@ -191,6 +196,7 @@ def _fwd_kernel_rect(
     block_k_inner=None,
     kv_len,
     precision,
+    window=None,
 ):
     idx = 0
     offset_ref = None
@@ -228,6 +234,13 @@ def _fwd_kernel_rect(
     active = True
     if causal:
         active = ik * block_k <= iq * block_q + row_offset + block_q - 1
+        if window is not None:
+            # block fully left of every row's window -> dead
+            live_left = (
+                ik * block_k + block_k - 1
+                >= iq * block_q + row_offset - (window - 1)
+            )
+            active = jnp.logical_and(active, live_left)
 
     @pl.when(active)
     def _step():
@@ -253,6 +266,7 @@ def _fwd_kernel_rect(
             precision=precision,
             row_offset=row_offset,
             block_k_inner=block_k_inner,
+            window=window,
         )
 
     @pl.when(ik == num_kv - 1)
@@ -512,7 +526,7 @@ def default_blocks(
     return bq, bk
 
 
-def _fwd_impl(q, k, v, pair, kpad, causal, scale, block_q=None, block_k=None, precision=None, causal_offset=None, segment_ids=None):
+def _fwd_impl(q, k, v, pair, kpad, causal, scale, block_q=None, block_k=None, precision=None, causal_offset=None, segment_ids=None, window=None):
     B, QH, QL, E = q.shape
     _, KH, KL, _ = k.shape
     group = QH // KH
@@ -537,7 +551,9 @@ def _fwd_impl(q, k, v, pair, kpad, causal, scale, block_q=None, block_k=None, pr
     ]
 
     has_offset = causal_offset is not None
-    featureless = not (has_pair or has_kpad or has_seg or has_offset)
+    featureless = not (
+        has_pair or has_kpad or has_seg or has_offset or window is not None
+    )
     if (
         causal
         and featureless
@@ -557,8 +573,15 @@ def _fwd_impl(q, k, v, pair, kpad, causal, scale, block_q=None, block_k=None, pr
         return _fwd_rect_static(q, k, v, scale, precision, bq)
 
     if causal and not has_offset:
-        def kv_idx(iq, ik):
-            return jnp.minimum(ik, (iq * bq + bq - 1) // bk)
+        if window is not None:
+            # clamp both sides: above-diagonal blocks reuse the diagonal
+            # block's DMA, window-dead left blocks reuse the first live one
+            def kv_idx(iq, ik):
+                lo = jnp.maximum(0, (iq * bq - (window - 1)) // bk)
+                return jnp.clip(ik, lo, (iq * bq + bq - 1) // bk)
+        else:
+            def kv_idx(iq, ik):
+                return jnp.minimum(ik, (iq * bq + bq - 1) // bk)
     else:
         def kv_idx(iq, ik):
             return ik
@@ -620,6 +643,7 @@ def _fwd_impl(q, k, v, pair, kpad, causal, scale, block_q=None, block_k=None, pr
         block_k=bk,
         kv_len=KL,
         precision=precision,
+        window=window,
     )
     o, lse = pl.pallas_call(
         kernel,
@@ -661,30 +685,30 @@ def _validate(q, k, v, pair, kpad_mask):
             raise ValueError(f"kpad_mask shape {kpad_mask.shape}, expected {expect}")
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
-def _flash_attention(q, k, v, pair, kpad_mask, segment_ids, causal, scale, precision):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9))
+def _flash_attention(q, k, v, pair, kpad_mask, segment_ids, causal, scale, precision, window):
     o, _ = _fwd_impl(
         q, k, v, pair, kpad_mask, causal, scale, precision=precision,
-        segment_ids=segment_ids,
+        segment_ids=segment_ids, window=window,
     )
     return o
 
 
-def _vjp_fwd(q, k, v, pair, kpad_mask, segment_ids, causal, scale, precision):
+def _vjp_fwd(q, k, v, pair, kpad_mask, segment_ids, causal, scale, precision, window):
     o, lse = _fwd_impl(
         q, k, v, pair, kpad_mask, causal, scale, precision=precision,
-        segment_ids=segment_ids,
+        segment_ids=segment_ids, window=window,
     )
     return o, (q, k, v, pair, kpad_mask, segment_ids, o, lse)
 
 
-def _vjp_bwd(causal, scale, precision, res, do):
+def _vjp_bwd(causal, scale, precision, window, res, do):
     from nnop_tpu.ops.flash_attention_bwd import flash_attention_bwd
 
     q, k, v, pair, kpad_mask, segment_ids, o, lse = res
     dq, dk, dv, dpair = flash_attention_bwd(
         q, k, v, pair, kpad_mask, o, lse, do, causal=causal, scale=scale,
-        precision=precision, segment_ids=segment_ids,
+        precision=precision, segment_ids=segment_ids, window=window,
     )
     return dq, dk, dv, dpair, None, None
 
@@ -701,18 +725,19 @@ def flash_attention_chunked(
     kpad_mask=None,
     scale: float | None = None,
     precision=None,
+    window: int | None = None,
 ):
     """Causal attention for CHUNKED PREFILL: query rows are a chunk whose
     global positions start at `causal_offset` (the live cache length — may
     be a traced scalar); keys span the whole cache. Inference-only (no
     custom VJP). Row i attends cols <= causal_offset + i, intersected with
-    kpad_mask."""
+    kpad_mask (and the sliding `window`, if set)."""
     _validate(q, k, v, None, kpad_mask)
     if scale is None:
         scale = 1.0 / (q.shape[-1] ** 0.5)
     o, _ = _fwd_impl(
         q, k, v, None, kpad_mask, True, float(scale),
-        precision=precision, causal_offset=causal_offset,
+        precision=precision, causal_offset=causal_offset, window=window,
     )
     return o
 
@@ -728,6 +753,7 @@ def flash_attention(
     segment_ids=None,
     scale: float | None = None,
     precision=None,
+    window: int | None = None,
 ):
     """Fused multi-head attention with online softmax.
 
@@ -746,10 +772,22 @@ def flash_attention(
         attention.jl:154).
       precision: lax.Precision for the MXU dots (None = default; pass
         "highest" for full-f32 accuracy on TPU at ~3x matmul cost).
+      window: optional sliding-window size (requires causal) — each query
+        attends only its last `window` keys, q_pos - k_pos < window
+        (Mistral convention; north-star extension, no reference
+        counterpart). Window-dead KV blocks are skipped via clamped index
+        maps + predicates, so long-context cost is O(L * window).
     """
     _validate(q, k, v, pair, kpad_mask)
+    if window is not None:
+        if not causal:
+            raise ValueError("window requires causal=True")
+        if window < 1:
+            raise ValueError(f"window must be >= 1, got {window}")
+        window = int(window)
     if scale is None:
         scale = 1.0 / (q.shape[-1] ** 0.5)
     return _flash_attention(
-        q, k, v, pair, kpad_mask, segment_ids, causal, float(scale), precision
+        q, k, v, pair, kpad_mask, segment_ids, causal, float(scale), precision,
+        window,
     )

@@ -56,6 +56,7 @@ def _recompute_p_ds(
     row0,
     col0,
     precision=None,
+    window=None,
 ):
     """Shared score/P/dS recompute for both backward kernels.
 
@@ -106,6 +107,8 @@ def _recompute_p_ds(
         rows = row0 + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
         cols = col0 + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
         cm = rows >= cols
+        if window is not None:
+            cm = jnp.logical_and(cm, rows - cols < window)
         mask = cm if mask is None else jnp.logical_and(mask, cm)
 
     if mask is not None:
@@ -137,6 +140,7 @@ def _dq_kernel(
     q_len,
     kv_len,
     precision=None,
+    window=None,
 ):
     idx = 0
     q_ref = refs[idx]; idx += 1
@@ -170,6 +174,11 @@ def _dq_kernel(
     active = True
     if causal and not has_pair:
         active = ik * block_k <= iq * block_q + block_q - 1
+        if window is not None:
+            active = jnp.logical_and(
+                active,
+                ik * block_k + block_k - 1 >= iq * block_q - (window - 1),
+            )
 
     @pl.when(active)
     def _step():
@@ -193,6 +202,7 @@ def _dq_kernel(
             row0=iq * block_q,
             col0=ik * block_k,
             precision=precision,
+            window=window,
         )
         if has_pair:
             # dpair = dS before the scale factor (attention_bwd.jl:123-132)
@@ -228,6 +238,7 @@ def _dkv_kernel(
     kv_len,
     group,
     precision=None,
+    window=None,
 ):
     idx = 0
     q_ref = refs[idx]; idx += 1
@@ -260,6 +271,12 @@ def _dkv_kernel(
     active = True
     if causal and not has_pair:
         active = iq * block_q + block_q - 1 >= ikv * block_k
+        if window is not None:
+            # q rows starting past the last col's window -> dead
+            active = jnp.logical_and(
+                active,
+                iq * block_q - (ikv * block_k + block_k - 1) < window,
+            )
 
     @pl.when(active)
     def _step():
@@ -288,6 +305,7 @@ def _dkv_kernel(
             row0=iq * block_q,
             col0=ikv * block_k,
             precision=precision,
+            window=window,
         )
         dv_acc[...] += jax.lax.dot_general(
             p.astype(do.dtype),
@@ -544,7 +562,7 @@ def _bwd_rect_static(q, k, v, lse, delta, do, scale, precision, bq):
 
 def flash_attention_bwd(
     q, k, v, pair, kpad_mask, o, lse, do, *, causal: bool, scale: float,
-    precision=None, segment_ids=None,
+    precision=None, segment_ids=None, window=None,
 ):
     """Equivalent of /root/reference/src/attention_bwd.jl:199 ∇flash_attention."""
     B, QH, QL, E = q.shape
@@ -565,6 +583,7 @@ def flash_attention_bwd(
     if (
         causal
         and not (has_pair or has_kpad or has_seg)
+        and window is None
         and QL == KL
         and QL % bq == 0
         and 1 < QL // bq <= 8
@@ -598,8 +617,13 @@ def flash_attention_bwd(
 
     # ---------------- dQ (+ dpair) kernel: grid (B, QH, num_q, num_kv) ---
     if skip:
-        def kv_idx(iq, ik):
-            return jnp.minimum(ik, (iq * bq + bq - 1) // bk)
+        if window is not None:
+            def kv_idx(iq, ik):
+                lo = jnp.maximum(0, (iq * bq - (window - 1)) // bk)
+                return jnp.clip(ik, lo, (iq * bq + bq - 1) // bk)
+        else:
+            def kv_idx(iq, ik):
+                return jnp.minimum(ik, (iq * bq + bq - 1) // bk)
     else:
         def kv_idx(iq, ik):
             return ik
@@ -665,6 +689,7 @@ def flash_attention_bwd(
         q_len=QL,
         kv_len=KL,
         precision=precision,
+        window=window,
     )
     dq_res = pl.pallas_call(
         dq_kernel,
@@ -686,8 +711,16 @@ def flash_attention_bwd(
 
     # ------------- dK/dV kernel: grid (B, KH, num_kv, group, num_q) ------
     if skip:
-        def q_idx(ikv, iq):
-            return jnp.maximum(iq, (ikv * bk) // bq)
+        if window is not None:
+            def q_idx(ikv, iq):
+                hi = jnp.minimum(
+                    num_q - 1,
+                    (ikv * bk + bk - 1 + window - 1) // bq,
+                )
+                return jnp.clip(iq, (ikv * bk) // bq, hi)
+        else:
+            def q_idx(ikv, iq):
+                return jnp.maximum(iq, (ikv * bk) // bq)
     else:
         def q_idx(ikv, iq):
             return iq
@@ -755,6 +788,7 @@ def flash_attention_bwd(
         kv_len=KL,
         group=group,
         precision=precision,
+        window=window,
     )
     dk, dv = pl.pallas_call(
         dkv_kernel,

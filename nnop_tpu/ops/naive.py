@@ -84,12 +84,16 @@ def naive_attention(
     kpad_mask=None,
     segment_ids=None,
     scale: float | None = None,
+    window: int | None = None,
 ):
     """Reference attention, mirroring test/attention_testsetup.jl:10-45.
 
     GQA via head-repeat (Einops repeat equivalent), causal mask by absolute
     position q_pos >= k_pos (attention.jl:67-72), pad mask additive -inf
     (attention.jl:73-79), pair bias added to scores (attention.jl:59-64).
+    `window` (with causal) restricts each query to the last `window` keys:
+    q_pos - k_pos < window (Mistral sliding-window convention, self
+    included) — a north-star extension, no reference counterpart.
     """
     B, QH, QL, E = q.shape
     _, KH, KL, _ = k.shape
@@ -111,6 +115,8 @@ def naive_attention(
         qi = jnp.arange(QL)[:, None]
         ki = jnp.arange(KL)[None, :]
         s = jnp.where(qi >= ki, s, neg)
+        if window is not None:
+            s = jnp.where(qi - ki < window, s, neg)
     if kpad_mask is not None:
         s = jnp.where(kpad_mask[:, None, None, :], s, neg)
     if segment_ids is not None:
