@@ -59,6 +59,7 @@ def _decode_kernel(
     cache_len: int,
     staged: bool = False,
     stacked: bool = False,
+    window: int | None = None,
 ):
     rest = list(rest)
     ks_ref = vs_ref = kst_ref = vst_ref = stn_ref = None
@@ -77,6 +78,9 @@ def _decode_kernel(
     ik = pl.program_id(1)
     length = lengths_ref[b]
     G = group
+    # total live keys incl. staging; the query token is the LAST of them,
+    # so with a sliding window only cols >= total - window attend
+    n_st = stn_ref[0] if staged else 0
 
     @pl.when(ik == 0)
     def _init():
@@ -84,12 +88,20 @@ def _decode_kernel(
         l_scr[...] = jnp.zeros_like(l_scr)
         acc[...] = jnp.zeros_like(acc)
 
-    @pl.when(ik * block_k < length)
+    live = ik * block_k < length
+    if window is not None:
+        live = jnp.logical_and(
+            live, ik * block_k + block_k - 1 >= length + n_st - window
+        )
+
+    @pl.when(live)
     def _step():
         cols = ik * block_k + jax.lax.broadcasted_iota(
             jnp.int32, (G, block_k), 1
         )
         mask = cols < length
+        if window is not None:
+            mask = jnp.logical_and(mask, cols >= length + n_st - window)
         for kh in range(n_kv_heads):
             sl = slice(kh * G, (kh + 1) * G)
             q = q_ref[0, kh]
@@ -152,10 +164,12 @@ def _decode_kernel(
         def _staging():
             # attend the un-flushed staging tokens (bf16, no dequant):
             # global positions [length, length + n_st)
-            n_st = stn_ref[0]
             W = kst_ref.shape[-2]
             cols = jax.lax.broadcasted_iota(jnp.int32, (G, W), 1)
             mask = jnp.logical_and(cols < n_st, length > 0)
+            if window is not None:
+                # staging col j is global position length + j
+                mask = jnp.logical_and(mask, cols >= n_st - window)
             for kh in range(n_kv_heads):
                 sl = slice(kh * G, (kh + 1) * G)
                 q = q_ref[0, kh]
@@ -207,6 +221,7 @@ def decode_attention(
     v_stage=None,
     staged_n=None,
     layer: int | None = None,
+    window: int | None = None,
 ):
     """Single-token decode attention over a (possibly INT8) KV cache.
 
@@ -225,6 +240,12 @@ def decode_attention(
         engine's layout — pass the static layer index. The layer slice is
         taken by the BlockSpec index maps, so no per-layer slice copy of
         the cache is ever materialized.
+      window: optional sliding-window size (Mistral serving): the query
+        attends only the last `window` keys. Window-dead cache blocks are
+        skipped (predicate + conservative low index clamp), so the KV
+        stream read per step is O(window), not O(length) — the cache
+        layout stays linear (memory is still O(length); a rolling-buffer
+        cache is a possible future optimization).
     Returns (B, QH, 1, E) in q.dtype.
     """
     B, QH, _, E = q.shape
@@ -246,14 +267,23 @@ def decode_attention(
         # clamp past the last live block: repeated index -> DMA skipped
         return jnp.maximum((lens[b] + bk - 1) // bk - 1, 0)
 
+    def kv_clamp(b, ik, lens):
+        hi = kv_last(b, lens)
+        if window is None:
+            return jnp.minimum(ik, hi)
+        # conservative low clamp (ignores staging occupancy <= flush
+        # window): window-dead left blocks reuse the first live DMA
+        lo = jnp.minimum(jnp.maximum((lens[b] - window) // bk, 0), hi)
+        return jnp.clip(ik, lo, hi)
+
     if stacked:
         def kv_idx(b, ik, lens):
-            return (layer, b, 0, jnp.minimum(ik, kv_last(b, lens)), 0)
+            return (layer, b, 0, kv_clamp(b, ik, lens), 0)
 
         kv_block = (1, 1, KH, bk, E)
     else:
         def kv_idx(b, ik, lens):
-            return (b, 0, jnp.minimum(ik, kv_last(b, lens)), 0)
+            return (b, 0, kv_clamp(b, ik, lens), 0)
 
         kv_block = (1, KH, bk, E)
 
@@ -268,7 +298,7 @@ def decode_attention(
             sc_spec = pl.BlockSpec(
                 (1, 1, KH, 1, bk),
                 lambda b, ik, lens: (
-                    layer, b, 0, 0, jnp.minimum(ik, kv_last(b, lens))
+                    layer, b, 0, 0, kv_clamp(b, ik, lens)
                 ),
             )
             operands += [
@@ -279,7 +309,7 @@ def decode_attention(
             sc_spec = pl.BlockSpec(
                 (1, KH, 1, bk),
                 lambda b, ik, lens: (
-                    b, 0, 0, jnp.minimum(ik, kv_last(b, lens))
+                    b, 0, 0, kv_clamp(b, ik, lens)
                 ),
             )
             operands += [k_scale[:, :, None, :], v_scale[:, :, None, :]]
@@ -316,6 +346,7 @@ def decode_attention(
         cache_len=S,
         staged=staged,
         stacked=stacked,
+        window=window,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,

@@ -50,6 +50,7 @@ def _paged_kernel(
     staged: bool,
     num_pages_grid: int,
     stacked: bool = False,
+    window: int | None = None,
 ):
     rest = list(rest)
     ks_ref = vs_ref = kst_ref = vst_ref = stn_ref = None
@@ -67,6 +68,9 @@ def _paged_kernel(
     j = pl.program_id(1)  # page slot within the sequence
     length = lengths_ref[b]
     G = group
+    # total live keys incl. staging; the query token is the LAST of them,
+    # so with a sliding window only cols >= total - window attend
+    n_st = stn_ref[0] if staged else 0
 
     @pl.when(j == 0)
     def _init():
@@ -94,12 +98,20 @@ def _paged_kernel(
         )
         acc[sl, :] = acc[sl, :] * alpha + pv
 
-    @pl.when(j * page_size < length)
+    live = j * page_size < length
+    if window is not None:
+        live = jnp.logical_and(
+            live, j * page_size + page_size - 1 >= length + n_st - window
+        )
+
+    @pl.when(live)
     def _step():
         cols = j * page_size + jax.lax.broadcasted_iota(
             jnp.int32, (G, page_size), 1
         )
         mask = cols < length
+        if window is not None:
+            mask = jnp.logical_and(mask, cols >= length + n_st - window)
         for kh in range(n_kv_heads):
             q = q_ref[0, kh]
             k = k_ref[(*lead, kh)]
@@ -144,10 +156,12 @@ def _paged_kernel(
 
         @pl.when(j == num_pages_grid - 1)
         def _staging():
-            n_st = stn_ref[0]
             W = kst_ref.shape[-2]
             cols = jax.lax.broadcasted_iota(jnp.int32, (G, W), 1)
             mask = jnp.logical_and(cols < n_st, length > 0)
+            if window is not None:
+                # staging col c is global position length + c
+                mask = jnp.logical_and(mask, cols >= n_st - window)
             for kh in range(n_kv_heads):
                 q = q_ref[0, kh]
                 s = jax.lax.dot_general(
@@ -180,6 +194,7 @@ def paged_decode_attention(
     v_stage=None,
     staged_n=None,
     layer: int | None = None,
+    window: int | None = None,
 ):
     """Single-token decode over a paged KV pool.
 
@@ -193,6 +208,10 @@ def paged_decode_attention(
       pool_k_scale/pool_v_scale: (n_pages, KH, page_size) fp32 for int8.
       k_stage/v_stage/staged_n: optional bf16 staging of recent un-flushed
         tokens, (B, KH, W, E) — as in ops/attention_decode.py.
+      window: optional sliding-window size (Mistral serving): the query
+        attends only the last `window` keys. Window-dead pages are skipped
+        (predicate + conservative low page clamp), so the pool read per
+        step is O(window) regardless of context length.
     Returns (B, QH, 1, E).
     """
     B, QH, _, E = q.shape
@@ -209,7 +228,15 @@ def paged_decode_attention(
 
     def page_of(b, j, table, lens):
         last = jnp.maximum((lens[b] + page_size - 1) // page_size - 1, 0)
-        return table[b, jnp.minimum(j, last)]
+        if window is None:
+            return table[b, jnp.minimum(j, last)]
+        # conservative low clamp (ignores staging occupancy, which only
+        # moves the window start right): window-dead left pages reuse the
+        # first live page's DMA
+        lo = jnp.minimum(
+            jnp.maximum((lens[b] - window) // page_size, 0), last
+        )
+        return table[b, jnp.clip(j, lo, last)]
 
     if stacked:
         def page_idx(b, j, table, lens):
@@ -280,6 +307,7 @@ def paged_decode_attention(
         staged=staged,
         num_pages_grid=max_pages,
         stacked=stacked,
+        window=window,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,

@@ -53,6 +53,64 @@ def _mm(x, w):
 INT8_MAX = 127.0
 
 
+# ---- family-aware building blocks (shared by every engine path) --------
+# The LlamaConfig family knobs (models/llama.py: sliding_window,
+# rms_offset, act, qkv_bias, tie_embeddings, embed_scale) are honored by
+# the serving engine through these helpers so Mistral/Gemma/Qwen configs
+# serve through the same fast path as Llama.
+
+
+def _embed_tokens(params, cfg: LlamaConfig, tokens):
+    x = params["embed"][tokens]
+    if cfg.embed_scale is not None:
+        x = (x.astype(jnp.float32) * cfg.embed_scale).astype(x.dtype)
+    return x
+
+
+def _act(cfg: LlamaConfig, g):
+    if cfg.act == "silu":
+        return jax.nn.silu(g)
+    return jax.nn.gelu(g, approximate=True)
+
+
+def _lm_logits(params, cfg: LlamaConfig, x):
+    if cfg.tie_embeddings:
+        emb = params["embed"]
+        return jnp.einsum("...d,vd->...v", x, emb).astype(jnp.float32)
+    return _mm(x, params["lm_head"]).astype(jnp.float32)
+
+
+def _layer_qkv(layer, h, cfg: LlamaConfig):
+    """Q/K/V projections: fused wqkv (+bqkv) or separate, optional bias."""
+    qd = cfg.n_heads * cfg.head_dim
+    kvd = cfg.n_kv_heads * cfg.head_dim
+    if "wqkv" in layer:
+        qkv = _mm(h, layer["wqkv"])
+        if "bqkv" in layer:
+            qkv = qkv + layer["bqkv"]
+        xq, xk, xv = qkv[..., :qd], qkv[..., qd : qd + kvd], qkv[..., qd + kvd :]
+    else:
+        xq, xk, xv = _mm(h, layer["wq"]), _mm(h, layer["wk"]), _mm(h, layer["wv"])
+        if "bq" in layer:
+            xq, xk, xv = xq + layer["bq"], xk + layer["bk"], xv + layer["bv"]
+    q = _split_heads(xq, cfg.n_heads, cfg.head_dim)
+    k = _split_heads(xk, cfg.n_kv_heads, cfg.head_dim)
+    v = _split_heads(xv, cfg.n_kv_heads, cfg.head_dim)
+    return q, k, v
+
+
+def _layer_mlp(layer, x, cfg: LlamaConfig):
+    h = rms_norm(x, layer["mlp_norm"], cfg.rms_eps, offset=cfg.rms_offset)
+    if "w_gateup" in layer:
+        gu = _mm(h, layer["w_gateup"]).astype(jnp.float32)
+        gate = _act(cfg, gu[..., : cfg.hidden_dim])
+        up = gu[..., cfg.hidden_dim :]
+    else:
+        gate = _act(cfg, _mm(h, layer["w_gate"]).astype(jnp.float32))
+        up = _mm(h, layer["w_up"]).astype(jnp.float32)
+    return x + _mm((gate * up).astype(x.dtype), layer["w_down"])
+
+
 def stack_layers(params):
     """[{k: arr}, ...] -> {k: stacked arr (n_layers, ...)} for lax.scan."""
     layers = params["layers"]
@@ -201,15 +259,14 @@ def make_decode_step(cfg: LlamaConfig, quantized: bool,
         B = state.lengths.shape[0]
         tokens = state.last_token[:, None]  # (B, 1)
         positions = state.lengths[:, None]
-        x = sp["embed"][tokens]
+        x = _embed_tokens(sp, cfg, tokens)
         cos, sin = RotaryEmbedding(cfg.head_dim, cfg.rope_base)(positions)
 
         def body(x, layer_and_cache):
             layer, kc, vc, ksc, vsc = layer_and_cache
-            h = rms_norm(x, layer["attn_norm"], cfg.rms_eps)
-            q = _split_heads(_mm(h, layer["wq"]), cfg.n_heads, cfg.head_dim)
-            k = _split_heads(_mm(h, layer["wk"]), cfg.n_kv_heads, cfg.head_dim)
-            v = _split_heads(_mm(h, layer["wv"]), cfg.n_kv_heads, cfg.head_dim)
+            h = rms_norm(x, layer["attn_norm"], cfg.rms_eps,
+                         offset=cfg.rms_offset)
+            q, k, v = _layer_qkv(layer, h, cfg)
             q, k = llama_rope(q, k, cos, sin)
 
             if quantized:
@@ -224,14 +281,11 @@ def make_decode_step(cfg: LlamaConfig, quantized: bool,
                 vc = _write_tokens(vc, v, state.lengths)
 
             o = decode_attention(
-                q, kc, vc, state.lengths + 1, ksc, vsc
+                q, kc, vc, state.lengths + 1, ksc, vsc,
+                window=cfg.sliding_window,
             )
             x = x + _mm(_merge_heads(o.astype(x.dtype)), layer["wo"])
-
-            h = rms_norm(x, layer["mlp_norm"], cfg.rms_eps)
-            gate = jax.nn.silu(_mm(h, layer["w_gate"]).astype(jnp.float32))
-            up = _mm(h, layer["w_up"]).astype(jnp.float32)
-            x = x + _mm((gate * up).astype(x.dtype), layer["w_down"])
+            x = _layer_mlp(layer, x, cfg)
             return x, (kc, vc, ksc, vsc)
 
         if quantized:
@@ -241,8 +295,8 @@ def make_decode_step(cfg: LlamaConfig, quantized: bool,
             xs = (sp["layers"], state.k, state.v) + dummy
         x, (k_new, v_new, ks_new, vs_new) = jax.lax.scan(body, x, xs)
 
-        x = rms_norm(x, sp["final_norm"], cfg.rms_eps)
-        logits = _mm(x, sp["lm_head"]).astype(jnp.float32)[:, 0]  # (B, V)
+        x = rms_norm(x, sp["final_norm"], cfg.rms_eps, offset=cfg.rms_offset)
+        logits = _lm_logits(sp, cfg, x)[:, 0]  # (B, V)
 
         new_state = EngineState(
             k=k_new,
@@ -277,10 +331,15 @@ def fuse_decode_weights(params):
     for layer in params["layers"]:
         fused = {
             k: v for k, v in layer.items()
-            if k not in ("wq", "wk", "wv", "w_gate", "w_up")
+            if k not in ("wq", "wk", "wv", "w_gate", "w_up",
+                         "bq", "bk", "bv")
         }
         fused["wqkv"] = cat([layer["wq"], layer["wk"], layer["wv"]])
         fused["w_gateup"] = cat([layer["w_gate"], layer["w_up"]])
+        if "bq" in layer:  # Qwen2 qkv bias rides fused too
+            fused["bqkv"] = jnp.concatenate(
+                [layer["bq"], layer["bk"], layer["bv"]]
+            )
         out["layers"].append(fused)
     return out
 
@@ -307,9 +366,6 @@ def make_decode_chunk(cfg: LlamaConfig, quantized: bool, chunk: int,
     if paged:
         from nnop_tpu.ops.attention_decode_paged import paged_decode_attention
 
-    qd = cfg.n_heads * cfg.head_dim
-    kvd = cfg.n_kv_heads * cfg.head_dim
-
     def chunk_fn(params, state: EngineState, key):
         B = state.lengths.shape[0]
         rope = RotaryEmbedding(cfg.head_dim, cfg.rope_base)
@@ -318,24 +374,13 @@ def make_decode_chunk(cfg: LlamaConfig, quantized: bool, chunk: int,
             k_stage, v_stage, last, key, toks = carry
             key, sub = jax.random.split(key)
             positions = (state.lengths + i)[:, None]
-            x = params["embed"][last[:, None]]
+            x = _embed_tokens(params, cfg, last[:, None])
             cos, sin = rope(positions)
 
             for li, layer in enumerate(params["layers"]):
-                h = rms_norm(x, layer["attn_norm"], cfg.rms_eps)
-                if "wqkv" in layer:
-                    qkv = _mm(h, layer["wqkv"])
-                    q = _split_heads(qkv[..., :qd], cfg.n_heads, cfg.head_dim)
-                    k = _split_heads(
-                        qkv[..., qd : qd + kvd], cfg.n_kv_heads, cfg.head_dim
-                    )
-                    v = _split_heads(
-                        qkv[..., qd + kvd :], cfg.n_kv_heads, cfg.head_dim
-                    )
-                else:
-                    q = _split_heads(_mm(h, layer["wq"]), cfg.n_heads, cfg.head_dim)
-                    k = _split_heads(_mm(h, layer["wk"]), cfg.n_kv_heads, cfg.head_dim)
-                    v = _split_heads(_mm(h, layer["wv"]), cfg.n_kv_heads, cfg.head_dim)
+                h = rms_norm(x, layer["attn_norm"], cfg.rms_eps,
+                             offset=cfg.rms_offset)
+                q, k, v = _layer_qkv(layer, h, cfg)
                 q, k = llama_rope(q, k, cos, sin)
 
                 # (B, KH, 1, E) -> staging slot i (uniform index: in-place)
@@ -351,31 +396,21 @@ def make_decode_chunk(cfg: LlamaConfig, quantized: bool, chunk: int,
                         q, state.k, state.v, state.page_table,
                         state.lengths, state.k_scale, state.v_scale,
                         k_stage=k_stage, v_stage=v_stage, staged_n=i + 1,
-                        layer=li,
+                        layer=li, window=cfg.sliding_window,
                     )
                 else:
                     o = decode_attention(
                         q, state.k, state.v, state.lengths,
                         state.k_scale, state.v_scale,
                         k_stage=k_stage, v_stage=v_stage, staged_n=i + 1,
-                        layer=li,
+                        layer=li, window=cfg.sliding_window,
                     )
                 x = x + _mm(_merge_heads(o.astype(x.dtype)), layer["wo"])
+                x = _layer_mlp(layer, x, cfg)
 
-                h = rms_norm(x, layer["mlp_norm"], cfg.rms_eps)
-                if "w_gateup" in layer:
-                    gu = _mm(h, layer["w_gateup"]).astype(jnp.float32)
-                    gate = jax.nn.silu(gu[..., : cfg.hidden_dim])
-                    up = gu[..., cfg.hidden_dim :]
-                else:
-                    gate = jax.nn.silu(
-                        _mm(h, layer["w_gate"]).astype(jnp.float32)
-                    )
-                    up = _mm(h, layer["w_up"]).astype(jnp.float32)
-                x = x + _mm((gate * up).astype(x.dtype), layer["w_down"])
-
-            x = rms_norm(x, params["final_norm"], cfg.rms_eps)
-            logits = _mm(x, params["lm_head"]).astype(jnp.float32)[:, 0]
+            x = rms_norm(x, params["final_norm"], cfg.rms_eps,
+                         offset=cfg.rms_offset)
+            logits = _lm_logits(params, cfg, x)[:, 0]
             nxt = sample_tokens(logits, sub, temperature, top_k)
             toks = jax.lax.dynamic_update_slice(toks, nxt[None], (i, 0))
             return (k_stage, v_stage, nxt, key, toks)
@@ -415,48 +450,30 @@ def make_prefill_unrolled(cfg: LlamaConfig):
     param set the chunked decode uses, so the engine holds one copy of the
     weights. Returns prefill(params, tokens (B, L)) ->
     (logits (B, L, V), k (nl, B, KH, L, E), v)."""
-    qd = cfg.n_heads * cfg.head_dim
-    kvd = cfg.n_kv_heads * cfg.head_dim
 
     def prefill(params, tokens):
         B, L = tokens.shape
         positions = jnp.broadcast_to(
             jnp.arange(L, dtype=jnp.int32)[None], (B, L)
         )
-        x = params["embed"][tokens]
+        x = _embed_tokens(params, cfg, tokens)
         cos, sin = RotaryEmbedding(cfg.head_dim, cfg.rope_base)(positions)
         ks, vs = [], []
         for layer in params["layers"]:
-            h = rms_norm(x, layer["attn_norm"], cfg.rms_eps)
-            if "wqkv" in layer:
-                qkv = _mm(h, layer["wqkv"])
-                q = _split_heads(qkv[..., :qd], cfg.n_heads, cfg.head_dim)
-                k = _split_heads(
-                    qkv[..., qd : qd + kvd], cfg.n_kv_heads, cfg.head_dim
-                )
-                v = _split_heads(
-                    qkv[..., qd + kvd :], cfg.n_kv_heads, cfg.head_dim
-                )
-            else:
-                q = _split_heads(_mm(h, layer["wq"]), cfg.n_heads, cfg.head_dim)
-                k = _split_heads(_mm(h, layer["wk"]), cfg.n_kv_heads, cfg.head_dim)
-                v = _split_heads(_mm(h, layer["wv"]), cfg.n_kv_heads, cfg.head_dim)
+            h = rms_norm(x, layer["attn_norm"], cfg.rms_eps,
+                         offset=cfg.rms_offset)
+            q, k, v = _layer_qkv(layer, h, cfg)
             q, k = llama_rope(q, k, cos, sin)
             ks.append(k)
             vs.append(v)
-            o = flash_attention(q, k, v, causal=True)
+            o = flash_attention(
+                q, k, v, causal=True, window=cfg.sliding_window
+            )
             x = x + _mm(_merge_heads(o.astype(x.dtype)), layer["wo"])
-            h = rms_norm(x, layer["mlp_norm"], cfg.rms_eps)
-            if "w_gateup" in layer:
-                gu = _mm(h, layer["w_gateup"]).astype(jnp.float32)
-                gate = jax.nn.silu(gu[..., : cfg.hidden_dim])
-                up = gu[..., cfg.hidden_dim :]
-            else:
-                gate = jax.nn.silu(_mm(h, layer["w_gate"]).astype(jnp.float32))
-                up = _mm(h, layer["w_up"]).astype(jnp.float32)
-            x = x + _mm((gate * up).astype(x.dtype), layer["w_down"])
-        x = rms_norm(x, params["final_norm"], cfg.rms_eps)
-        logits = _mm(x, params["lm_head"]).astype(jnp.float32)
+            x = _layer_mlp(layer, x, cfg)
+        x = rms_norm(x, params["final_norm"], cfg.rms_eps,
+                     offset=cfg.rms_offset)
+        logits = _lm_logits(params, cfg, x)
         return logits, jnp.stack(ks), jnp.stack(vs)
 
     return prefill
@@ -475,35 +492,21 @@ def make_prefill_chunk_step(cfg: LlamaConfig):
     """
     from nnop_tpu.ops.flash_attention import flash_attention_chunked
 
-    qd = cfg.n_heads * cfg.head_dim
-    kvd = cfg.n_kv_heads * cfg.head_dim
-
     def step(params, tokens_c, ks_buf, vs_buf, offset):
         B, C = tokens_c.shape
         S = ks_buf.shape[3]
         positions = offset + jnp.broadcast_to(
             jnp.arange(C, dtype=jnp.int32)[None], (B, C)
         )
-        x = params["embed"][tokens_c]
+        x = _embed_tokens(params, cfg, tokens_c)
         cos, sin = RotaryEmbedding(cfg.head_dim, cfg.rope_base)(positions)
         valid = (
             jnp.arange(S, dtype=jnp.int32)[None] < offset + C
         )  # (1, S)
         for li, layer in enumerate(params["layers"]):
-            h = rms_norm(x, layer["attn_norm"], cfg.rms_eps)
-            if "wqkv" in layer:
-                qkv = _mm(h, layer["wqkv"])
-                q = _split_heads(qkv[..., :qd], cfg.n_heads, cfg.head_dim)
-                k = _split_heads(
-                    qkv[..., qd : qd + kvd], cfg.n_kv_heads, cfg.head_dim
-                )
-                v = _split_heads(
-                    qkv[..., qd + kvd :], cfg.n_kv_heads, cfg.head_dim
-                )
-            else:
-                q = _split_heads(_mm(h, layer["wq"]), cfg.n_heads, cfg.head_dim)
-                k = _split_heads(_mm(h, layer["wk"]), cfg.n_kv_heads, cfg.head_dim)
-                v = _split_heads(_mm(h, layer["wv"]), cfg.n_kv_heads, cfg.head_dim)
+            h = rms_norm(x, layer["attn_norm"], cfg.rms_eps,
+                         offset=cfg.rms_offset)
+            q, k, v = _layer_qkv(layer, h, cfg)
             q, k = llama_rope(q, k, cos, sin)
             ks_buf = jax.lax.dynamic_update_slice(
                 ks_buf, k.astype(jnp.bfloat16)[None], (li, 0, 0, offset, 0)
@@ -517,19 +520,13 @@ def make_prefill_chunk_step(cfg: LlamaConfig):
                 vs_buf[li].astype(q.dtype),
                 causal_offset=offset,
                 kpad_mask=valid,
+                window=cfg.sliding_window,
             )
             x = x + _mm(_merge_heads(o.astype(x.dtype)), layer["wo"])
-            h = rms_norm(x, layer["mlp_norm"], cfg.rms_eps)
-            if "w_gateup" in layer:
-                gu = _mm(h, layer["w_gateup"]).astype(jnp.float32)
-                gate = jax.nn.silu(gu[..., : cfg.hidden_dim])
-                up = gu[..., cfg.hidden_dim :]
-            else:
-                gate = jax.nn.silu(_mm(h, layer["w_gate"]).astype(jnp.float32))
-                up = _mm(h, layer["w_up"]).astype(jnp.float32)
-            x = x + _mm((gate * up).astype(x.dtype), layer["w_down"])
-        x = rms_norm(x, params["final_norm"], cfg.rms_eps)
-        logits = _mm(x, params["lm_head"]).astype(jnp.float32)
+            x = _layer_mlp(layer, x, cfg)
+        x = rms_norm(x, params["final_norm"], cfg.rms_eps,
+                     offset=cfg.rms_offset)
+        logits = _lm_logits(params, cfg, x)
         return logits, ks_buf, vs_buf
 
     return step
@@ -545,26 +542,24 @@ def make_prefill(cfg: LlamaConfig):
         positions = jnp.broadcast_to(
             jnp.arange(L, dtype=jnp.int32)[None], (B, L)
         )
-        x = sp["embed"][tokens]
+        x = _embed_tokens(sp, cfg, tokens)
         cos, sin = RotaryEmbedding(cfg.head_dim, cfg.rope_base)(positions)
 
         def body(x, layer):
-            h = rms_norm(x, layer["attn_norm"], cfg.rms_eps)
-            q = _split_heads(_mm(h, layer["wq"]), cfg.n_heads, cfg.head_dim)
-            k = _split_heads(_mm(h, layer["wk"]), cfg.n_kv_heads, cfg.head_dim)
-            v = _split_heads(_mm(h, layer["wv"]), cfg.n_kv_heads, cfg.head_dim)
+            h = rms_norm(x, layer["attn_norm"], cfg.rms_eps,
+                         offset=cfg.rms_offset)
+            q, k, v = _layer_qkv(layer, h, cfg)
             q, k = llama_rope(q, k, cos, sin)
-            o = flash_attention(q, k, v, causal=True)
+            o = flash_attention(
+                q, k, v, causal=True, window=cfg.sliding_window
+            )
             x = x + _mm(_merge_heads(o.astype(x.dtype)), layer["wo"])
-            h = rms_norm(x, layer["mlp_norm"], cfg.rms_eps)
-            gate = jax.nn.silu(_mm(h, layer["w_gate"]).astype(jnp.float32))
-            up = _mm(h, layer["w_up"]).astype(jnp.float32)
-            x = x + _mm((gate * up).astype(x.dtype), layer["w_down"])
+            x = _layer_mlp(layer, x, cfg)
             return x, (k, v)
 
         x, (ks, vs) = jax.lax.scan(body, x, sp["layers"])
-        x = rms_norm(x, sp["final_norm"], cfg.rms_eps)
-        logits = _mm(x, sp["lm_head"]).astype(jnp.float32)  # (B, L, V)
+        x = rms_norm(x, sp["final_norm"], cfg.rms_eps, offset=cfg.rms_offset)
+        logits = _lm_logits(sp, cfg, x)  # (B, L, V)
         return logits, ks, vs
 
     return prefill

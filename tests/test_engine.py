@@ -138,6 +138,66 @@ def test_engine_paged_continuous_batching_reuses_pages(params):
     assert len(eng._free_pages) == 6  # all returned
 
 
+def _greedy_forward(params, cfg, prompt, n_new):
+    toks = list(prompt)
+    out = []
+    for _ in range(n_new):
+        logits = forward(params, jnp.asarray([toks], jnp.int32), cfg)
+        nxt = int(jnp.argmax(logits[0, -1]))
+        out.append(nxt)
+        toks.append(nxt)
+    return out
+
+
+@pytest.mark.parametrize(
+    "knobs",
+    [
+        # Gemma-style: zero-centered norms, GeGLU, tied lm_head, scaled embed
+        dict(rms_offset=1.0, act="gelu", tie_embeddings=True,
+             embed_scale=8.0),
+        # Qwen2-style: qkv bias
+        dict(qkv_bias=True),
+    ],
+    ids=["gemma-like", "qwen-like"],
+)
+def test_engine_family_knobs(knobs):
+    """Engine decode honors every family knob (Gemma/Qwen semantics):
+    tokens must match the full-forward greedy chain of models.llama."""
+    cfg = LlamaConfig.tiny(dtype=jnp.float32, **knobs)
+    params = init_params(jax.random.key(5), cfg)
+    prompt = [5, 17, 42, 7, 99, 3]
+    want = _greedy_forward(params, cfg, prompt, 8)
+    eng = Engine(params, cfg, max_batch=2, max_seq=64)
+    req = eng.submit(prompt, max_new_tokens=8)
+    eng.run()
+    assert req.done
+    assert req.out == want, (req.out, want)
+
+
+@pytest.mark.parametrize("paged", [False, True])
+def test_engine_sliding_window(paged):
+    """Mistral-style serving: engine decode with a sliding window matches
+    the full-forward (windowed) greedy chain, contiguous AND paged."""
+    cfg = LlamaConfig.tiny(dtype=jnp.float32, sliding_window=12)
+    params = init_params(jax.random.key(3), cfg)
+
+    prompt = [5, 17, 42, 7, 99, 3, 12, 8]
+    toks = list(prompt)
+    want = []
+    for _ in range(10):
+        logits = forward(params, jnp.asarray([toks], jnp.int32), cfg)
+        nxt = int(jnp.argmax(logits[0, -1]))
+        want.append(nxt)
+        toks.append(nxt)
+
+    kw = dict(paged=True, page_size=128) if paged else {}
+    eng = Engine(params, cfg, max_batch=2, max_seq=64, **kw)
+    req = eng.submit(prompt, max_new_tokens=10)
+    eng.run()
+    assert req.done
+    assert req.out == want, (req.out, want)
+
+
 def test_engine_chunked_prefill_into_live_cache(params):
     """A prompt longer than prefill_chunk is prefilled in chunks, later
     chunks attending the live K/V of earlier ones through the
