@@ -149,6 +149,34 @@ def main():
     )
     ok &= check("attn_bf16", got.astype(jnp.float32), want, 3e-2, 3e-2)
 
+    # sliding-window attention (Mistral): fwd + grads + windowed decode
+    kk = jax.random.split(jax.random.key(21), 3)
+    q = jax.random.normal(kk[0], (2, 4, 512, 64), jnp.float32)
+    k = jax.random.normal(kk[1], (2, 2, 512, 64), jnp.float32)
+    v = jax.random.normal(kk[2], (2, 2, 512, 64), jnp.float32)
+    got = flash_attention(
+        q, k, v, causal=True, window=100, precision="highest"
+    )
+    with jax.default_matmul_precision("highest"):
+        want = naive.naive_attention(q, k, v, causal=True, window=100)
+    ok &= check("attn_window", got, want, 1e-3)
+
+    def wloss(fn):
+        def f(a, b, c):
+            o = fn(a, b, c, causal=True, window=100, precision="highest")
+            return jnp.sum(o * jnp.sin(0.1 * jnp.arange(64, dtype=jnp.float32)))
+        return f
+
+    def wloss_n(a, b, c):
+        o = naive.naive_attention(a, b, c, causal=True, window=100)
+        return jnp.sum(o * jnp.sin(0.1 * jnp.arange(64, dtype=jnp.float32)))
+
+    gf = jax.grad(wloss(flash_attention), (0, 1, 2))(q, k, v)
+    with jax.default_matmul_precision("highest"):
+        gn = jax.grad(wloss_n, (0, 1, 2))(q, k, v)
+    for gg, nn, nm in zip(gf, gn, ["dq", "dk", "dv"]):
+        ok &= check(f"attn_window_{nm}", gg, nn, 1e-3)
+
     # quantized matmul
     xk = jax.random.normal(jax.random.key(10), (256, 512), jnp.bfloat16)
     wf = jax.random.normal(jax.random.key(11), (512, 1024), jnp.float32)
@@ -194,6 +222,19 @@ def main():
     # differences are quantization-level
     ok &= check(
         "decode_staged_vs_flushed", o_staged[:2], o_flushed[:2], 4e-2, 4e-2
+    )
+
+    # windowed decode (staging-aware) vs the flushed-cache windowed result
+    o_flushed_w = decode_attention(
+        qd, kc2[0], vc2[0], base + W * (base > 0), ksc2[0], vsc2[0],
+        window=40,
+    )
+    o_staged_w = decode_attention(
+        qd, kc2, vc2, base, ksc2, vsc2,
+        k_stage=kst, v_stage=vst, staged_n=W, layer=0, window=40,
+    )
+    ok &= check(
+        "decode_window_staged", o_staged_w[:2], o_flushed_w[:2], 4e-2, 4e-2
     )
 
     print(f"total {time.time()-t0:.1f}s")
