@@ -41,6 +41,19 @@ class LlamaConfig:
       tie_embeddings: lm_head = embed^T (Gemma, Qwen2-small).
       embed_scale: multiply embeddings by this after lookup (Gemma:
         sqrt(dim)).
+      attn_softcap / final_softcap: Gemma-2 — logit softcapping
+        c*tanh(s/c) on attention scores / final LM logits (kernel
+        support: flash_attention(softcap=), decode_attention(softcap=)).
+      attn_scale: override the attention score scale (Gemma-2
+        query_pre_attn_scalar**-0.5; default None = 1/sqrt(head_dim)).
+      post_norms: Gemma-2 — extra rms_norm applied to each sublayer
+        OUTPUT before the residual add (weights attn_post_norm /
+        mlp_post_norm).
+      window_pattern: Gemma-2 alternating local/global attention — the
+        sliding window applies only on layers where
+        layer_idx % window_pattern == 0 (None = window on all layers).
+      rope_scaling: Llama-3.1 NTK-by-parts scaling as a tuple
+        (factor, low_freq_factor, high_freq_factor, original_max_len).
     """
 
     vocab_size: int = 128256
@@ -60,6 +73,20 @@ class LlamaConfig:
     qkv_bias: bool = False
     tie_embeddings: bool = False
     embed_scale: float | None = None
+    attn_softcap: float | None = None
+    final_softcap: float | None = None
+    attn_scale: float | None = None
+    post_norms: bool = False
+    window_pattern: int | None = None
+    rope_scaling: tuple[float, float, float, int] | None = None
+
+    def layer_window(self, li: int) -> int | None:
+        """Effective sliding window for layer `li` (Gemma-2 alternates)."""
+        if self.sliding_window is None:
+            return None
+        if self.window_pattern is not None and li % self.window_pattern != 0:
+            return None
+        return self.sliding_window
 
     @staticmethod
     def llama3_8b(**kw):
@@ -98,6 +125,40 @@ class LlamaConfig:
             act="gelu",
             tie_embeddings=True,
             embed_scale=2048.0**0.5,
+        )
+        defaults.update(kw)
+        return LlamaConfig(**defaults)
+
+    @staticmethod
+    def llama31_8b(**kw):
+        defaults = dict(
+            max_seq_len=131072,
+            rope_scaling=(8.0, 1.0, 4.0, 8192),
+        )
+        defaults.update(kw)
+        return LlamaConfig(**defaults)
+
+    @staticmethod
+    def gemma2_2b(**kw):
+        defaults = dict(
+            vocab_size=256000,
+            dim=2304,
+            n_layers=26,
+            n_heads=8,
+            n_kv_heads=4,
+            head_dim=256,
+            hidden_dim=9216,
+            rope_base=10000.0,
+            rms_eps=1e-6,
+            rms_offset=1.0,
+            act="gelu",
+            tie_embeddings=True,
+            embed_scale=2304.0**0.5,
+            attn_softcap=50.0,
+            final_softcap=30.0,
+            post_norms=True,
+            sliding_window=4096,
+            window_pattern=2,
         )
         defaults.update(kw)
         return LlamaConfig(**defaults)
@@ -168,6 +229,9 @@ def init_params(key: jax.Array, cfg: LlamaConfig):
             out["bq"] = jnp.zeros((cfg.n_heads * hd,), cfg.dtype)
             out["bk"] = jnp.zeros((cfg.n_kv_heads * hd,), cfg.dtype)
             out["bv"] = jnp.zeros((cfg.n_kv_heads * hd,), cfg.dtype)
+        if cfg.post_norms:
+            out["attn_post_norm"] = jnp.full((d,), norm_init, cfg.dtype)
+            out["mlp_post_norm"] = jnp.full((d,), norm_init, cfg.dtype)
         return out
 
     params = {
@@ -194,8 +258,16 @@ def _merge_heads(x):
     return x.transpose(0, 2, 1, 3).reshape(B, L, H * E)
 
 
+def _post(layer, out, cfg: LlamaConfig, key: str):
+    """Gemma-2 post-norm: normalize the sublayer OUTPUT pre-residual."""
+    if cfg.post_norms:
+        return rms_norm(out, layer[key], cfg.rms_eps, offset=cfg.rms_offset)
+    return out
+
+
 def attention_block(layer, x, cos, sin, cfg: LlamaConfig, *, kv_cache=None,
-                    kpad_mask=None, causal=True, matmul=None):
+                    kpad_mask=None, causal=True, matmul=None,
+                    layer_idx: int = 0):
     """rms_norm -> qkv proj -> rope -> flash attention -> out proj.
 
     This is the reference-parity end-to-end slice (SURVEY.md §7 "Minimum
@@ -210,7 +282,9 @@ def attention_block(layer, x, cos, sin, cfg: LlamaConfig, *, kv_cache=None,
     k = _split_heads(xk, cfg.n_kv_heads, cfg.head_dim)
     v = _split_heads(xv, cfg.n_kv_heads, cfg.head_dim)
     q, k = llama_rope(q, k, cos, sin)
-    window = cfg.sliding_window
+    window = cfg.layer_window(layer_idx)
+    softcap = cfg.attn_softcap
+    scale = cfg.attn_scale
 
     new_cache = None
     if kv_cache is not None:
@@ -230,6 +304,8 @@ def attention_block(layer, x, cos, sin, cfg: LlamaConfig, *, kv_cache=None,
                 new_cache.k_scale,
                 new_cache.v_scale,
                 window=window,
+                softcap=softcap,
+                scale=scale,
             )
         else:
             # chunked prefill: the incoming L>1 block may land in a
@@ -254,14 +330,26 @@ def attention_block(layer, x, cos, sin, cfg: LlamaConfig, *, kv_cache=None,
                 causal_offset=kv_cache.length,
                 kpad_mask=valid,
                 window=window,
+                softcap=softcap,
+                scale=scale,
             )
-        return x + mm(_merge_heads(o.astype(x.dtype)), layer["wo"]), new_cache
+        out = _post(
+            layer, mm(_merge_heads(o.astype(x.dtype)), layer["wo"]), cfg,
+            "attn_post_norm",
+        )
+        return x + out, new_cache
 
     o = flash_attention(
         q, k, v, causal=causal, kpad_mask=kpad_mask,
         window=window if causal else None,
+        softcap=softcap,
+        scale=scale,
     )
-    return x + mm(_merge_heads(o.astype(x.dtype)), layer["wo"]), new_cache
+    out = _post(
+        layer, mm(_merge_heads(o.astype(x.dtype)), layer["wo"]), cfg,
+        "attn_post_norm",
+    )
+    return x + out, new_cache
 
 
 def mlp_block(layer, x, cfg: LlamaConfig, *, matmul=None):
@@ -272,7 +360,11 @@ def mlp_block(layer, x, cfg: LlamaConfig, *, matmul=None):
     )
     gate = act(mm(h, layer["w_gate"]).astype(jnp.float32))
     up = mm(h, layer["w_up"]).astype(jnp.float32)
-    return x + mm((gate * up).astype(x.dtype), layer["w_down"])
+    out = _post(
+        layer, mm((gate * up).astype(x.dtype), layer["w_down"]), cfg,
+        "mlp_post_norm",
+    )
+    return x + out
 
 
 def forward(params, tokens, cfg: LlamaConfig, *, positions=None,
@@ -288,7 +380,8 @@ def forward(params, tokens, cfg: LlamaConfig, *, positions=None,
     x = params["embed"][tokens]
     if cfg.embed_scale is not None:
         x = (x.astype(jnp.float32) * cfg.embed_scale).astype(x.dtype)
-    rope = RotaryEmbedding(cfg.head_dim, cfg.rope_base)
+    rope = RotaryEmbedding(cfg.head_dim, cfg.rope_base,
+                           scaling=cfg.rope_scaling)
     cos, sin = rope(positions)
     new_caches = [] if kv_caches is not None else None
     for i, layer in enumerate(params["layers"]):
@@ -296,6 +389,7 @@ def forward(params, tokens, cfg: LlamaConfig, *, positions=None,
         x, new_cache = attention_block(
             layer, x, cos, sin, cfg,
             kv_cache=cache, kpad_mask=kpad_mask, matmul=matmul,
+            layer_idx=i,
         )
         if new_caches is not None:
             new_caches.append(new_cache)
@@ -308,6 +402,8 @@ def forward(params, tokens, cfg: LlamaConfig, *, positions=None,
         ).astype(jnp.float32)
     else:
         logits = mm(x, params["lm_head"]).astype(jnp.float32)
+    if cfg.final_softcap is not None:
+        logits = cfg.final_softcap * jnp.tanh(logits / cfg.final_softcap)
     if kv_caches is not None:
         return logits, new_caches
     return logits

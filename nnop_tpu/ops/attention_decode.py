@@ -60,6 +60,7 @@ def _decode_kernel(
     staged: bool = False,
     stacked: bool = False,
     window: int | None = None,
+    softcap: float | None = None,
 ):
     rest = list(rest)
     ks_ref = vs_ref = kst_ref = vst_ref = stn_ref = None
@@ -115,6 +116,8 @@ def _decode_kernel(
             s = s * scale
             if quantized:
                 s = s * ks_ref[(*lead, kh)]  # (1, bk) per-token K scale
+            if softcap is not None:
+                s = softcap * jnp.tanh(s / softcap)
             s = jnp.where(mask, s, MASK_VALUE)
 
             m_prev = m_scr[sl, :1]
@@ -179,7 +182,10 @@ def _decode_kernel(
                     dimension_numbers=(((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )
-                s = jnp.where(mask, s * scale, MASK_VALUE)
+                s = s * scale
+                if softcap is not None:
+                    s = softcap * jnp.tanh(s / softcap)
+                s = jnp.where(mask, s, MASK_VALUE)
                 m_prev = m_scr[sl, :1]
                 l_prev = l_scr[sl, :1]
                 m_new = jnp.maximum(
@@ -222,6 +228,7 @@ def decode_attention(
     staged_n=None,
     layer: int | None = None,
     window: int | None = None,
+    softcap: float | None = None,
 ):
     """Single-token decode attention over a (possibly INT8) KV cache.
 
@@ -347,6 +354,7 @@ def decode_attention(
         staged=staged,
         stacked=stacked,
         window=window,
+        softcap=softcap,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,

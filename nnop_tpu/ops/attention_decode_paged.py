@@ -51,6 +51,7 @@ def _paged_kernel(
     num_pages_grid: int,
     stacked: bool = False,
     window: int | None = None,
+    softcap: float | None = None,
 ):
     rest = list(rest)
     ks_ref = vs_ref = kst_ref = vst_ref = stn_ref = None
@@ -124,6 +125,8 @@ def _paged_kernel(
             s = s * scale
             if quantized:
                 s = s * ks_ref[(*lead, kh)]
+            if softcap is not None:
+                s = softcap * jnp.tanh(s / softcap)
             s = jnp.where(mask, s, MASK_VALUE)
             if quantized:
                 vsc = vs_ref[(*lead, kh)]
@@ -170,7 +173,10 @@ def _paged_kernel(
                     dimension_numbers=(((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )
-                s = jnp.where(mask, s * scale, MASK_VALUE)
+                s = s * scale
+                if softcap is not None:
+                    s = softcap * jnp.tanh(s / softcap)
+                s = jnp.where(mask, s, MASK_VALUE)
                 online_update(kh, s, mask, vst_ref[(*lead, kh)])
 
     @pl.when(j == num_pages_grid - 1)
@@ -195,6 +201,7 @@ def paged_decode_attention(
     staged_n=None,
     layer: int | None = None,
     window: int | None = None,
+    softcap: float | None = None,
 ):
     """Single-token decode over a paged KV pool.
 
@@ -308,6 +315,7 @@ def paged_decode_attention(
         num_pages_grid=max_pages,
         stacked=stacked,
         window=window,
+        softcap=softcap,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,

@@ -83,6 +83,7 @@ def _attn_step(
     row_offset=0,
     block_k_inner=None,
     window=None,
+    softcap=None,
 ):
     """One online-softmax step over a KV block.
 
@@ -108,6 +109,10 @@ def _attn_step(
         preferred_element_type=jnp.float32,
         precision=precision,
     )
+    if softcap is not None:
+        # Gemma-2 attention logit softcapping: s -> c * tanh(s / c),
+        # applied to the scaled scores before any mask/bias
+        s = softcap * jnp.tanh(s / softcap)
     if pair_blk is not None:
         s = s + pair_blk.astype(jnp.float32)
 
@@ -197,6 +202,7 @@ def _fwd_kernel_rect(
     kv_len,
     precision,
     window=None,
+    softcap=None,
 ):
     idx = 0
     offset_ref = None
@@ -267,6 +273,7 @@ def _fwd_kernel_rect(
             row_offset=row_offset,
             block_k_inner=block_k_inner,
             window=window,
+            softcap=softcap,
         )
 
     @pl.when(ik == num_kv - 1)
@@ -526,7 +533,7 @@ def default_blocks(
     return bq, bk
 
 
-def _fwd_impl(q, k, v, pair, kpad, causal, scale, block_q=None, block_k=None, precision=None, causal_offset=None, segment_ids=None, window=None):
+def _fwd_impl(q, k, v, pair, kpad, causal, scale, block_q=None, block_k=None, precision=None, causal_offset=None, segment_ids=None, window=None, softcap=None):
     B, QH, QL, E = q.shape
     _, KH, KL, _ = k.shape
     group = QH // KH
@@ -552,7 +559,8 @@ def _fwd_impl(q, k, v, pair, kpad, causal, scale, block_q=None, block_k=None, pr
 
     has_offset = causal_offset is not None
     featureless = not (
-        has_pair or has_kpad or has_seg or has_offset or window is not None
+        has_pair or has_kpad or has_seg or has_offset
+        or window is not None or softcap is not None
     )
     if (
         causal
@@ -644,6 +652,7 @@ def _fwd_impl(q, k, v, pair, kpad, causal, scale, block_q=None, block_k=None, pr
         kv_len=KL,
         precision=precision,
         window=window,
+        softcap=softcap,
     )
     o, lse = pl.pallas_call(
         kernel,
@@ -685,30 +694,31 @@ def _validate(q, k, v, pair, kpad_mask):
             raise ValueError(f"kpad_mask shape {kpad_mask.shape}, expected {expect}")
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9))
-def _flash_attention(q, k, v, pair, kpad_mask, segment_ids, causal, scale, precision, window):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10))
+def _flash_attention(q, k, v, pair, kpad_mask, segment_ids, causal, scale, precision, window, softcap):
     o, _ = _fwd_impl(
         q, k, v, pair, kpad_mask, causal, scale, precision=precision,
-        segment_ids=segment_ids, window=window,
+        segment_ids=segment_ids, window=window, softcap=softcap,
     )
     return o
 
 
-def _vjp_fwd(q, k, v, pair, kpad_mask, segment_ids, causal, scale, precision, window):
+def _vjp_fwd(q, k, v, pair, kpad_mask, segment_ids, causal, scale, precision, window, softcap):
     o, lse = _fwd_impl(
         q, k, v, pair, kpad_mask, causal, scale, precision=precision,
-        segment_ids=segment_ids, window=window,
+        segment_ids=segment_ids, window=window, softcap=softcap,
     )
     return o, (q, k, v, pair, kpad_mask, segment_ids, o, lse)
 
 
-def _vjp_bwd(causal, scale, precision, window, res, do):
+def _vjp_bwd(causal, scale, precision, window, softcap, res, do):
     from nnop_tpu.ops.flash_attention_bwd import flash_attention_bwd
 
     q, k, v, pair, kpad_mask, segment_ids, o, lse = res
     dq, dk, dv, dpair = flash_attention_bwd(
         q, k, v, pair, kpad_mask, o, lse, do, causal=causal, scale=scale,
         precision=precision, segment_ids=segment_ids, window=window,
+        softcap=softcap,
     )
     return dq, dk, dv, dpair, None, None
 
@@ -726,18 +736,20 @@ def flash_attention_chunked(
     scale: float | None = None,
     precision=None,
     window: int | None = None,
+    softcap: float | None = None,
 ):
     """Causal attention for CHUNKED PREFILL: query rows are a chunk whose
     global positions start at `causal_offset` (the live cache length — may
     be a traced scalar); keys span the whole cache. Inference-only (no
     custom VJP). Row i attends cols <= causal_offset + i, intersected with
-    kpad_mask (and the sliding `window`, if set)."""
+    kpad_mask (and the sliding `window` / `softcap`, if set)."""
     _validate(q, k, v, None, kpad_mask)
     if scale is None:
         scale = 1.0 / (q.shape[-1] ** 0.5)
     o, _ = _fwd_impl(
         q, k, v, None, kpad_mask, True, float(scale),
         precision=precision, causal_offset=causal_offset, window=window,
+        softcap=None if softcap is None else float(softcap),
     )
     return o
 
@@ -754,6 +766,7 @@ def flash_attention(
     scale: float | None = None,
     precision=None,
     window: int | None = None,
+    softcap: float | None = None,
 ):
     """Fused multi-head attention with online softmax.
 
@@ -777,6 +790,12 @@ def flash_attention(
         (Mistral convention; north-star extension, no reference
         counterpart). Window-dead KV blocks are skipped via clamped index
         maps + predicates, so long-context cost is O(L * window).
+      softcap: optional attention logit softcapping (Gemma-2 convention):
+        s -> softcap * tanh(s / softcap) applied to the scaled scores
+        before masking. Differentiable (the tanh factor is re-applied in
+        the backward recompute). Incompatible with `pair` (the bias would
+        have to ride inside the cap to stay meaningful; Gemma-2 has no
+        pair bias).
     """
     _validate(q, k, v, pair, kpad_mask)
     if window is not None:
@@ -785,9 +804,15 @@ def flash_attention(
         if window < 1:
             raise ValueError(f"window must be >= 1, got {window}")
         window = int(window)
+    if softcap is not None:
+        if pair is not None:
+            raise ValueError("softcap is incompatible with pair bias")
+        if softcap <= 0:
+            raise ValueError(f"softcap must be > 0, got {softcap}")
+        softcap = float(softcap)
     if scale is None:
         scale = 1.0 / (q.shape[-1] ** 0.5)
     return _flash_attention(
         q, k, v, pair, kpad_mask, segment_ids, causal, float(scale), precision,
-        window,
+        window, softcap,
     )

@@ -57,6 +57,7 @@ def _recompute_p_ds(
     col0,
     precision=None,
     window=None,
+    softcap=None,
 ):
     """Shared score/P/dS recompute for both backward kernels.
 
@@ -78,6 +79,12 @@ def _recompute_p_ds(
         preferred_element_type=jnp.float32,
         precision=precision,
     )
+    cap_t = None
+    if softcap is not None:
+        # forward applied s -> c * tanh(s/c) BEFORE the pair bias; the
+        # tanh value is kept to chain d(s_capped)/ds = 1 - tanh^2 into ds
+        cap_t = jnp.tanh(s / softcap)
+        s = softcap * cap_t
     if pair_blk is not None:
         s = s + pair_blk.astype(jnp.float32)
 
@@ -118,6 +125,8 @@ def _recompute_p_ds(
     else:
         p = jnp.exp(s - lse)
         ds = p * (dp - delta)
+    if cap_t is not None:
+        ds = ds * (1.0 - cap_t * cap_t)
     return p, ds
 
 
@@ -141,6 +150,7 @@ def _dq_kernel(
     kv_len,
     precision=None,
     window=None,
+    softcap=None,
 ):
     idx = 0
     q_ref = refs[idx]; idx += 1
@@ -203,6 +213,7 @@ def _dq_kernel(
             col0=ik * block_k,
             precision=precision,
             window=window,
+            softcap=softcap,
         )
         if has_pair:
             # dpair = dS before the scale factor (attention_bwd.jl:123-132)
@@ -239,6 +250,7 @@ def _dkv_kernel(
     group,
     precision=None,
     window=None,
+    softcap=None,
 ):
     idx = 0
     q_ref = refs[idx]; idx += 1
@@ -306,6 +318,7 @@ def _dkv_kernel(
             col0=ikv * block_k,
             precision=precision,
             window=window,
+            softcap=softcap,
         )
         dv_acc[...] += jax.lax.dot_general(
             p.astype(do.dtype),
@@ -562,7 +575,7 @@ def _bwd_rect_static(q, k, v, lse, delta, do, scale, precision, bq):
 
 def flash_attention_bwd(
     q, k, v, pair, kpad_mask, o, lse, do, *, causal: bool, scale: float,
-    precision=None, segment_ids=None, window=None,
+    precision=None, segment_ids=None, window=None, softcap=None,
 ):
     """Equivalent of /root/reference/src/attention_bwd.jl:199 ∇flash_attention."""
     B, QH, QL, E = q.shape
@@ -584,6 +597,7 @@ def flash_attention_bwd(
         causal
         and not (has_pair or has_kpad or has_seg)
         and window is None
+        and softcap is None
         and QL == KL
         and QL % bq == 0
         and 1 < QL // bq <= 8
@@ -597,6 +611,7 @@ def flash_attention_bwd(
     if (
         not causal
         and not (has_pair or has_kpad or has_seg)
+        and softcap is None
         and QL % bq == 0
         and KL % bq == 0
         and KL % min(512, KL) == 0
@@ -690,6 +705,7 @@ def flash_attention_bwd(
         kv_len=KL,
         precision=precision,
         window=window,
+        softcap=softcap,
     )
     dq_res = pl.pallas_call(
         dq_kernel,
@@ -789,6 +805,7 @@ def flash_attention_bwd(
         group=group,
         precision=precision,
         window=window,
+        softcap=softcap,
     )
     dk, dv = pl.pallas_call(
         dkv_kernel,

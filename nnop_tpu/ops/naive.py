@@ -85,6 +85,7 @@ def naive_attention(
     segment_ids=None,
     scale: float | None = None,
     window: int | None = None,
+    softcap: float | None = None,
 ):
     """Reference attention, mirroring test/attention_testsetup.jl:10-45.
 
@@ -108,6 +109,9 @@ def naive_attention(
     s = jnp.einsum(
         "bhqe,bhke->bhqk", q, k, preferred_element_type=jnp.float32
     ) * scale
+    if softcap is not None:
+        # Gemma-2 logit softcapping, applied pre-mask/bias
+        s = softcap * jnp.tanh(s / softcap)
     if pair is not None:
         s = s + pair.astype(jnp.float32)
     neg = jnp.finfo(jnp.float32).min

@@ -33,14 +33,31 @@ class RotaryEmbedding:
     `LlamaRotaryEmbedding`.
     """
 
-    def __init__(self, dim: int, base: float = 10000.0):
+    def __init__(self, dim: int, base: float = 10000.0, scaling=None):
+        """scaling: optional Llama-3.1 NTK-by-parts rope scaling, a tuple
+        (factor, low_freq_factor, high_freq_factor, original_max_len):
+        long-wavelength frequencies are divided by `factor`, short ones
+        kept, with a smooth ramp between the two wavelength thresholds
+        original_max_len/low_freq_factor and /high_freq_factor."""
         if dim % 2 != 0:
             raise ValueError(f"rotary dim must be even, got {dim}")
         self.dim = dim
         self.base = base
-        self.inv_freq = base ** (
+        inv_freq = base ** (
             -jnp.arange(0, dim, 2, dtype=jnp.float32) / dim
         )
+        if scaling is not None:
+            factor, low_f, high_f, orig_len = scaling
+            wavelen = 2.0 * jnp.pi / inv_freq
+            low_wavelen = orig_len / low_f
+            high_wavelen = orig_len / high_f
+            smooth = (orig_len / wavelen - low_f) / (high_f - low_f)
+            smooth = jnp.clip(smooth, 0.0, 1.0)
+            scaled = (1.0 - smooth) * inv_freq / factor + smooth * inv_freq
+            inv_freq = jnp.where(wavelen > low_wavelen, inv_freq / factor,
+                                 jnp.where(wavelen < high_wavelen, inv_freq,
+                                           scaled))
+        self.inv_freq = inv_freq
 
     def __call__(self, position_ids: jax.Array):
         """position_ids: (B, L) int → cos, sin: (B, L, dim) float32."""

@@ -100,7 +100,7 @@ def make_tp_decode_chunk(mesh: Mesh, cfg: LlamaConfig, quantized: bool,
 
     def local_chunk(params, state: EngineState, key):
         B = state.lengths.shape[0]
-        rope = RotaryEmbedding(cfg.head_dim, cfg.rope_base)
+        rope = RotaryEmbedding(cfg.head_dim, cfg.rope_base, scaling=cfg.rope_scaling)
 
         def step(i, carry):
             k_stage, v_stage, last, key, toks = carry

@@ -107,7 +107,7 @@ def _local_forward(params, tokens, cfg: LlamaConfig, axis: str = "model",
         positions = pos0 + jnp.broadcast_to(
             jnp.arange(L, dtype=jnp.int32)[None], (B, L)
         )
-    cos, sin = RotaryEmbedding(cfg.head_dim, cfg.rope_base)(positions)
+    cos, sin = RotaryEmbedding(cfg.head_dim, cfg.rope_base, scaling=cfg.rope_scaling)(positions)
     x = params["embed"][tokens]
 
     for layer in params["layers"]:

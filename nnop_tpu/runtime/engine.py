@@ -76,8 +76,12 @@ def _act(cfg: LlamaConfig, g):
 def _lm_logits(params, cfg: LlamaConfig, x):
     if cfg.tie_embeddings:
         emb = params["embed"]
-        return jnp.einsum("...d,vd->...v", x, emb).astype(jnp.float32)
-    return _mm(x, params["lm_head"]).astype(jnp.float32)
+        logits = jnp.einsum("...d,vd->...v", x, emb).astype(jnp.float32)
+    else:
+        logits = _mm(x, params["lm_head"]).astype(jnp.float32)
+    if cfg.final_softcap is not None:
+        logits = cfg.final_softcap * jnp.tanh(logits / cfg.final_softcap)
+    return logits
 
 
 def _layer_qkv(layer, h, cfg: LlamaConfig):
@@ -99,6 +103,19 @@ def _layer_qkv(layer, h, cfg: LlamaConfig):
     return q, k, v
 
 
+def _post_norm(layer, out, cfg: LlamaConfig, key: str):
+    """Gemma-2 post-norm on the sublayer OUTPUT, pre-residual."""
+    if cfg.post_norms:
+        return rms_norm(out, layer[key], cfg.rms_eps, offset=cfg.rms_offset)
+    return out
+
+
+def _attn_out(layer, o, x, cfg: LlamaConfig):
+    """Output projection + optional post-norm + residual add."""
+    out = _mm(_merge_heads(o.astype(x.dtype)), layer["wo"])
+    return x + _post_norm(layer, out, cfg, "attn_post_norm")
+
+
 def _layer_mlp(layer, x, cfg: LlamaConfig):
     h = rms_norm(x, layer["mlp_norm"], cfg.rms_eps, offset=cfg.rms_offset)
     if "w_gateup" in layer:
@@ -108,7 +125,8 @@ def _layer_mlp(layer, x, cfg: LlamaConfig):
     else:
         gate = _act(cfg, _mm(h, layer["w_gate"]).astype(jnp.float32))
         up = _mm(h, layer["w_up"]).astype(jnp.float32)
-    return x + _mm((gate * up).astype(x.dtype), layer["w_down"])
+    out = _mm((gate * up).astype(x.dtype), layer["w_down"])
+    return x + _post_norm(layer, out, cfg, "mlp_post_norm")
 
 
 def stack_layers(params):
@@ -254,13 +272,18 @@ def sample_tokens(logits, key, temperature: float = 0.0, top_k: int = 0):
 def make_decode_step(cfg: LlamaConfig, quantized: bool,
                      temperature: float = 0.0, top_k: int = 0):
     """Returns decode_step(stacked_params, state, key) -> (logits, state)."""
+    if cfg.window_pattern is not None:
+        raise ValueError(
+            "scan-based decode_step can't vary the window per layer; "
+            "use the unrolled engine fast path (make_decode_chunk)"
+        )
 
     def decode_step(sp, state: EngineState, key):
         B = state.lengths.shape[0]
         tokens = state.last_token[:, None]  # (B, 1)
         positions = state.lengths[:, None]
         x = _embed_tokens(sp, cfg, tokens)
-        cos, sin = RotaryEmbedding(cfg.head_dim, cfg.rope_base)(positions)
+        cos, sin = RotaryEmbedding(cfg.head_dim, cfg.rope_base, scaling=cfg.rope_scaling)(positions)
 
         def body(x, layer_and_cache):
             layer, kc, vc, ksc, vsc = layer_and_cache
@@ -282,9 +305,10 @@ def make_decode_step(cfg: LlamaConfig, quantized: bool,
 
             o = decode_attention(
                 q, kc, vc, state.lengths + 1, ksc, vsc,
-                window=cfg.sliding_window,
+                window=cfg.sliding_window, softcap=cfg.attn_softcap,
+                scale=cfg.attn_scale,
             )
-            x = x + _mm(_merge_heads(o.astype(x.dtype)), layer["wo"])
+            x = _attn_out(layer, o, x, cfg)
             x = _layer_mlp(layer, x, cfg)
             return x, (kc, vc, ksc, vsc)
 
@@ -368,7 +392,7 @@ def make_decode_chunk(cfg: LlamaConfig, quantized: bool, chunk: int,
 
     def chunk_fn(params, state: EngineState, key):
         B = state.lengths.shape[0]
-        rope = RotaryEmbedding(cfg.head_dim, cfg.rope_base)
+        rope = RotaryEmbedding(cfg.head_dim, cfg.rope_base, scaling=cfg.rope_scaling)
 
         def step(i, carry):
             k_stage, v_stage, last, key, toks = carry
@@ -396,16 +420,18 @@ def make_decode_chunk(cfg: LlamaConfig, quantized: bool, chunk: int,
                         q, state.k, state.v, state.page_table,
                         state.lengths, state.k_scale, state.v_scale,
                         k_stage=k_stage, v_stage=v_stage, staged_n=i + 1,
-                        layer=li, window=cfg.sliding_window,
+                        layer=li, window=cfg.layer_window(li),
+                        softcap=cfg.attn_softcap, scale=cfg.attn_scale,
                     )
                 else:
                     o = decode_attention(
                         q, state.k, state.v, state.lengths,
                         state.k_scale, state.v_scale,
                         k_stage=k_stage, v_stage=v_stage, staged_n=i + 1,
-                        layer=li, window=cfg.sliding_window,
+                        layer=li, window=cfg.layer_window(li),
+                        softcap=cfg.attn_softcap, scale=cfg.attn_scale,
                     )
-                x = x + _mm(_merge_heads(o.astype(x.dtype)), layer["wo"])
+                x = _attn_out(layer, o, x, cfg)
                 x = _layer_mlp(layer, x, cfg)
 
             x = rms_norm(x, params["final_norm"], cfg.rms_eps,
@@ -457,9 +483,9 @@ def make_prefill_unrolled(cfg: LlamaConfig):
             jnp.arange(L, dtype=jnp.int32)[None], (B, L)
         )
         x = _embed_tokens(params, cfg, tokens)
-        cos, sin = RotaryEmbedding(cfg.head_dim, cfg.rope_base)(positions)
+        cos, sin = RotaryEmbedding(cfg.head_dim, cfg.rope_base, scaling=cfg.rope_scaling)(positions)
         ks, vs = [], []
-        for layer in params["layers"]:
+        for li, layer in enumerate(params["layers"]):
             h = rms_norm(x, layer["attn_norm"], cfg.rms_eps,
                          offset=cfg.rms_offset)
             q, k, v = _layer_qkv(layer, h, cfg)
@@ -467,9 +493,10 @@ def make_prefill_unrolled(cfg: LlamaConfig):
             ks.append(k)
             vs.append(v)
             o = flash_attention(
-                q, k, v, causal=True, window=cfg.sliding_window
+                q, k, v, causal=True, window=cfg.layer_window(li),
+                softcap=cfg.attn_softcap, scale=cfg.attn_scale,
             )
-            x = x + _mm(_merge_heads(o.astype(x.dtype)), layer["wo"])
+            x = _attn_out(layer, o, x, cfg)
             x = _layer_mlp(layer, x, cfg)
         x = rms_norm(x, params["final_norm"], cfg.rms_eps,
                      offset=cfg.rms_offset)
@@ -499,7 +526,7 @@ def make_prefill_chunk_step(cfg: LlamaConfig):
             jnp.arange(C, dtype=jnp.int32)[None], (B, C)
         )
         x = _embed_tokens(params, cfg, tokens_c)
-        cos, sin = RotaryEmbedding(cfg.head_dim, cfg.rope_base)(positions)
+        cos, sin = RotaryEmbedding(cfg.head_dim, cfg.rope_base, scaling=cfg.rope_scaling)(positions)
         valid = (
             jnp.arange(S, dtype=jnp.int32)[None] < offset + C
         )  # (1, S)
@@ -520,9 +547,11 @@ def make_prefill_chunk_step(cfg: LlamaConfig):
                 vs_buf[li].astype(q.dtype),
                 causal_offset=offset,
                 kpad_mask=valid,
-                window=cfg.sliding_window,
+                window=cfg.layer_window(li),
+                softcap=cfg.attn_softcap,
+                scale=cfg.attn_scale,
             )
-            x = x + _mm(_merge_heads(o.astype(x.dtype)), layer["wo"])
+            x = _attn_out(layer, o, x, cfg)
             x = _layer_mlp(layer, x, cfg)
         x = rms_norm(x, params["final_norm"], cfg.rms_eps,
                      offset=cfg.rms_offset)
@@ -536,6 +565,11 @@ def make_prefill(cfg: LlamaConfig):
     """Returns prefill(stacked_params, tokens (1, L)) -> (last_logits,
     k (nl, 1, KH, L, E), v (...)) using scan over layers with full causal
     flash attention."""
+    if cfg.window_pattern is not None:
+        raise ValueError(
+            "scan-based prefill can't vary the window per layer; "
+            "use make_prefill_unrolled"
+        )
 
     def prefill(sp, tokens):
         B, L = tokens.shape
@@ -543,7 +577,7 @@ def make_prefill(cfg: LlamaConfig):
             jnp.arange(L, dtype=jnp.int32)[None], (B, L)
         )
         x = _embed_tokens(sp, cfg, tokens)
-        cos, sin = RotaryEmbedding(cfg.head_dim, cfg.rope_base)(positions)
+        cos, sin = RotaryEmbedding(cfg.head_dim, cfg.rope_base, scaling=cfg.rope_scaling)(positions)
 
         def body(x, layer):
             h = rms_norm(x, layer["attn_norm"], cfg.rms_eps,
@@ -551,9 +585,10 @@ def make_prefill(cfg: LlamaConfig):
             q, k, v = _layer_qkv(layer, h, cfg)
             q, k = llama_rope(q, k, cos, sin)
             o = flash_attention(
-                q, k, v, causal=True, window=cfg.sliding_window
+                q, k, v, causal=True, window=cfg.sliding_window,
+                softcap=cfg.attn_softcap, scale=cfg.attn_scale,
             )
-            x = x + _mm(_merge_heads(o.astype(x.dtype)), layer["wo"])
+            x = _attn_out(layer, o, x, cfg)
             x = _layer_mlp(layer, x, cfg)
             return x, (k, v)
 

@@ -189,3 +189,157 @@ def test_qwen2_decode_matches_full_forward():
         lyr["bq"] = lyr["bq"] + 0.1
         lyr["bk"] = lyr["bk"] - 0.05
     _decode_vs_full(cfg, params)
+
+
+# ---------------------------------------------------------------- Gemma-2
+
+
+def _gemma2_tiny(**kw):
+    return _mk_cfg(
+        rms_offset=1.0,
+        act="gelu",
+        tie_embeddings=True,
+        embed_scale=128.0**0.5,
+        attn_softcap=20.0,
+        final_softcap=15.0,
+        post_norms=True,
+        sliding_window=8,
+        window_pattern=2,
+        **kw,
+    )
+
+
+def test_gemma2_config_defaults():
+    cfg = LlamaConfig.gemma2_2b()
+    assert cfg.attn_softcap == 50.0 and cfg.final_softcap == 30.0
+    assert cfg.post_norms and cfg.window_pattern == 2
+    assert cfg.layer_window(0) == 4096 and cfg.layer_window(1) is None
+
+
+def test_softcap_fwd_matches_naive():
+    from nnop_tpu.ops.flash_attention import flash_attention
+    from nnop_tpu.ops import naive
+
+    ks = jax.random.split(jax.random.key(9), 3)
+    q = jax.random.normal(ks[0], (2, 4, 256, 32), jnp.float32) * 3
+    k = jax.random.normal(ks[1], (2, 2, 256, 32), jnp.float32) * 3
+    v = jax.random.normal(ks[2], (2, 2, 256, 32), jnp.float32)
+    for causal in (False, True):
+        o = flash_attention(q, k, v, causal=causal, softcap=10.0)
+        on = naive.naive_attention(q, k, v, causal=causal, softcap=10.0)
+        assert jnp.allclose(o, on, atol=2e-3, rtol=2e-3), (
+            causal, jnp.abs(o - on).max()
+        )
+    # softcap actually changes the output at these magnitudes
+    o_free = flash_attention(q, k, v, causal=True)
+    o_cap = flash_attention(q, k, v, causal=True, softcap=10.0)
+    assert not jnp.allclose(o_free, o_cap, atol=1e-3)
+
+
+def test_softcap_grads_match_naive():
+    from nnop_tpu.ops.flash_attention import flash_attention
+    from nnop_tpu.ops import naive
+
+    ks = jax.random.split(jax.random.key(10), 3)
+    q = jax.random.normal(ks[0], (1, 2, 256, 32), jnp.float32) * 3
+    k = jax.random.normal(ks[1], (1, 2, 256, 32), jnp.float32) * 3
+    v = jax.random.normal(ks[2], (1, 2, 256, 32), jnp.float32)
+
+    def lf(q, k, v):
+        return flash_attention(q, k, v, causal=True, softcap=10.0).sum()
+
+    def ln(q, k, v):
+        return naive.naive_attention(q, k, v, causal=True, softcap=10.0).sum()
+
+    gf = jax.grad(lf, (0, 1, 2))(q, k, v)
+    gn = jax.grad(ln, (0, 1, 2))(q, k, v)
+    for a, b, name in zip(gf, gn, "qkv"):
+        assert jnp.allclose(a, b, atol=2e-2, rtol=2e-3), (
+            name, jnp.abs(a - b).max()
+        )
+
+
+def test_softcap_decode_matches_naive():
+    from nnop_tpu.ops.attention_decode import decode_attention
+    from nnop_tpu.ops import naive
+
+    ks = jax.random.split(jax.random.key(11), 4)
+    B, QH, KH, S, E = 2, 4, 2, 160, 64
+    q = jax.random.normal(ks[0], (B, QH, 1, E), jnp.float32) * 2
+    k = jax.random.normal(ks[1], (B, KH, S, E), jnp.float32) * 2
+    v = jax.random.normal(ks[2], (B, KH, S, E), jnp.float32)
+    lengths = jnp.array([S, 70], jnp.int32)
+    got = decode_attention(q, k, v, lengths, softcap=12.0)
+    mask = jnp.arange(S)[None, :] < lengths[:, None]
+    want = naive.naive_attention(q, k, v, kpad_mask=mask, softcap=12.0)
+    assert jnp.allclose(got, want, atol=1e-3, rtol=1e-3), (
+        jnp.abs(got - want).max()
+    )
+
+
+def test_gemma2_forward_grads_and_decode():
+    cfg = _gemma2_tiny()
+    params = init_params(jax.random.key(0), cfg)
+    assert "attn_post_norm" in params["layers"][0]
+    tokens = jax.random.randint(jax.random.key(1), (2, 24), 0, cfg.vocab_size)
+    logits = forward(params, tokens, cfg)
+    # final softcap bounds the logits
+    assert jnp.all(jnp.abs(logits) <= cfg.final_softcap + 1e-3)
+    targets = jnp.roll(tokens, -1, axis=1)
+    loss, grads = jax.value_and_grad(loss_fn)(params, tokens, targets, cfg)
+    assert jnp.isfinite(loss)
+    assert jnp.any(grads["layers"][0]["attn_post_norm"] != 0)
+    _decode_vs_full(cfg, params)
+
+
+def test_gemma2_engine_matches_forward():
+    from nnop_tpu.runtime.engine import Engine
+
+    cfg = _gemma2_tiny()
+    params = init_params(jax.random.key(4), cfg)
+    prompt = [5, 17, 42, 7, 99, 3]
+    toks = list(prompt)
+    want = []
+    for _ in range(8):
+        logits = forward(params, jnp.asarray([toks], jnp.int32), cfg)
+        nxt = int(jnp.argmax(logits[0, -1]))
+        want.append(nxt)
+        toks.append(nxt)
+    eng = Engine(params, cfg, max_batch=2, max_seq=64)
+    req = eng.submit(prompt, max_new_tokens=8)
+    eng.run()
+    assert req.done
+    assert req.out == want, (req.out, want)
+
+
+# ------------------------------------------------------ Llama-3.1 rope
+
+
+def test_rope_scaling_formula():
+    from nnop_tpu.ops.rope import RotaryEmbedding
+
+    dim, base = 64, 500000.0
+    plain = RotaryEmbedding(dim, base)
+    scaled = RotaryEmbedding(dim, base, scaling=(8.0, 1.0, 4.0, 8192))
+    inv0, inv1 = plain.inv_freq, scaled.inv_freq
+    wavelen = 2.0 * jnp.pi / inv0
+    # short wavelengths untouched, long ones divided by factor
+    hi = wavelen < 8192 / 4.0
+    lo = wavelen > 8192 / 1.0
+    assert jnp.allclose(inv1[hi], inv0[hi])
+    assert jnp.allclose(inv1[lo], inv0[lo] / 8.0)
+    # ramp region strictly between the two
+    mid = ~(hi | lo)
+    assert jnp.all(inv1[mid] < inv0[mid])
+    assert jnp.all(inv1[mid] > inv0[mid] / 8.0)
+
+
+def test_llama31_forward_runs():
+    cfg = _mk_cfg(rope_scaling=(8.0, 1.0, 4.0, 64))
+    params = init_params(jax.random.key(0), cfg)
+    tokens = jax.random.randint(jax.random.key(1), (1, 16), 0, cfg.vocab_size)
+    l_scaled = forward(params, tokens, cfg)
+    l_plain = forward(params, tokens, _mk_cfg())
+    assert jnp.all(jnp.isfinite(l_scaled))
+    assert not jnp.allclose(l_scaled, l_plain, atol=1e-4)
+    _decode_vs_full(cfg, params)
