@@ -16,9 +16,21 @@ import numpy as np
 from nnop_tpu.models.llama import LlamaConfig
 
 
-def _hf_layer_map(i: int):
+def _hf_layer_map(i: int, cfg: LlamaConfig | None = None):
+    """HF name map for one decoder layer, family-aware:
+
+    * Llama/Mistral/Qwen: mlp_norm is `post_attention_layernorm` (it
+      PRE-cedes the MLP despite the name).
+    * Gemma-2 (post_norms): `post_attention_layernorm` is the attention
+      POST-norm; the MLP pre/post norms are `pre_feedforward_layernorm` /
+      `post_feedforward_layernorm`.
+    * Qwen2 (qkv_bias): q/k/v biases ride along.
+
+    Gemma's (1+w) norm convention matches rms_offset=1 with weights
+    stored as w — no transform needed on load.
+    """
     p = f"model.layers.{i}."
-    return {
+    m = {
         "attn_norm": p + "input_layernorm.weight",
         "wq": p + "self_attn.q_proj.weight",
         "wk": p + "self_attn.k_proj.weight",
@@ -29,6 +41,15 @@ def _hf_layer_map(i: int):
         "w_up": p + "mlp.up_proj.weight",
         "w_down": p + "mlp.down_proj.weight",
     }
+    if cfg is not None and cfg.post_norms:
+        m["attn_post_norm"] = p + "post_attention_layernorm.weight"
+        m["mlp_norm"] = p + "pre_feedforward_layernorm.weight"
+        m["mlp_post_norm"] = p + "post_feedforward_layernorm.weight"
+    if cfg is not None and cfg.qkv_bias:
+        m["bq"] = p + "self_attn.q_proj.bias"
+        m["bk"] = p + "self_attn.k_proj.bias"
+        m["bv"] = p + "self_attn.v_proj.bias"
+    return m
 
 
 def load_hf_llama(path: str, cfg: LlamaConfig, dtype=None):
@@ -63,16 +84,17 @@ def load_hf_llama(path: str, cfg: LlamaConfig, dtype=None):
     params = {
         "embed": get("model.embed_tokens.weight"),
         "final_norm": get("model.norm.weight"),
-        "lm_head": get(
-            "lm_head.weight"
-            if "lm_head.weight" in tensors
-            else "model.embed_tokens.weight",  # tied embeddings
-            transpose=True,
-        ),
         "layers": [],
     }
+    if not cfg.tie_embeddings:
+        params["lm_head"] = get(
+            "lm_head.weight"
+            if "lm_head.weight" in tensors
+            else "model.embed_tokens.weight",  # tied checkpoint, untied cfg
+            transpose=True,
+        )
     for i in range(cfg.n_layers):
-        m = _hf_layer_map(i)
+        m = _hf_layer_map(i, cfg)
         layer = {}
         for ours, theirs in m.items():
             layer[ours] = get(theirs, transpose=ours.startswith("w"))

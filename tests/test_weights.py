@@ -1,0 +1,89 @@
+"""HF checkpoint loading: synthetic safetensors round-trips for each
+family's name map (Llama, Qwen2 bias, Gemma-2 post-norms/tied), plus the
+npz checkpoint save/load."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from nnop_tpu.models.llama import LlamaConfig, forward, init_params
+from nnop_tpu.models.weights import (
+    load_checkpoint,
+    load_hf_llama,
+    save_checkpoint,
+)
+
+safetensors = pytest.importorskip("safetensors.numpy")
+
+
+def _dump_hf(tmp_path, params, cfg):
+    """Write params as an HF-style safetensors shard (transposed projs)."""
+    # NB: safetensors serializes the array's base buffer — a transposed
+    # view would round-trip as a reshape. Always materialize C-order.
+    t = {
+        "model.embed_tokens.weight": np.asarray(params["embed"], np.float32),
+        "model.norm.weight": np.asarray(params["final_norm"], np.float32),
+    }
+    if "lm_head" in params:
+        t["lm_head.weight"] = np.ascontiguousarray(
+            np.asarray(params["lm_head"], np.float32).T
+        )
+    names = {
+        "attn_norm": "input_layernorm.weight",
+        "wq": "self_attn.q_proj.weight",
+        "wk": "self_attn.k_proj.weight",
+        "wv": "self_attn.v_proj.weight",
+        "wo": "self_attn.o_proj.weight",
+        "w_gate": "mlp.gate_proj.weight",
+        "w_up": "mlp.up_proj.weight",
+        "w_down": "mlp.down_proj.weight",
+        "bq": "self_attn.q_proj.bias",
+        "bk": "self_attn.k_proj.bias",
+        "bv": "self_attn.v_proj.bias",
+    }
+    if cfg.post_norms:
+        names["attn_post_norm"] = "post_attention_layernorm.weight"
+        names["mlp_norm"] = "pre_feedforward_layernorm.weight"
+        names["mlp_post_norm"] = "post_feedforward_layernorm.weight"
+    else:
+        names["mlp_norm"] = "post_attention_layernorm.weight"
+    for i, layer in enumerate(params["layers"]):
+        for ours, arr in layer.items():
+            a = np.asarray(arr, np.float32)
+            if ours.startswith("w"):
+                a = np.ascontiguousarray(a.T)
+            t[f"model.layers.{i}.{names[ours]}"] = a
+    safetensors.save_file(t, str(tmp_path / "model.safetensors"))
+
+
+@pytest.mark.parametrize(
+    "knobs",
+    [
+        dict(),
+        dict(qkv_bias=True),
+        dict(rms_offset=1.0, act="gelu", tie_embeddings=True,
+             embed_scale=128.0**0.5, post_norms=True, attn_softcap=20.0,
+             final_softcap=15.0),
+    ],
+    ids=["llama", "qwen-bias", "gemma2"],
+)
+def test_hf_roundtrip(tmp_path, knobs):
+    cfg = LlamaConfig.tiny(dtype=jnp.float32, **knobs)
+    params = init_params(jax.random.key(0), cfg)
+    _dump_hf(tmp_path, params, cfg)
+    loaded = load_hf_llama(str(tmp_path), cfg, dtype=jnp.float32)
+    tokens = jax.random.randint(jax.random.key(1), (1, 16), 0, cfg.vocab_size)
+    want = forward(params, tokens, cfg)
+    got = forward(loaded, tokens, cfg)
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+
+
+def test_npz_checkpoint_roundtrip(tmp_path):
+    cfg = LlamaConfig.tiny(dtype=jnp.float32, qkv_bias=True)
+    params = init_params(jax.random.key(2), cfg)
+    path = str(tmp_path / "ckpt")
+    save_checkpoint(path, params)
+    loaded = load_checkpoint(path, params)
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(loaded)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
