@@ -290,6 +290,43 @@ def bench_decode(results):
         f"{gbps:.0f} GB/s = {100*gbps/hbm_peak:.0f}% of HBM roofline")
 
 
+def bench_qmm(results):
+    """Weight-only INT8 vs INT4 matmul at the 8B fused gate/up decode
+    shape (M=32, K=4096, N=2*14336): the weight stream IS the decode
+    bottleneck, so effective GB/s here bounds serving throughput."""
+    from nnop_tpu.ops.quantization import QTensor, QTensor4
+    from nnop_tpu.ops.quantized_matmul import quantized_matmul, quantized_matmul4
+
+    M, K, N = 32, 4096, 28672
+    x = jax.random.normal(jax.random.key(0), (M, K), jnp.bfloat16)
+    w8 = QTensor(
+        jax.random.randint(jax.random.key(1), (K, N), -127, 128, jnp.int8),
+        jnp.full((N,), 1e-3, jnp.float32),
+        0,
+    )
+    w4 = QTensor4(
+        jax.random.randint(jax.random.key(2), (K // 2, N), -128, 128, jnp.int8),
+        jnp.full((K // 128, N), 1e-3, jnp.float32),
+        128,
+        1024,
+    )
+
+    def mk(f, w):
+        def body(i, a):
+            out = f(a, w)
+            return a + jnp.sum(out).astype(a.dtype) * 1e-30
+        return body
+
+    t8 = marginal_time(mk(quantized_matmul, w8), x)
+    t4 = marginal_time(mk(quantized_matmul4, w4), x)
+    gb8 = (K * N + N * 4 + M * (K + N) * 2) / 1e9
+    gb4 = (K / 2 * N + K // 128 * N * 4 + M * (K + N) * 2) / 1e9
+    results["qmm_int8"] = dict(time_s=t8, gbps=gb8 / t8)
+    results["qmm_int4"] = dict(time_s=t4, gbps=gb4 / t4, speedup_vs_int8=t8 / t4)
+    log(f"qmm int8 32x4096x28672: {t8*1e3:.3f} ms ({gb8/t8:.0f} GB/s); "
+        f"int4 {t4*1e3:.3f} ms ({gb4/t4:.0f} GB/s) = {t8/t4:.2f}x")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
@@ -304,6 +341,7 @@ def main():
         bench_norms(results)
         bench_rope(results)
         bench_decode(results)
+        bench_qmm(results)
 
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "BENCH_LOCAL.json"), "w") as f:

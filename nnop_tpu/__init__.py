@@ -29,8 +29,9 @@ from nnop_tpu.ops.rope import RotaryEmbedding, llama_rope
 from nnop_tpu.ops.flash_attention import flash_attention
 from nnop_tpu.ops.attention_decode import decode_attention
 from nnop_tpu.ops.flash_attention import flash_attention_chunked
-from nnop_tpu.ops.quantization import QTensor, dequantize, quantize
-from nnop_tpu.ops.quantized_matmul import quantized_matmul
+from nnop_tpu.ops.quantization import (QTensor, QTensor4, dequantize,
+                                        dequantize4, quantize, quantize4)
+from nnop_tpu.ops.quantized_matmul import quantized_matmul, quantized_matmul4
 
 __all__ = [
     "online_softmax",
@@ -45,4 +46,8 @@ __all__ = [
     "quantize",
     "dequantize",
     "quantized_matmul",
+    "quantized_matmul4",
+    "QTensor4",
+    "quantize4",
+    "dequantize4",
 ]

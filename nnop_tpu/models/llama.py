@@ -417,18 +417,28 @@ def loss_fn(params, tokens, targets, cfg: LlamaConfig, *, matmul=None):
     return -jnp.mean(ll)
 
 
-def init_quantized_params(key: jax.Array, cfg: LlamaConfig):
-    """Random weight-only-INT8 params built DIRECTLY as int8 QTensors —
-    never materializes the bf16/f32 full-precision weights (a random 8B in
-    f32 would not fit host+device memory comfortably). Norms and the
-    embedding table stay fp (models/quantized.py rationale)."""
-    from nnop_tpu.ops.quantization import QTensor
+def init_quantized_params(key: jax.Array, cfg: LlamaConfig, *, wbits: int = 8):
+    """Random weight-only-INT8/INT4 params built DIRECTLY as quantized
+    tensors — never materializes the bf16/f32 full-precision weights (a
+    random 8B in f32 would not fit host+device memory comfortably). Norms
+    and the embedding table stay fp (models/quantized.py rationale)."""
+    from nnop_tpu.ops.quantization import QTensor, QTensor4, _pick_pack_block
 
     d, hd = cfg.dim, cfg.head_dim
     keys = jax.random.split(key, cfg.n_layers + 2)
 
     def qdense(k, shape):
         fan_in = shape[0]
+        if wbits == 4:
+            p = _pick_pack_block(fan_in, 1024)
+            kp = fan_in + (-fan_in % p)
+            vals = jax.random.randint(
+                k, (kp // 2, shape[1]), -128, 128, jnp.int8
+            )
+            scale = jnp.full(
+                (kp // 128, shape[1]), fan_in**-0.5 / 4.1, jnp.float32
+            )
+            return QTensor4(vals, scale, 128, p)
         vals = jax.random.randint(k, shape, -127, 128, jnp.int8)
         # scale so dequantized weights have ~fan-in variance
         scale = jnp.full((shape[1],), fan_in**-0.5 / 74.0, jnp.float32)

@@ -11,20 +11,25 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from nnop_tpu.ops.quantization import QTensor, quantize
-from nnop_tpu.ops.quantized_matmul import quantized_matmul
+from nnop_tpu.ops.quantization import QTensor, QTensor4, quantize, quantize4
+from nnop_tpu.ops.quantized_matmul import quantized_matmul, quantized_matmul4
 
 _QUANT_KEYS = {"wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down", "lm_head"}
 
 
-def quantize_params(params, dtype=jnp.int8):
-    """Quantize projection weights to int8/fp8 with per-out-channel scales."""
+def quantize_params(params, dtype=jnp.int8, *, wbits: int = 8,
+                    group: int = 128):
+    """Quantize projection weights: int8/fp8 with per-out-channel scales
+    (wbits=8) or packed int4 with per-(K-group, channel) scales (wbits=4)."""
 
     def q(w):
+        if wbits == 4:
+            return quantize4(w, group=group)
         return quantize(w, axis=0, dtype=dtype)
 
     out = {k: v for k, v in params.items()}
-    out["lm_head"] = q(params["lm_head"])
+    if "lm_head" in params:
+        out["lm_head"] = q(params["lm_head"])
     out["layers"] = [
         {k: (q(v) if k in _QUANT_KEYS else v) for k, v in layer.items()}
         for layer in params["layers"]
@@ -33,8 +38,10 @@ def quantize_params(params, dtype=jnp.int8):
 
 
 def qmatmul(x, w):
-    """Matmul hook for models.llama.forward: dispatch QTensor weights to
-    the fused-dequant kernel, fp weights to einsum."""
+    """Matmul hook for models.llama.forward: dispatch QTensor/QTensor4
+    weights to the fused-dequant kernels, fp weights to einsum."""
     if isinstance(w, QTensor):
         return quantized_matmul(x, w)
+    if isinstance(w, QTensor4):
+        return quantized_matmul4(x, w)
     return jnp.einsum("bld,do->blo", x, w)

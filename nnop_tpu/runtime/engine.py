@@ -38,16 +38,18 @@ import jax.numpy as jnp
 from nnop_tpu.models.llama import LlamaConfig, _merge_heads, _split_heads
 from nnop_tpu.ops.attention_decode import decode_attention
 from nnop_tpu.ops.flash_attention import flash_attention
-from nnop_tpu.ops.quantization import QTensor
-from nnop_tpu.ops.quantized_matmul import quantized_matmul
+from nnop_tpu.ops.quantization import QTensor, QTensor4
+from nnop_tpu.ops.quantized_matmul import quantized_matmul, quantized_matmul4
 from nnop_tpu.ops.rms_norm import rms_norm
 from nnop_tpu.ops.rope import RotaryEmbedding, llama_rope
 
 
 def _mm(x, w):
-    """Matmul dispatch: QTensor weights -> fused-dequant kernel."""
+    """Matmul dispatch: QTensor/QTensor4 weights -> fused-dequant kernel."""
     if isinstance(w, QTensor):
         return quantized_matmul(x, w)
+    if isinstance(w, QTensor4):
+        return quantized_matmul4(x, w)
     return x @ w
 
 INT8_MAX = 127.0
@@ -347,6 +349,14 @@ def fuse_decode_weights(params):
                 jnp.concatenate([w.values for w in ws], axis=1),
                 jnp.concatenate([w.scale for w in ws], axis=0),
                 0,
+            )
+        if isinstance(ws[0], QTensor4):
+            # same K (packing layout) for all three; N-concat both planes
+            return QTensor4(
+                jnp.concatenate([w.packed for w in ws], axis=1),
+                jnp.concatenate([w.scale for w in ws], axis=1),
+                ws[0].group,
+                ws[0].pack_block,
             )
         return jnp.concatenate(ws, axis=1)
 

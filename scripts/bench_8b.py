@@ -33,6 +33,7 @@ def main():
     ap.add_argument("--max-seq", type=int, default=640)
     ap.add_argument("--vocab", type=int, default=32000)
     ap.add_argument("--chunk", type=int, default=16)
+    ap.add_argument("--wbits", type=int, default=8, choices=(4, 8))
     args = ap.parse_args()
 
     from nnop_tpu.models.llama import LlamaConfig, init_quantized_params
@@ -41,8 +42,10 @@ def main():
     )
 
     cfg = LlamaConfig.llama3_8b(vocab_size=args.vocab)
-    print("building random INT8 8B params...", file=sys.stderr, flush=True)
-    params = fuse_decode_weights(init_quantized_params(jax.random.key(0), cfg))
+    print(f"building random INT{args.wbits} 8B params...", file=sys.stderr, flush=True)
+    params = fuse_decode_weights(
+        init_quantized_params(jax.random.key(0), cfg, wbits=args.wbits)
+    )
     jax.block_until_ready(jax.tree.leaves(params)[0])
 
     B, ctx, chunk = args.batch, args.context, args.chunk
@@ -89,9 +92,9 @@ def main():
         if hasattr(v, "dtype") and v.dtype == jnp.int8
     )
     print(
-        f"8B INT8 decode (staged engine path): B={B} ctx={ctx} chunk={chunk}: "
+        f"8B INT{args.wbits} decode (staged engine path): B={B} ctx={ctx} chunk={chunk}: "
         f"{step*1e3:.2f} ms/step = {B/step:.0f} tokens/s/chip "
-        f"({wbytes/1e9:.1f} GB int8 weights -> {wbytes/step/1e9:.0f} GB/s)",
+        f"({wbytes/1e9:.1f} GB packed weights -> {wbytes/step/1e9:.0f} GB/s)",
         flush=True,
     )
 

@@ -28,14 +28,15 @@ def main():
     ap.add_argument("--new-tokens", type=int, default=128)
     ap.add_argument("--vocab", type=int, default=32000)
     ap.add_argument("--paged", action="store_true")
+    ap.add_argument("--wbits", type=int, default=8, choices=(4, 8))
     args = ap.parse_args()
 
     from nnop_tpu.models.llama import LlamaConfig, init_quantized_params
     from nnop_tpu.runtime.engine import Engine
 
     cfg = LlamaConfig.llama3_8b(vocab_size=args.vocab)
-    print("building random INT8 8B params...", file=sys.stderr, flush=True)
-    params = init_quantized_params(jax.random.key(0), cfg)
+    print(f"building random INT{args.wbits} 8B params...", file=sys.stderr, flush=True)
+    params = init_quantized_params(jax.random.key(0), cfg, wbits=args.wbits)
     jax.block_until_ready(jax.tree.leaves(params)[0])
 
     eng = Engine(

@@ -187,6 +187,19 @@ def main():
     print(f"{'PASS' if rel < 0.02 else 'FAIL'} qmm: rel_fro_err={rel:.4f}")
     ok &= rel < 0.02
 
+    # int4 packed matmul: exact vs its own dequantized reference in f32
+    from nnop_tpu.ops.quantization import dequantize4, quantize4
+    from nnop_tpu.ops.quantized_matmul import quantized_matmul4
+
+    w4f = jax.random.normal(jax.random.key(20), (1024, 512), jnp.float32) * 0.05
+    q4 = quantize4(w4f)
+    x4 = jax.random.normal(jax.random.key(21), (32, 1024), jnp.float32)
+    got4 = np.asarray(quantized_matmul4(x4, q4))
+    want4 = np.asarray(x4 @ dequantize4(q4))
+    err4 = np.abs(got4 - want4).max()
+    print(f"{'PASS' if err4 < 1e-4 else 'FAIL'} qmm4: maxerr={err4:.2e}")
+    ok &= err4 < 1e-4
+
     # staged decode + flush (the serving fast path, round 2)
     from nnop_tpu.ops.attention_decode import decode_attention
     from nnop_tpu.ops.kv_write import flush_staging
