@@ -83,6 +83,10 @@ def cmd_generate(args):
         params = load_hf_llama(args.hf_path, cfg)
     elif args.checkpoint:
         params = load_checkpoint(args.checkpoint, params)
+    if args.wbits < 16:
+        from nnop_tpu.models.quantized import quantize_params
+
+        params = quantize_params(params, wbits=args.wbits)
 
     # byte-level tokenizer with no merges = raw bytes (demo default)
     tok = BPETokenizer([])
@@ -128,6 +132,8 @@ def main():
     g.add_argument("--batch", type=int, default=4)
     g.add_argument("--seed", type=int, default=0)
     g.add_argument("--int8-kv", action="store_true")
+    g.add_argument("--wbits", type=int, default=16, choices=(4, 8, 16),
+                   help="weight-only quantization (16 = keep fp)")
     g.add_argument("--hf-path", default=None)
     g.add_argument("--checkpoint", default=None)
     g.set_defaults(fn=cmd_generate)

@@ -634,7 +634,8 @@ class Engine:
                  tokenizer=None, temperature: float = 0.0, top_k: int = 0,
                  seed: int = 0, chunk_size: int = 8, fuse_weights=True,
                  paged: bool = False, page_size: int = 512,
-                 n_pages: Optional[int] = None, prefill_chunk: int = 512):
+                 n_pages: Optional[int] = None, prefill_chunk: int = 512,
+                 pipeline_depth: int = 2):
         self.cfg = cfg
         self.tokenizer = tokenizer
         self.max_batch = max_batch
@@ -648,6 +649,15 @@ class Engine:
         self.chunk_size = chunk_size
         self.params = fuse_decode_weights(params) if fuse_weights else params
         self.paged = paged
+        # chunk-dispatch pipelining: keep (depth-1) chunks in flight and
+        # collect their tokens one step late, hiding the host round-trip
+        # behind device compute. EOS detection lags a chunk, so a
+        # finishing slot wastes at most (depth-1) extra chunks of decode
+        # (same order as the existing mid-chunk overshoot). The paged
+        # path syncs lengths on-host for page allocation, so it stays
+        # unpipelined.
+        self.pipeline_depth = 1 if paged else max(1, pipeline_depth)
+        self._inflight: list[tuple[jax.Array, dict[int, Request]]] = []
         if paged:
             # paged mode: KV lives in a shared page pool; a slot only
             # holds pages for its live length (+ flush slack), so total
@@ -667,8 +677,13 @@ class Engine:
                 [] for _ in range(max_batch)
             ]
         else:
-            # flush RMWs an aligned (STAGE_W+32)-row window: pad the cache
-            alloc = -(-(max_seq + STAGE_W + 32) // 32) * 32
+            # flush RMWs an aligned (STAGE_W+32)-row window, and inflight
+            # chunks can advance a finished slot (depth-1) chunks past
+            # max_seq before collection zeroes it: pad the cache for both
+            alloc = -(
+                -(max_seq + STAGE_W + 32
+                  + (self.pipeline_depth - 1) * chunk_size) // 32
+            ) * 32
             self.state = init_state(
                 cfg, max_batch, alloc, quantized_kv, chunk=chunk_size
             )
@@ -829,24 +844,38 @@ class Engine:
                 self.state.lengths = self.state.lengths.at[slot].set(0)
 
     def step(self):
-        """Admit pending requests, run one decode CHUNK (chunk_size
-        batched steps in a single dispatch), collect the tokens."""
+        """Admit pending requests, dispatch one decode CHUNK (chunk_size
+        batched steps in a single dispatch), and collect tokens from the
+        oldest inflight chunk once the pipeline is full (or on drain)."""
         self._admit()
-        if all(s is None for s in self.slots):
-            return False
-        if self.paged:
-            lens = jax.device_get(self.state.lengths)
-            for slot, req in enumerate(self.slots):
-                if req is not None:
+        live = {s: r for s, r in enumerate(self.slots) if r is not None}
+        dispatched = False
+        if live:
+            if self.paged:
+                lens = jax.device_get(self.state.lengths)
+                for slot in live:
                     self._ensure_pages(
                         slot,
                         int(lens[slot]) + self.chunk_size + STAGE_W + 128,
                     )
-        self._key, step_key = jax.random.split(self._key)
-        toks, self.state = self._chunk(self.params, self.state, step_key)
-        toks = jax.device_get(toks)  # (chunk, B)
-        for slot, req in enumerate(self.slots):
-            if req is None:
+            self._key, step_key = jax.random.split(self._key)
+            toks, self.state = self._chunk(self.params, self.state, step_key)
+            # snapshot slot->request at dispatch time: collection must
+            # not attribute this chunk's tokens to a request admitted
+            # into a recycled slot later
+            self._inflight.append((toks, live))
+            dispatched = True
+        keep = self.pipeline_depth - 1 if dispatched else 0
+        while len(self._inflight) > keep:
+            self._collect(*self._inflight.pop(0))
+        return dispatched or bool(self._inflight)
+
+    def _collect(self, toks_dev, live):
+        toks = jax.device_get(toks_dev)  # (chunk, B)
+        for slot, req in live.items():
+            if req.done:
+                # finished in an earlier chunk while this one was already
+                # in flight; its tokens for the slot are surplus
                 continue
             for t in range(toks.shape[0]):
                 tok = int(toks[t, slot])
@@ -860,17 +889,19 @@ class Engine:
                     # mid-chunk finish: the slot kept decoding to chunk
                     # end (bounded waste); surplus tokens are discarded
                     req.done = True
-                    self.slots[slot] = None
+                    if self.slots[slot] is req:
+                        self.slots[slot] = None
                     self.state.lengths = self.state.lengths.at[slot].set(0)
                     if self.paged:
                         self._release_pages(slot)
                     break
-        return True
 
     def run(self, max_steps: int = 10_000):
         steps = 0
-        while (self.queue or any(s is not None for s in self.slots)) and (
-            steps < max_steps
-        ):
+        while (
+            self.queue
+            or any(s is not None for s in self.slots)
+            or self._inflight
+        ) and steps < max_steps:
             self.step()
             steps += 1

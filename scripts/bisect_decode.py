@@ -24,6 +24,7 @@ def main():
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--context", type=int, default=512)
     ap.add_argument("--vocab", type=int, default=32000)
+    ap.add_argument("--wbits", type=int, default=8, choices=(4, 8))
     args = ap.parse_args()
 
     from bench import marginal_time
@@ -36,7 +37,9 @@ def main():
     from nnop_tpu.ops.rope import RotaryEmbedding, llama_rope
 
     cfg = LlamaConfig.llama3_8b(vocab_size=args.vocab)
-    params = fuse_decode_weights(init_quantized_params(jax.random.key(0), cfg))
+    params = fuse_decode_weights(
+        init_quantized_params(jax.random.key(0), cfg, wbits=args.wbits)
+    )
     jax.block_until_ready(jax.tree.leaves(params)[0])
 
     B, ctx = args.batch, args.context

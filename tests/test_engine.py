@@ -215,3 +215,21 @@ def test_engine_chunked_prefill_into_live_cache(params):
     eng_chunk.run()
     assert r_chunk.done
     assert r_chunk.out == r_one.out, (r_chunk.out, r_one.out)
+
+
+def test_engine_pipelined_matches_unpipelined(params):
+    """pipeline_depth=2 (default) must produce byte-identical token
+    streams to depth=1 — collection lags a chunk but the device-side
+    chunk programs are unchanged; EOS lag only wastes discarded compute.
+    Also exercises slot recycling under an inflight chunk."""
+    prompts = [[1, 2, 3], [10, 20, 30, 40, 50], [7, 7, 7, 7], [9] * 6]
+    outs = {}
+    for depth in (1, 2, 3):
+        eng = Engine(params, CFG, max_batch=2, max_seq=64,
+                     pipeline_depth=depth, chunk_size=4)
+        reqs = [eng.submit(p, max_new_tokens=6 + i) for i, p in enumerate(prompts)]
+        eng.run()
+        assert all(r.done for r in reqs)
+        outs[depth] = [r.out for r in reqs]
+    assert outs[2] == outs[1]
+    assert outs[3] == outs[1]
