@@ -61,6 +61,7 @@ def _decode_kernel(
     stacked: bool = False,
     window: int | None = None,
     softcap: float | None = None,
+    n_draft: int = 1,
 ):
     rest = list(rest)
     ks_ref = vs_ref = kst_ref = vst_ref = stn_ref = None
@@ -78,9 +79,12 @@ def _decode_kernel(
     b = pl.program_id(0)
     ik = pl.program_id(1)
     length = lengths_ref[b]
-    G = group
-    # total live keys incl. staging; the query token is the LAST of them,
-    # so with a sliding window only cols >= total - window attend
+    # R rows per KV head: `group` query heads x n_draft query tokens
+    # (row r = t * group + g). The n_draft query tokens are the LAST
+    # n_draft staged entries; row t's global position is
+    # length + n_st - n_draft + t, so the cache part (cols < length) is
+    # position-uniform and only staging needs the intra-draft causal mask.
+    G = group * n_draft
     n_st = stn_ref[0] if staged else 0
 
     @pl.when(ik == 0)
@@ -102,7 +106,17 @@ def _decode_kernel(
         )
         mask = cols < length
         if window is not None:
-            mask = jnp.logical_and(mask, cols >= length + n_st - window)
+            # row t (= r // group) sits at global position
+            # length + n_st - n_draft + t; its window starts one past
+            # position - window
+            row_t = (
+                jax.lax.broadcasted_iota(jnp.int32, (G, block_k), 0)
+                // group
+            )
+            mask = jnp.logical_and(
+                mask,
+                cols >= length + n_st - n_draft + row_t + 1 - window,
+            )
         for kh in range(n_kv_heads):
             sl = slice(kh * G, (kh + 1) * G)
             q = q_ref[0, kh]
@@ -169,10 +183,18 @@ def _decode_kernel(
             # global positions [length, length + n_st)
             W = kst_ref.shape[-2]
             cols = jax.lax.broadcasted_iota(jnp.int32, (G, W), 1)
-            mask = jnp.logical_and(cols < n_st, length > 0)
+            row_t = jax.lax.broadcasted_iota(jnp.int32, (G, W), 0) // group
+            # intra-draft causal: row t attends staged cols up to its own
+            # position (n_st - n_draft + t); degenerates to cols < n_st
+            # at n_draft = 1
+            mask = jnp.logical_and(
+                cols <= n_st - n_draft + row_t, length > 0
+            )
             if window is not None:
                 # staging col j is global position length + j
-                mask = jnp.logical_and(mask, cols >= n_st - window)
+                mask = jnp.logical_and(
+                    mask, cols >= n_st - n_draft + row_t + 1 - window
+                )
             for kh in range(n_kv_heads):
                 sl = slice(kh * G, (kh + 1) * G)
                 q = q_ref[0, kh]
@@ -253,22 +275,38 @@ def decode_attention(
         stream read per step is O(window), not O(length) — the cache
         layout stays linear (memory is still O(length); a rolling-buffer
         cache is a possible future optimization).
-    Returns (B, QH, 1, E) in q.dtype.
+    Returns (B, QH, T, E) in q.dtype.
+
+    Multi-token (T > 1) is the SPECULATIVE-VERIFY mode: the T query
+    tokens must be the last T staged entries (positions
+    [lengths[b] + staged_n - T, lengths[b] + staged_n)); the kernel
+    applies the intra-draft causal mask in the staging step while the
+    cache part stays position-uniform.
     """
-    B, QH, _, E = q.shape
+    B, QH, T, E = q.shape
     stacked = layer is not None
     _, KH, S, _ = k_cache.shape[-4:]
     G = QH // KH
     quantized = k_cache.dtype == jnp.int8
     staged = k_stage is not None
+    if T > 1 and not staged:
+        raise ValueError(
+            "multi-token decode (speculative verify) requires the draft "
+            "tokens' K/V in the staging buffer"
+        )
     if scale is None:
         scale = 1.0 / (E**0.5)
     sub = 32 if quantized else 8
     bk = min(block_k, ((S + sub - 1) // sub) * sub)
     num_kv = cdiv(S, bk)
 
-    # (B, KH*G, E) rows grouped per KV head for the in-kernel head loop
-    q_r = q.reshape(B, KH, G, E)
+    # (B, KH*T*G, E): rows grouped per KV head, row r = t * G + g so the
+    # kernel recovers the draft index as r // G
+    q_r = (
+        q.reshape(B, KH, G, T, E)
+        .transpose(0, 1, 3, 2, 4)
+        .reshape(B, KH, T * G, E)
+    )
 
     def kv_last(b, lens):
         # clamp past the last live block: repeated index -> DMA skipped
@@ -295,7 +333,7 @@ def decode_attention(
         kv_block = (1, KH, bk, E)
 
     in_specs = [
-        pl.BlockSpec((1, KH, G, E), lambda b, ik, lens: (b, 0, 0, 0)),
+        pl.BlockSpec((1, KH, T * G, E), lambda b, ik, lens: (b, 0, 0, 0)),
         pl.BlockSpec(kv_block, kv_idx),
         pl.BlockSpec(kv_block, kv_idx),
     ]
@@ -355,28 +393,34 @@ def decode_attention(
         stacked=stacked,
         window=window,
         softcap=softcap,
+        n_draft=T,
     )
+    R = KH * T * G
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(B, num_kv),
         in_specs=in_specs,
         out_specs=pl.BlockSpec(
-            (1, KH * G, E), lambda b, ik, lens: (b, 0, 0)
+            (1, R, E), lambda b, ik, lens: (b, 0, 0)
         ),
         scratch_shapes=[
-            pltpu.VMEM((KH * G, E), jnp.float32),
-            pltpu.VMEM((KH * G, 128), jnp.float32),
-            pltpu.VMEM((KH * G, 128), jnp.float32),
+            pltpu.VMEM((R, E), jnp.float32),
+            pltpu.VMEM((R, 128), jnp.float32),
+            pltpu.VMEM((R, 128), jnp.float32),
         ],
     )
     o = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, KH * G, E), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, R, E), q.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret_default(),
     )(lengths.astype(jnp.int32), *operands)
-    return o.reshape(B, QH, 1, E)
+    return (
+        o.reshape(B, KH, T, G, E)
+        .transpose(0, 1, 3, 2, 4)
+        .reshape(B, QH, T, E)
+    )

@@ -481,6 +481,163 @@ def make_decode_chunk(cfg: LlamaConfig, quantized: bool, chunk: int,
     return chunk_fn
 
 
+def ngram_draft(history, vlen, k: int):
+    """Prompt-lookup drafting: continue the most recent earlier occurrence
+    of the current trailing bigram.
+
+    history: (B, S) int32 token ring (positions [0, vlen) valid).
+    vlen: (B,) int32. Returns (B, k) draft tokens; falls back to
+    repeating the last token when no bigram match exists (the verify
+    step then just rejects — drafting can never change emitted tokens,
+    only how many come per step).
+    """
+    B, S = history.shape
+    pos = jnp.arange(S, dtype=jnp.int32)[None]
+    a = jnp.take_along_axis(history, jnp.clip(vlen - 2, 0)[:, None], 1)
+    b = jnp.take_along_axis(history, jnp.clip(vlen - 1, 0)[:, None], 1)
+    prev = jnp.roll(history, 1, axis=1)  # prev[:, p] = history[:, p-1]
+    match = (
+        (prev == a) & (history == b) & (pos >= 1) & (pos < vlen[:, None] - 1)
+    )
+    idx = jnp.max(jnp.where(match, pos, -1), axis=1)  # most recent match
+    found = idx >= 0
+    start = jnp.clip(idx + 1, 0, S - k)
+    drafts = jax.vmap(
+        lambda h, s: jax.lax.dynamic_slice(h, (s,), (k,))
+    )(history, start)
+    last = b[:, 0]
+    # no match, or the continuation runs past the valid prefix -> filler
+    dpos = start[:, None] + jnp.arange(k, dtype=jnp.int32)[None]
+    ok = found[:, None] & (dpos < vlen[:, None])
+    return jnp.where(ok, drafts, last[:, None])
+
+
+def make_spec_chunk(cfg: LlamaConfig, quantized: bool, n_steps: int,
+                    spec_k: int):
+    """Speculative decode chunk (greedy only): `n_steps` spec steps per
+    dispatch. Each step drafts `spec_k` tokens by prompt-lookup
+    (ngram_draft), runs ONE verify forward over T = spec_k + 1 tokens
+    [last, d_1..d_k] (the multi-token decode_attention applies the
+    intra-draft causal mask against the staging buffer), accepts the
+    longest matching prefix, and flushes the staging window — the bf16
+    staging IS the rollback mechanism: rejected tokens' K/V simply land
+    above the advanced length and are overwritten by the next flush.
+
+    Per step each sequence emits between 1 and spec_k + 1 tokens: the
+    accepted drafts plus the model's correction token. Greedy spec decode
+    is EXACT — the emitted stream is identical to plain greedy decode
+    (tested); drafting quality only changes the tokens-per-step rate.
+
+    Returns chunk_fn(params, state, history, key) ->
+      (emitted (n_steps, B, T) int32, counts (n_steps, B) int32,
+       new_state, new_history).
+    """
+    from nnop_tpu.ops.kv_write import flush_staging
+
+    T = spec_k + 1
+    if T > STAGE_W:
+        raise ValueError(f"spec_k + 1 must be <= STAGE_W ({STAGE_W})")
+
+    def chunk_fn(params, state: EngineState, history, key):
+        B = state.lengths.shape[0]
+        rope = RotaryEmbedding(cfg.head_dim, cfg.rope_base,
+                               scaling=cfg.rope_scaling)
+
+        def write_hist(hist, toks, at):
+            return jax.vmap(
+                lambda h, t, p: jax.lax.dynamic_update_slice(h, t, (p,))
+            )(hist, toks, at)
+
+        def step(i, carry):
+            state, history, out_toks, out_counts = carry
+            lens = state.lengths
+            active = lens > 0
+
+            drafts = ngram_draft(
+                write_hist(history, state.last_token[:, None], lens),
+                lens + 1, spec_k,
+            )
+            tokens_in = jnp.concatenate(
+                [state.last_token[:, None], drafts], axis=1
+            )  # (B, T)
+            history = write_hist(history, tokens_in, lens)
+
+            positions = lens[:, None] + jnp.arange(T, dtype=jnp.int32)[None]
+            x = _embed_tokens(params, cfg, tokens_in)
+            cos, sin = rope(positions)
+
+            k_stage, v_stage = state.k_stage, state.v_stage
+            for li, layer in enumerate(params["layers"]):
+                h = rms_norm(x, layer["attn_norm"], cfg.rms_eps,
+                             offset=cfg.rms_offset)
+                q, kk, vv = _layer_qkv(layer, h, cfg)
+                q, kk = llama_rope(q, kk, cos, sin)
+                k_stage = jax.lax.dynamic_update_slice(
+                    k_stage, kk.astype(jnp.bfloat16)[:, None],
+                    (0, li, 0, 0, 0),
+                )
+                v_stage = jax.lax.dynamic_update_slice(
+                    v_stage, vv.astype(jnp.bfloat16)[:, None],
+                    (0, li, 0, 0, 0),
+                )
+                o = decode_attention(
+                    q, state.k, state.v, lens,
+                    state.k_scale, state.v_scale,
+                    k_stage=k_stage, v_stage=v_stage, staged_n=T,
+                    layer=li, window=cfg.layer_window(li),
+                    softcap=cfg.attn_softcap, scale=cfg.attn_scale,
+                )
+                x = _attn_out(layer, o, x, cfg)
+                x = _layer_mlp(layer, x, cfg)
+            x = rms_norm(x, params["final_norm"], cfg.rms_eps,
+                         offset=cfg.rms_offset)
+            m = jnp.argmax(
+                _lm_logits(params, cfg, x), axis=-1
+            ).astype(jnp.int32)  # (B, T): model tokens after each input
+
+            eq = (drafts == m[:, :spec_k]).astype(jnp.int32)
+            c = jnp.sum(jnp.cumprod(eq, axis=1), axis=1)  # accepted drafts
+            jc = jnp.arange(T, dtype=jnp.int32)[None]
+            m_at_c = jnp.take_along_axis(m, c[:, None], 1)[:, 0]
+            drafts_ext = jnp.concatenate(
+                [drafts, jnp.zeros((B, 1), jnp.int32)], axis=1
+            )
+            emitted = jnp.where(
+                jc < c[:, None],
+                drafts_ext,
+                jnp.where(jc == c[:, None], m_at_c[:, None], 0),
+            )
+            n_emit = (c + 1) * active.astype(jnp.int32)
+
+            kc, vc, ksc, vsc = flush_staging(
+                state.k, state.v, state.k_scale, state.v_scale,
+                k_stage, v_stage, lens,
+            )
+            new_state = EngineState(
+                k=kc, v=vc, k_scale=ksc, v_scale=vsc,
+                lengths=lens + n_emit,
+                last_token=jnp.where(active, m_at_c, state.last_token),
+                k_stage=k_stage, v_stage=v_stage,
+                page_table=state.page_table,
+            )
+            out_toks = jax.lax.dynamic_update_slice(
+                out_toks, emitted[None], (i, 0, 0)
+            )
+            out_counts = jax.lax.dynamic_update_slice(
+                out_counts, n_emit[None], (i, 0)
+            )
+            return (new_state, history, out_toks, out_counts)
+
+        out0 = jnp.zeros((n_steps, B, T), jnp.int32)
+        cnt0 = jnp.zeros((n_steps, B), jnp.int32)
+        state, history, toks, counts = jax.lax.fori_loop(
+            0, n_steps, step, (state, history, out0, cnt0)
+        )
+        return toks, counts, state, history
+
+    return chunk_fn
+
+
 def make_prefill_unrolled(cfg: LlamaConfig):
     """Prefill over UNROLLED (optionally weight-fused) params — the same
     param set the chunked decode uses, so the engine holds one copy of the
@@ -635,7 +792,7 @@ class Engine:
                  seed: int = 0, chunk_size: int = 8, fuse_weights=True,
                  paged: bool = False, page_size: int = 512,
                  n_pages: Optional[int] = None, prefill_chunk: int = 512,
-                 pipeline_depth: int = 2):
+                 pipeline_depth: int = 2, spec_k: int = 0):
         self.cfg = cfg
         self.tokenizer = tokenizer
         self.max_batch = max_batch
@@ -657,7 +814,20 @@ class Engine:
         # path syncs lengths on-host for page allocation, so it stays
         # unpipelined.
         self.pipeline_depth = 1 if paged else max(1, pipeline_depth)
-        self._inflight: list[tuple[jax.Array, dict[int, Request]]] = []
+        self._inflight: list[tuple] = []
+        # speculative decoding (greedy only): each chunk step verifies
+        # spec_k prompt-lookup drafts in one forward and emits 1..k+1
+        # tokens per sequence — exact greedy token streams, fewer weight
+        # streams per token
+        self.spec_k = spec_k
+        if spec_k:
+            if paged:
+                raise ValueError("spec decoding not supported with paged")
+            if temperature > 0:
+                raise ValueError(
+                    "spec decoding is exact only for greedy decoding; "
+                    "temperature sampling would need rejection sampling"
+                )
         if paged:
             # paged mode: KV lives in a shared page pool; a slot only
             # holds pages for its live length (+ flush slack), so total
@@ -682,18 +852,28 @@ class Engine:
             # max_seq before collection zeroes it: pad the cache for both
             alloc = -(
                 -(max_seq + STAGE_W + 32
-                  + (self.pipeline_depth - 1) * chunk_size) // 32
+                  + (self.pipeline_depth - 1) * chunk_size
+                  + (spec_k + 1 if spec_k else 0)) // 32
             ) * 32
             self.state = init_state(
                 cfg, max_batch, alloc, quantized_kv, chunk=chunk_size
             )
+            self._history = (
+                jnp.zeros((max_batch, alloc), jnp.int32) if spec_k else None
+            )
         self._key = jax.random.key(seed)
-        self._chunk = jax.jit(
-            make_decode_chunk(cfg, quantized_kv, chunk_size, temperature,
-                              top_k, paged=paged,
-                              page_size=page_size if paged else 0),
-            donate_argnums=(1,),
-        )
+        if spec_k:
+            self._chunk = jax.jit(
+                make_spec_chunk(cfg, quantized_kv, chunk_size, spec_k),
+                donate_argnums=(1, 2),
+            )
+        else:
+            self._chunk = jax.jit(
+                make_decode_chunk(cfg, quantized_kv, chunk_size, temperature,
+                                  top_k, paged=paged,
+                                  page_size=page_size if paged else 0),
+                donate_argnums=(1,),
+            )
         self._prefill = jax.jit(make_prefill_unrolled(cfg))
         self.prefill_chunk = prefill_chunk
         self._prefill_chunk_fn = jax.jit(make_prefill_chunk_step(cfg))
@@ -828,6 +1008,11 @@ class Engine:
                     vs_l.astype(self.state.v.dtype)
                 )
             self.state.lengths = self.state.lengths.at[slot].set(L)
+            if self.spec_k:
+                # drafting history: prompt tokens at positions [0, L)
+                self._history = self._history.at[slot, :L].set(
+                    jnp.asarray(req.prompt, jnp.int32)
+                )
             # sample the prefill token with the same settings as decode
             # (and EOS-check it) — not unconditional argmax
             self._key, sub = jax.random.split(self._key)
@@ -859,26 +1044,44 @@ class Engine:
                         int(lens[slot]) + self.chunk_size + STAGE_W + 128,
                     )
             self._key, step_key = jax.random.split(self._key)
-            toks, self.state = self._chunk(self.params, self.state, step_key)
+            if self.spec_k:
+                toks, counts, self.state, self._history = self._chunk(
+                    self.params, self.state, self._history, step_key
+                )
+            else:
+                toks, self.state = self._chunk(
+                    self.params, self.state, step_key
+                )
+                counts = None
             # snapshot slot->request at dispatch time: collection must
             # not attribute this chunk's tokens to a request admitted
             # into a recycled slot later
-            self._inflight.append((toks, live))
+            self._inflight.append((toks, counts, live))
             dispatched = True
         keep = self.pipeline_depth - 1 if dispatched else 0
         while len(self._inflight) > keep:
             self._collect(*self._inflight.pop(0))
         return dispatched or bool(self._inflight)
 
-    def _collect(self, toks_dev, live):
-        toks = jax.device_get(toks_dev)  # (chunk, B)
+    def _collect(self, toks_dev, counts_dev, live):
+        toks = jax.device_get(toks_dev)  # (chunk, B) or (steps, B, T)
+        counts = (
+            jax.device_get(counts_dev) if counts_dev is not None else None
+        )
         for slot, req in live.items():
             if req.done:
                 # finished in an earlier chunk while this one was already
                 # in flight; its tokens for the slot are surplus
                 continue
-            for t in range(toks.shape[0]):
-                tok = int(toks[t, slot])
+            if counts is None:
+                slot_toks = [int(toks[t, slot]) for t in range(toks.shape[0])]
+            else:
+                slot_toks = [
+                    int(toks[t, slot, j])
+                    for t in range(toks.shape[0])
+                    for j in range(int(counts[t, slot]))
+                ]
+            for tok in slot_toks:
                 req.out.append(tok)
                 full = len(req.prompt) + len(req.out) >= self.max_seq
                 if (

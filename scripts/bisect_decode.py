@@ -56,7 +56,7 @@ def main():
     kvd = cfg.n_kv_heads * cfg.head_dim
     rope = RotaryEmbedding(cfg.head_dim, cfg.rope_base)
 
-    def step(x_tok, *, do_attn, do_rope, do_stage, do_head):
+    def step(params, x_tok, *, do_attn, do_rope, do_stage, do_head):
         x = params["embed"][x_tok[:, None]]
         cos, sin = rope(lengths[:, None])
         ks_, vs_ = kst, vst
@@ -100,6 +100,19 @@ def main():
 
     import functools
 
+    def timed(f):
+        # pass params through the chain state: closing over the 4 GB
+        # weight tree captures it as jit CONSTANTS (3.97 GB of lowering
+        # constants, catastrophic through the remote-compile tunnel)
+        def body(i, carry):
+            x, params = carry
+            out = f(params, x)
+            # data-dependent no-op (a literal *0 gets constant-folded and
+            # the whole step DCE'd)
+            keep = jnp.where(jnp.sum(out) < -(2**30), 1, 0).astype(x.dtype)
+            return (x + keep, params)
+        return marginal_time(body, (jnp.ones((B,), jnp.int32), params))
+
     rows = [
         ("matmuls only (no attn/rope/stage/head)",
          dict(do_attn=False, do_rope=False, do_stage=False, do_head=False)),
@@ -114,8 +127,7 @@ def main():
     ]
     prev = 0.0
     for name, kw in rows:
-        f = functools.partial(step, **kw)
-        t = marginal_time(lambda i, x: f(x), jnp.ones((B,), jnp.int32))
+        t = timed(functools.partial(step, **kw))
         print(f"{name}: {t*1e3:.2f} ms/step (+{(t-prev)*1e3:.2f})",
               flush=True)
         prev = t

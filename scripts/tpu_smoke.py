@@ -250,6 +250,25 @@ def main():
         "decode_window_staged", o_staged_w[:2], o_flushed_w[:2], 4e-2, 4e-2
     )
 
+    # multi-token (speculative verify) decode: row t must equal a
+    # single-token decode whose staging is truncated to the same visible
+    # prefix (staged cols <= staged_n - T + t) — CPU oracle coverage is in
+    # tests/test_staged_decode.py; this checks the Mosaic-compiled masks
+    T = 3
+    qmt = jax.random.normal(kk[3], (B, KH * G, T, E), jnp.bfloat16)
+    o_mt = decode_attention(
+        qmt, kc2, vc2, base, ksc2, vsc2,
+        k_stage=kst, v_stage=vst, staged_n=W, layer=0,
+    )
+    for t in range(T):
+        o_1 = decode_attention(
+            qmt[:, :, t : t + 1], kc2, vc2, base, ksc2, vsc2,
+            k_stage=kst, v_stage=vst, staged_n=W - T + 1 + t, layer=0,
+        )
+        ok &= check(
+            f"decode_multitoken_t{t}", o_mt[:, :, t : t + 1], o_1, 2e-2, 2e-2
+        )
+
     print(f"total {time.time()-t0:.1f}s")
     sys.exit(0 if ok else 1)
 

@@ -233,3 +233,56 @@ def test_engine_pipelined_matches_unpipelined(params):
         outs[depth] = [r.out for r in reqs]
     assert outs[2] == outs[1]
     assert outs[3] == outs[1]
+
+
+# ---------------------------------------------------------------------------
+# speculative decoding (greedy-exact)
+
+
+def test_ngram_draft():
+    from nnop_tpu.runtime.engine import ngram_draft
+
+    #                0  1  2  3  4  5  6  7
+    hist = jnp.array([[3, 5, 9, 2, 3, 5, 8, 0]], jnp.int32)
+    # trailing bigram at vlen=6 is (3, 5) -> earlier occurrence at p=1,
+    # continuation history[2:4] = [9, 2]
+    d = ngram_draft(hist, jnp.array([6], jnp.int32), 2)
+    assert d.tolist() == [[9, 2]]
+    # no earlier occurrence -> repeat last token
+    hist2 = jnp.array([[1, 2, 3, 4, 0, 0, 0, 0]], jnp.int32)
+    d2 = ngram_draft(hist2, jnp.array([4], jnp.int32), 3)
+    assert d2.tolist() == [[4, 4, 4]]
+
+
+@pytest.mark.parametrize("spec_k", [2, 4])
+def test_spec_engine_matches_plain_greedy(params, spec_k):
+    """Speculative greedy decoding must emit byte-identical token streams
+    to the plain engine — drafting only changes tokens-per-dispatch."""
+    prompts = [[1, 2, 3, 1, 2, 3, 1, 2], [10, 20, 30, 40, 50], [7] * 6]
+    plain = Engine(params, CFG, max_batch=2, max_seq=96, chunk_size=4)
+    want = []
+    for p in prompts:
+        r = plain.submit(p, max_new_tokens=12)
+        want.append(r)
+    plain.run()
+
+    spec = Engine(params, CFG, max_batch=2, max_seq=96, chunk_size=4,
+                  spec_k=spec_k)
+    got = [spec.submit(p, max_new_tokens=12) for p in prompts]
+    spec.run()
+    for w, g in zip(want, got):
+        assert g.out == w.out, (g.out, w.out)
+
+
+def test_spec_engine_quantized_kv(params):
+    """Spec decode over the int8 KV cache path also matches plain."""
+    prompts = [[5, 6, 5, 6, 5, 6], [9, 8, 7]]
+    kw = dict(max_batch=2, max_seq=96, chunk_size=3, quantized_kv=True)
+    plain = Engine(params, CFG, **kw)
+    want = [plain.submit(p, max_new_tokens=10) for p in prompts]
+    plain.run()
+    spec = Engine(params, CFG, spec_k=3, **kw)
+    got = [spec.submit(p, max_new_tokens=10) for p in prompts]
+    spec.run()
+    for w, g in zip(want, got):
+        assert g.out == w.out, (g.out, w.out)

@@ -168,3 +168,78 @@ def test_flush_preserves_neighbors():
         np.testing.assert_array_equal(a[:, b, :, :p], 1)
         np.testing.assert_array_equal(a[:, b, :, p : p + W], 0)
         np.testing.assert_array_equal(a[:, b, :, p + W :], 1)
+
+
+# ---------------------------------------------------------------------------
+# multi-token (speculative verify) decode
+
+
+@pytest.mark.parametrize("T,staged_n", [(2, 2), (4, 4), (4, 9), (3, 32)])
+def test_multitoken_verify_vs_naive(T, staged_n):
+    """T query tokens = the last T staged entries; the cache part is
+    position-uniform, staging gets the intra-draft causal mask."""
+    ks = jax.random.split(jax.random.key(1), 5)
+    q = jax.random.normal(ks[0], (B, QH, T, E), jnp.float32)
+    kfull = jax.random.normal(ks[1], (B, KH, S, E), jnp.float32)
+    vfull = jax.random.normal(ks[2], (B, KH, S, E), jnp.float32)
+    kst = jax.random.normal(ks[3], (B, KH, W, E), jnp.float32).astype(
+        jnp.bfloat16
+    )
+    vst = jax.random.normal(ks[4], (B, KH, W, E), jnp.float32).astype(
+        jnp.bfloat16
+    )
+    lengths = jnp.array([5, 40, 0], jnp.int32)
+
+    got = decode_attention(
+        q,
+        kfull.astype(jnp.bfloat16),
+        vfull.astype(jnp.bfloat16),
+        lengths,
+        k_stage=kst,
+        v_stage=vst,
+        staged_n=staged_n,
+    )
+
+    # naive oracle over [cache ++ staged] with the per-row causal bound
+    kc = kfull.astype(jnp.bfloat16).astype(jnp.float32)
+    vc = vfull.astype(jnp.bfloat16).astype(jnp.float32)
+    kall = jnp.concatenate([kc, kst.astype(jnp.float32)], axis=2)
+    vall = jnp.concatenate([vc, vst.astype(jnp.float32)], axis=2)
+    scale = 1.0 / (E**0.5)
+    want = np.zeros((B, QH, T, E), np.float32)
+    for b in range(B):
+        L = int(lengths[b])
+        for h in range(QH):
+            kh = h // G
+            s = (q[b, h] @ kall[b, kh].T) * scale  # (T, S+W)
+            cols = np.arange(S + W)
+            for t in range(T):
+                ok = (cols < L) | (
+                    (cols >= S)
+                    & (cols - S <= staged_n - T + t)
+                    & (L > 0)
+                )
+                srow = np.where(ok, np.asarray(s[t]), -1e30)
+                if L == 0:
+                    want[b, h, t] = 0.0
+                    continue
+                p = np.exp(srow - srow.max())
+                p = p / p.sum()
+                want[b, h, t] = p @ np.asarray(vall[b, kh])
+    np.testing.assert_allclose(np.asarray(got), want, atol=2e-2, rtol=2e-2)
+
+
+def test_multitoken_t1_unchanged():
+    """T=1 must be bit-identical to the original single-token path."""
+    ks = jax.random.split(jax.random.key(2), 5)
+    q = jax.random.normal(ks[0], (B, QH, 1, E), jnp.float32)
+    kfull = jax.random.normal(ks[1], (B, KH, S, E), jnp.bfloat16)
+    vfull = jax.random.normal(ks[2], (B, KH, S, E), jnp.bfloat16)
+    kst = jax.random.normal(ks[3], (B, KH, W, E), jnp.bfloat16)
+    vst = jax.random.normal(ks[4], (B, KH, W, E), jnp.bfloat16)
+    lengths = jnp.array([5, 40, 0], jnp.int32)
+    a = decode_attention(q, kfull, vfull, lengths, k_stage=kst, v_stage=vst,
+                         staged_n=3)
+    b2 = decode_attention(q[:, :, :1], kfull, vfull, lengths, k_stage=kst,
+                          v_stage=vst, staged_n=3)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b2))
