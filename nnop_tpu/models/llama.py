@@ -54,6 +54,12 @@ class LlamaConfig:
         layer_idx % window_pattern == 0 (None = window on all layers).
       rope_scaling: Llama-3.1 NTK-by-parts scaling as a tuple
         (factor, low_freq_factor, high_freq_factor, original_max_len).
+      n_experts / n_experts_per_token: Mixtral — the MLP becomes a
+        top-k-routed mixture of experts (models/moe.py); hidden_dim is
+        the per-expert hidden size. capacity_factor bounds per-expert
+        tokens (None = dropless, exact).
+      router_aux_coef: weight of the Switch load-balancing loss added
+        by loss_fn during MoE training.
     """
 
     vocab_size: int = 128256
@@ -79,6 +85,10 @@ class LlamaConfig:
     post_norms: bool = False
     window_pattern: int | None = None
     rope_scaling: tuple[float, float, float, int] | None = None
+    n_experts: int | None = None
+    n_experts_per_token: int = 2
+    capacity_factor: float | None = None
+    router_aux_coef: float = 0.01
 
     def layer_window(self, li: int) -> int | None:
         """Effective sliding window for layer `li` (Gemma-2 alternates)."""
@@ -181,6 +191,30 @@ class LlamaConfig:
         return LlamaConfig(**defaults)
 
     @staticmethod
+    def mixtral_8x7b(**kw):
+        defaults = dict(
+            vocab_size=32000,
+            dim=4096,
+            n_layers=32,
+            n_heads=32,
+            n_kv_heads=8,
+            head_dim=128,
+            hidden_dim=14336,
+            rope_base=1000000.0,
+            rms_eps=1e-5,
+            n_experts=8,
+            n_experts_per_token=2,
+        )
+        defaults.update(kw)
+        return LlamaConfig(**defaults)
+
+    @staticmethod
+    def tiny_moe(**kw):
+        defaults = dict(n_experts=4, n_experts_per_token=2)
+        defaults.update(kw)
+        return LlamaConfig.tiny(**defaults)
+
+    @staticmethod
     def tiny(**kw):
         defaults = dict(
             vocab_size=256,
@@ -221,10 +255,17 @@ def init_params(key: jax.Array, cfg: LlamaConfig):
             "wv": dense(ks[2], (d, cfg.n_kv_heads * hd)),
             "wo": dense(ks[3], (cfg.n_heads * hd, d)),
             "mlp_norm": jnp.full((d,), norm_init, cfg.dtype),
-            "w_gate": dense(ks[4], (d, cfg.hidden_dim)),
-            "w_up": dense(ks[5], (d, cfg.hidden_dim)),
-            "w_down": dense(ks[6], (cfg.hidden_dim, d)),
         }
+        if cfg.n_experts is not None:
+            from nnop_tpu.models.moe import init_moe_layer
+
+            out.update(init_moe_layer(ks[4], cfg, dense))
+        else:
+            out.update({
+                "w_gate": dense(ks[4], (d, cfg.hidden_dim)),
+                "w_up": dense(ks[5], (d, cfg.hidden_dim)),
+                "w_down": dense(ks[6], (cfg.hidden_dim, d)),
+            })
         if cfg.qkv_bias:
             out["bq"] = jnp.zeros((cfg.n_heads * hd,), cfg.dtype)
             out["bk"] = jnp.zeros((cfg.n_kv_heads * hd,), cfg.dtype)
@@ -353,28 +394,42 @@ def attention_block(layer, x, cos, sin, cfg: LlamaConfig, *, kv_cache=None,
 
 
 def mlp_block(layer, x, cfg: LlamaConfig, *, matmul=None):
+    """SwiGLU MLP, or a routed mixture of experts when cfg.n_experts is
+    set (Mixtral). Returns (x + out, aux) where aux is the router
+    load-balancing loss (0.0 for dense)."""
     mm = matmul or (lambda x, w: jnp.einsum("bld,do->blo", x, w))
     h = rms_norm(x, layer["mlp_norm"], cfg.rms_eps, offset=cfg.rms_offset)
     act = jax.nn.silu if cfg.act == "silu" else functools.partial(
         jax.nn.gelu, approximate=True
     )
+    if cfg.n_experts is not None:
+        from nnop_tpu.models.moe import moe_mlp
+
+        B, L, d = h.shape
+        out_flat, aux = moe_mlp(layer, h.reshape(B * L, d), cfg, act=act)
+        out = _post(layer, out_flat.reshape(B, L, d), cfg, "mlp_post_norm")
+        return x + out, aux
     gate = act(mm(h, layer["w_gate"]).astype(jnp.float32))
     up = mm(h, layer["w_up"]).astype(jnp.float32)
     out = _post(
         layer, mm((gate * up).astype(x.dtype), layer["w_down"]), cfg,
         "mlp_post_norm",
     )
-    return x + out
+    return x + out, jnp.float32(0.0)
 
 
 def forward(params, tokens, cfg: LlamaConfig, *, positions=None,
-            kv_caches=None, kpad_mask=None, matmul=None):
+            kv_caches=None, kpad_mask=None, matmul=None,
+            return_aux=False):
     """Full forward pass: tokens (B, L) int32 -> logits (B, L, vocab).
 
     positions: (B, L) absolute positions (defaults to arange — pass the
     cache offset during decode). kv_caches: list of per-layer caches.
+    return_aux: also return the summed router load-balancing loss
+    (MoE configs; 0.0 for dense).
     """
     B, L = tokens.shape
+    aux_total = jnp.float32(0.0)
     if positions is None:
         positions = jnp.broadcast_to(jnp.arange(L, dtype=jnp.int32)[None], (B, L))
     x = params["embed"][tokens]
@@ -393,7 +448,8 @@ def forward(params, tokens, cfg: LlamaConfig, *, positions=None,
         )
         if new_caches is not None:
             new_caches.append(new_cache)
-        x = mlp_block(layer, x, cfg, matmul=matmul)
+        x, aux = mlp_block(layer, x, cfg, matmul=matmul)
+        aux_total = aux_total + aux
     x = rms_norm(x, params["final_norm"], cfg.rms_eps, offset=cfg.rms_offset)
     mm = matmul or (lambda x, w: jnp.einsum("bld,do->blo", x, w))
     if cfg.tie_embeddings:
@@ -405,16 +461,22 @@ def forward(params, tokens, cfg: LlamaConfig, *, positions=None,
     if cfg.final_softcap is not None:
         logits = cfg.final_softcap * jnp.tanh(logits / cfg.final_softcap)
     if kv_caches is not None:
-        return logits, new_caches
-    return logits
+        return (logits, new_caches, aux_total) if return_aux else (
+            logits, new_caches)
+    return (logits, aux_total) if return_aux else logits
 
 
 def loss_fn(params, tokens, targets, cfg: LlamaConfig, *, matmul=None):
-    """Next-token cross-entropy (mean over all positions)."""
-    logits = forward(params, tokens, cfg, matmul=matmul)
+    """Next-token cross-entropy (mean over all positions), plus the
+    router load-balancing aux for MoE configs."""
+    logits, aux = forward(params, tokens, cfg, matmul=matmul,
+                          return_aux=True)
     logp = jax.nn.log_softmax(logits, axis=-1)
     ll = jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
-    return -jnp.mean(ll)
+    loss = -jnp.mean(ll)
+    if cfg.n_experts is not None:
+        loss = loss + cfg.router_aux_coef * aux / cfg.n_layers
+    return loss
 
 
 def init_quantized_params(key: jax.Array, cfg: LlamaConfig, *, wbits: int = 8):

@@ -1,0 +1,170 @@
+"""Mixture-of-Experts layer: top-k router + capacity-based dispatch.
+
+North-star addition (the reference has no MoE anywhere — SURVEY.md §2.5
+"Expert parallel (EP): no MoE"); built TPU-first in the GShard/Switch
+tradition rather than the GPU scatter/gather tradition:
+
+- The router's dispatch/combine are expressed as one-hot EINSUMS so the
+  whole layer is MXU work with static shapes — no data-dependent
+  shapes, no host sync, differentiable end-to-end, and `pjit` can shard
+  the expert axis (expert parallelism) with XLA inserting the
+  all_to_all collectives.
+- Experts are STACKED weight tensors (E, d, hidden) etc., so expert
+  compute is one batched matmul per projection, not a Python loop.
+- Fixed per-expert capacity C bounds memory and keeps shapes static;
+  tokens over capacity are dropped (their combine weight is zero, the
+  residual path carries them — standard on TPU since GShard). The
+  default capacity is DROPLESS (C = T): exact Mixtral semantics, used
+  by tests and small-batch decode. Pass capacity_factor for bounded-C
+  training at scale.
+
+Layout note: dispatch/combine masks are (T, E, C) with T the flattened
+token axis — memory O(T*E*C) bf16. At dropless decode (T = B) this is
+tiny; at training scale use capacity_factor ~1.25-2.
+
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def router_topk(h, w_router, k: int):
+    """Top-k routing, Mixtral convention (softmax over the top-k logits).
+
+    h: (T, d) tokens; w_router: (d, E). Returns (weights (T, k) f32,
+    idx (T, k) i32, probs (T, E) f32 full softmax — for the aux loss).
+    """
+    logits = jnp.einsum(
+        "td,de->te", h.astype(jnp.float32), w_router.astype(jnp.float32)
+    )
+    probs = jax.nn.softmax(logits, axis=-1)
+    topv, topi = jax.lax.top_k(logits, k)
+    w = jax.nn.softmax(topv, axis=-1)
+    return w, topi.astype(jnp.int32), probs
+
+
+def load_balance_loss(probs, idx, n_experts: int, axes=None):
+    """Switch-Transformer auxiliary load-balancing loss.
+
+    probs: (T, E) router softmax; idx: (T, k) chosen experts. Returns
+    E * sum_e f_e * p_e where f_e is the fraction of (token, slot)
+    assignments to expert e and p_e the mean router prob. Minimized
+    (=1) at uniform routing. `axes`: mesh axis name(s) to pmean the
+    per-expert statistics over BEFORE the product, so sharded training
+    computes the same loss (and router gradient) as single-device —
+    a mean of per-shard f_e*p_e products is NOT the global product.
+    """
+    E = n_experts
+    onehot = jax.nn.one_hot(idx, E, dtype=jnp.float32)  # (T, k, E)
+    f = jnp.mean(jnp.sum(onehot, axis=1), axis=0)  # (E,) assignment frac * k
+    p = jnp.mean(probs, axis=0)  # (E,)
+    if axes is not None:
+        f = jax.lax.pmean(f, axes)
+        p = jax.lax.pmean(p, axes)
+    k = idx.shape[1]
+    return E * jnp.sum((f / k) * p)
+
+
+def expert_capacity(n_tokens: int, n_experts: int, k: int,
+                    capacity_factor: float | None) -> int:
+    """Per-expert token capacity C. None = dropless (C = n_tokens, every
+    assignment fits by construction). Otherwise k*T/E * factor, rounded
+    up to a multiple of 8 (TPU sublane) and clamped to [8, n_tokens]."""
+    if capacity_factor is None:
+        return max(8, n_tokens)
+    c = int(n_tokens * k / n_experts * capacity_factor)
+    c = -(-max(c, 1) // 8) * 8
+    return min(max(c, 8), max(8, n_tokens))
+
+
+def make_dispatch(idx, weights, n_experts: int, capacity: int):
+    """Dispatch/combine tensors from top-k assignments.
+
+    idx: (T, k) expert ids; weights: (T, k) combine weights.
+    Returns (dispatch (T, E, C) bool-as-dtype, combine (T, E, C) f32).
+    Position within an expert is assigned token-major then slot-major
+    (GShard priority); assignments past capacity are dropped (combine
+    weight 0 — the residual carries the token through unchanged).
+    """
+    T, k = idx.shape
+    E, C = n_experts, capacity
+    flat = idx.reshape(T * k)  # token-major: row t*k + j
+    oh = jax.nn.one_hot(flat, E, dtype=jnp.int32)  # (T*k, E)
+    pos_in_e = jnp.cumsum(oh, axis=0) - oh
+    p = jnp.sum(pos_in_e * oh, axis=-1)  # (T*k,) slot within expert
+    keep = (p < C).astype(jnp.float32)
+    ohp = jax.nn.one_hot(p, C, dtype=jnp.float32)  # (T*k, C)
+    # (T*k, E, C) -> (T, k, E, C); a token never repeats an expert in
+    # its top-k, so summing the k axis keeps entries 0/1
+    disp = (
+        (oh.astype(jnp.float32) * keep[:, None])[:, :, None] * ohp[:, None, :]
+    ).reshape(T, k, E, C)
+    combine = jnp.sum(disp * weights.reshape(T, k, 1, 1), axis=1)
+    dispatch = jnp.sum(disp, axis=1)
+    return dispatch, combine
+
+
+def moe_mlp(layer, h, cfg, *, act):
+    """MoE SwiGLU over flattened tokens h (T, d) -> (T, d), plus the
+    router aux loss. layer holds w_router (d, E) and stacked expert
+    weights w_gate/w_up (E, d, hidden), w_down (E, hidden, d)."""
+    T, d = h.shape
+    E = cfg.n_experts
+    k = cfg.n_experts_per_token
+    C = expert_capacity(T, E, k, cfg.capacity_factor)
+
+    w, idx, probs = router_topk(h, layer["w_router"], k)
+    dispatch, combine = make_dispatch(idx, w, E, C)
+
+    # (T, E, C) x (T, d) -> (E, C, d): gather each expert's tokens
+    xin = jnp.einsum(
+        "tec,td->ecd", dispatch.astype(h.dtype), h
+    )
+    gate = act(
+        jnp.einsum("ecd,edh->ech", xin, layer["w_gate"]).astype(jnp.float32)
+    )
+    up = jnp.einsum("ecd,edh->ech", xin, layer["w_up"]).astype(jnp.float32)
+    xout = jnp.einsum(
+        "ech,ehd->ecd", (gate * up).astype(h.dtype), layer["w_down"]
+    )
+    out = jnp.einsum("tec,ecd->td", combine.astype(h.dtype), xout)
+    aux = load_balance_loss(probs, idx, E)
+    return out.astype(h.dtype), aux
+
+
+def moe_mlp_naive(layer, h, cfg, *, act):
+    """Per-token oracle: out_t = sum_j w_j * SwiGLU_{e_j}(h_t). Dropless
+    reference for tests (mirrors the reference suite's naive-vs-fused
+    oracle pattern, SURVEY.md §4)."""
+    w, idx, _ = router_topk(h, layer["w_router"], cfg.n_experts_per_token)
+
+    def expert_out(e, t):
+        g = act((t @ layer["w_gate"][e]).astype(jnp.float32))
+        u = (t @ layer["w_up"][e]).astype(jnp.float32)
+        return ((g * u).astype(t.dtype) @ layer["w_down"][e])
+
+    def token(t_h, t_w, t_idx):
+        outs = jnp.stack(
+            [expert_out(t_idx[j], t_h) for j in range(cfg.n_experts_per_token)]
+        )
+        return jnp.sum(outs * t_w[:, None].astype(outs.dtype), axis=0)
+
+    return jax.vmap(token)(h, w, idx).astype(h.dtype)
+
+
+def init_moe_layer(key, cfg, dense):
+    """Stacked-expert MoE weights for one layer (called by
+    llama.init_params when cfg.n_experts is set)."""
+    E, d, hd = cfg.n_experts, cfg.dim, cfg.hidden_dim
+    ks = jax.random.split(key, 4)
+    return {
+        "w_router": dense(ks[0], (d, E)),
+        "w_gate": jnp.stack([dense(k, (d, hd)) for k in
+                             jax.random.split(ks[1], E)]),
+        "w_up": jnp.stack([dense(k, (d, hd)) for k in
+                           jax.random.split(ks[2], E)]),
+        "w_down": jnp.stack([dense(k, (hd, d)) for k in
+                             jax.random.split(ks[3], E)]),
+    }

@@ -1,0 +1,210 @@
+"""Expert parallelism: MoE experts sharded over an "expert" mesh axis.
+
+North-star addition (reference has no MoE/EP — SURVEY.md §2.5). GShard
+layout, TPU-native collectives:
+
+* mesh axes ("data", "expert"): the batch is sharded over BOTH axes
+  (every device is a data shard for the dense parts), expert weights
+  are sharded over "expert" (each device owns E/ep experts) and
+  replicated over "data"; router + attention weights are replicated
+  everywhere.
+* Each MoE layer does two `lax.all_to_all` collectives over the expert
+  axis: dispatch (E, C, d) -> (E_local, ep*C, d) scatters every shard's
+  per-expert token slabs to the expert owners; the inverse gathers the
+  expert outputs back. Both ride ICI inside a shard_map.
+* Gradients: expert-sharded leaves are averaged over "data" only;
+  replicated leaves over both axes (see make_moe_train_step).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding
+from jax.sharding import PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from nnop_tpu.models.llama import (
+    LlamaConfig,
+    attention_block,
+    rms_norm,
+)
+from nnop_tpu.models.moe import (
+    expert_capacity,
+    load_balance_loss,
+    make_dispatch,
+    router_topk,
+)
+from nnop_tpu.ops.rope import RotaryEmbedding
+
+
+def make_ep_mesh(data: int = 1, expert: int = 1, devices=None) -> Mesh:
+    import numpy as np
+
+    devices = devices if devices is not None else jax.devices()
+    n = data * expert
+    if len(devices) < n:
+        raise ValueError(f"need {n} devices, have {len(devices)}")
+    arr = np.asarray(devices[:n]).reshape(data, expert)
+    return Mesh(arr, ("data", "expert"))
+
+
+def moe_param_specs(cfg: LlamaConfig):
+    """PartitionSpecs: expert stacks sharded on dim 0 over "expert"."""
+    layer = {
+        "attn_norm": P(),
+        "wq": P(),
+        "wk": P(),
+        "wv": P(),
+        "wo": P(),
+        "mlp_norm": P(),
+        "w_router": P(),
+        "w_gate": P("expert", None, None),
+        "w_up": P("expert", None, None),
+        "w_down": P("expert", None, None),
+    }
+    return {
+        "embed": P(),
+        "layers": [dict(layer) for _ in range(cfg.n_layers)],
+        "final_norm": P(),
+        "lm_head": P(),
+    }
+
+
+def shard_moe_params(params, mesh: Mesh, cfg: LlamaConfig):
+    specs = moe_param_specs(cfg)
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs
+    )
+
+
+def moe_mlp_ep(layer, h, cfg: LlamaConfig, *, act, axis: str = "expert",
+               aux_axes=("data", "expert")):
+    """Expert-parallel MoE over LOCAL tokens h (T_local, d) inside a
+    shard_map. layer["w_gate"/"w_up"/"w_down"] are LOCAL expert shards
+    (E/ep, ...); the router weight is replicated and routes over the
+    GLOBAL expert space so the choice is identical to single-device."""
+    T, d = h.shape
+    E = cfg.n_experts
+    k = cfg.n_experts_per_token
+    ep = jax.lax.psum(1, axis)
+    if E % ep != 0:
+        raise ValueError(f"n_experts={E} not divisible by ep={ep}")
+    C = expert_capacity(T, E, k, cfg.capacity_factor)
+
+    w, idx, probs = router_topk(h, layer["w_router"], k)
+    dispatch, combine = make_dispatch(idx, w, E, C)
+
+    xin = jnp.einsum("tec,td->ecd", dispatch.astype(h.dtype), h)
+    # scatter expert slabs to their owners; gather ep*C token rows for
+    # each local expert
+    xin = jax.lax.all_to_all(xin, axis, split_axis=0, concat_axis=1,
+                             tiled=True)  # (E/ep, ep*C, d)
+    gate = act(
+        jnp.einsum("ecd,edh->ech", xin, layer["w_gate"]).astype(jnp.float32)
+    )
+    up = jnp.einsum("ecd,edh->ech", xin, layer["w_up"]).astype(jnp.float32)
+    xout = jnp.einsum(
+        "ech,ehd->ecd", (gate * up).astype(h.dtype), layer["w_down"]
+    )
+    xout = jax.lax.all_to_all(xout, axis, split_axis=1, concat_axis=0,
+                              tiled=True)  # (E, C, d)
+    out = jnp.einsum("tec,ecd->td", combine.astype(h.dtype), xout)
+    aux = load_balance_loss(probs, idx, E, axes=aux_axes)
+    return out.astype(h.dtype), aux
+
+
+def _ep_local_forward(params, tokens, cfg: LlamaConfig,
+                      axis: str = "expert"):
+    """Per-shard forward (inside shard_map): attention is pure-local
+    (data parallel), the MoE MLP is expert-parallel over `axis`.
+    Returns (logits, aux_sum)."""
+    B, L = tokens.shape
+    positions = jnp.broadcast_to(jnp.arange(L, dtype=jnp.int32)[None],
+                                 (B, L))
+    x = params["embed"][tokens]
+    if cfg.embed_scale is not None:
+        x = (x.astype(jnp.float32) * cfg.embed_scale).astype(x.dtype)
+    rope = RotaryEmbedding(cfg.head_dim, cfg.rope_base,
+                           scaling=cfg.rope_scaling)
+    cos, sin = rope(positions)
+    act = jax.nn.silu if cfg.act == "silu" else jax.nn.gelu
+    aux_total = jnp.float32(0.0)
+    for i, layer in enumerate(params["layers"]):
+        x, _ = attention_block(layer, x, cos, sin, cfg, layer_idx=i)
+        h = rms_norm(x, layer["mlp_norm"], cfg.rms_eps,
+                     offset=cfg.rms_offset)
+        out, aux = moe_mlp_ep(
+            layer, h.reshape(B * L, cfg.dim), cfg, act=act, axis=axis
+        )
+        x = x + out.reshape(B, L, cfg.dim)
+        aux_total = aux_total + aux
+    x = rms_norm(x, params["final_norm"], cfg.rms_eps, offset=cfg.rms_offset)
+    logits = jnp.einsum("bld,dv->blv", x, params["lm_head"]).astype(
+        jnp.float32
+    )
+    return logits, aux_total
+
+
+def ep_forward(params, tokens, cfg: LlamaConfig, mesh: Mesh):
+    """Jitted full-batch forward: tokens (B, L) sharded over
+    data x expert; returns replicated logits (for tests/eval)."""
+    fwd = shard_map(
+        lambda p, t: _ep_local_forward(p, t, cfg)[0],
+        mesh=mesh,
+        in_specs=(moe_param_specs(cfg), P(("data", "expert"))),
+        out_specs=P(("data", "expert")),
+        check_rep=False,
+    )
+    return jax.jit(fwd)(params, tokens)
+
+
+def make_moe_train_step(mesh: Mesh, cfg: LlamaConfig, optimizer=None):
+    """dp x ep training step. Expert-sharded grads average over "data"
+    only; replicated grads over both axes."""
+    from nnop_tpu.parallel.tp_llama import AdamW
+
+    optimizer = optimizer or AdamW(lr=1e-3)
+    specs = moe_param_specs(cfg)
+
+    def local_loss(p, tokens, targets):
+        logits, aux = _ep_local_forward(p, tokens, cfg)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        ll = jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
+        loss = -jnp.mean(ll)
+        if cfg.router_aux_coef:
+            loss = loss + cfg.router_aux_coef * aux / cfg.n_layers
+        return loss
+
+    def local_step(p, tokens, targets):
+        loss, grads = jax.value_and_grad(local_loss)(p, tokens, targets)
+        ep = jax.lax.psum(1, "expert")
+        # expert-sharded leaves: the all_to_all TRANSPOSE already summed
+        # each expert's grad contributions from every expert-axis peer's
+        # local loss, so averaging the per-shard mean losses needs an
+        # extra 1/ep (verified vs single-device grads in
+        # test_ep_grads_match_single_device)
+        grads = jax.tree.map(
+            lambda g, s: (
+                jax.lax.pmean(g, "data") / ep if "expert" in s
+                else jax.lax.pmean(g, ("data", "expert"))
+            ),
+            grads, specs,
+        )
+        return jax.lax.pmean(loss, ("data", "expert")), grads
+
+    stepped = shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(specs, P(("data", "expert")), P(("data", "expert"))),
+        out_specs=(P(), specs),
+        check_rep=False,
+    )
+
+    @jax.jit
+    def step(params, opt_state, tokens, targets):
+        loss, grads = stepped(params, tokens, targets)
+        params, opt_state = optimizer.update(grads, opt_state, params)
+        return params, opt_state, loss
+
+    return step, optimizer

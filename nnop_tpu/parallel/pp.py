@@ -113,7 +113,7 @@ def _stage_forward(stacked, x, cos, sin, cfg: LlamaConfig):
 
     def body(h, layer):
         h, _ = attention_block(layer, h, cos, sin, cfg)
-        h = mlp_block(layer, h, cfg)
+        h, _ = mlp_block(layer, h, cfg)
         return h, None
 
     x, _ = jax.lax.scan(body, x, stacked)

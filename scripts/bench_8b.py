@@ -34,11 +34,15 @@ def main():
     ap.add_argument("--vocab", type=int, default=32000)
     ap.add_argument("--chunk", type=int, default=16)
     ap.add_argument("--wbits", type=int, default=8, choices=(4, 8))
+    ap.add_argument("--spec", type=int, default=0,
+                    help="speculative mode: drafts per verify step; "
+                    "measures the T=spec+1 verify-step cost vs plain")
     args = ap.parse_args()
 
     from nnop_tpu.models.llama import LlamaConfig, init_quantized_params
     from nnop_tpu.runtime.engine import (
         STAGE_W, fuse_decode_weights, init_state, make_decode_chunk,
+        make_spec_chunk,
     )
 
     cfg = LlamaConfig.llama3_8b(vocab_size=args.vocab)
@@ -54,20 +58,32 @@ def main():
     state.lengths = jnp.full((B,), ctx, jnp.int32)
     state.last_token = jnp.ones((B,), jnp.int32)
 
-    chunk_fn = make_decode_chunk(cfg, quantized=True, chunk=chunk)
+    if args.spec:
+        chunk_fn = make_spec_chunk(cfg, quantized=True, n_steps=chunk,
+                                   spec_k=args.spec)
+        history0 = jnp.zeros((B, alloc), jnp.int32)
+    else:
+        chunk_fn = make_decode_chunk(cfg, quantized=True, chunk=chunk)
 
     @jax.jit
     def chain(params, state, key, n_chunks):
         def body(i, carry):
-            state, key = carry
+            state, history, key = carry
             key, sub = jax.random.split(key)
-            toks, state = chunk_fn(params, state, sub)
+            if args.spec:
+                toks, counts, state, history = chunk_fn(
+                    params, state, history, sub
+                )
+            else:
+                toks, state = chunk_fn(params, state, sub)
             # keep lengths pinned so the KV stream per step is constant
             # across the chain (marginal timing isolates steady-state cost)
             state.lengths = jnp.full((B,), ctx, jnp.int32)
-            return (state, key)
+            return (state, history, key)
 
-        state, _ = jax.lax.fori_loop(0, n_chunks, body, (state, key))
+        state, _, _ = jax.lax.fori_loop(
+            0, n_chunks, body, (state, history0 if args.spec else 0, key)
+        )
         return jnp.sum(state.last_token)
 
     key = jax.random.key(1)
@@ -91,12 +107,23 @@ def main():
         v.size for v in jax.tree.leaves(params)
         if hasattr(v, "dtype") and v.dtype == jnp.int8
     )
-    print(
-        f"8B INT{args.wbits} decode (staged engine path): B={B} ctx={ctx} chunk={chunk}: "
-        f"{step*1e3:.2f} ms/step = {B/step:.0f} tokens/s/chip "
-        f"({wbytes/1e9:.1f} GB packed weights -> {wbytes/step/1e9:.0f} GB/s)",
-        flush=True,
-    )
+    if args.spec:
+        T = args.spec + 1
+        print(
+            f"8B INT{args.wbits} SPEC decode (k={args.spec}, verify T={T}): "
+            f"B={B} ctx={ctx} chunk={chunk}: {step*1e3:.2f} ms/verify-step; "
+            f"tokens/s/chip = {B/step:.0f} at zero acceptance .. "
+            f"{B*T/step:.0f} at full acceptance "
+            f"({wbytes/step/1e9:.0f} GB/s weight stream)",
+            flush=True,
+        )
+    else:
+        print(
+            f"8B INT{args.wbits} decode (staged engine path): B={B} ctx={ctx} chunk={chunk}: "
+            f"{step*1e3:.2f} ms/step = {B/step:.0f} tokens/s/chip "
+            f"({wbytes/1e9:.1f} GB packed weights -> {wbytes/step/1e9:.0f} GB/s)",
+            flush=True,
+        )
 
 
 if __name__ == "__main__":

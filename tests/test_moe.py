@@ -1,0 +1,126 @@
+"""MoE layer: router, dispatch/combine, parity vs per-token oracle.
+
+Mirrors the reference suite's naive-vs-fused oracle pattern (SURVEY.md
+§4) for a north-star component the reference lacks entirely.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nnop_tpu.models.llama import LlamaConfig, forward, init_params, loss_fn
+from nnop_tpu.models.moe import (
+    expert_capacity,
+    load_balance_loss,
+    make_dispatch,
+    moe_mlp,
+    moe_mlp_naive,
+    router_topk,
+)
+
+CFG = LlamaConfig.tiny_moe()
+
+
+def _moe_layer(key, cfg=CFG, dtype=jnp.float32):
+    p = init_params(key, dataclassed(cfg, dtype=dtype))
+    return p["layers"][0]
+
+
+def dataclassed(cfg, **kw):
+    import dataclasses
+
+    return dataclasses.replace(cfg, **kw)
+
+
+def test_router_topk_picks_argmax():
+    h = jnp.eye(4, 8, dtype=jnp.float32) * 5.0  # token i favors expert i
+    w_router = jnp.eye(8, 4, dtype=jnp.float32)
+    w, idx, probs = router_topk(h, w_router, 2)
+    assert idx.shape == (4, 2)
+    np.testing.assert_array_equal(np.asarray(idx[:, 0]), np.arange(4))
+    # weights renormalized over the top-k
+    np.testing.assert_allclose(np.asarray(jnp.sum(w, axis=1)), 1.0, rtol=1e-6)
+
+
+def test_make_dispatch_positions_and_drop():
+    # 3 tokens, 2 experts, k=1: tokens 0,2 -> e0; token 1 -> e1
+    idx = jnp.array([[0], [1], [0]], jnp.int32)
+    w = jnp.ones((3, 1), jnp.float32)
+    disp, comb = make_dispatch(idx, w, 2, capacity=2)
+    d = np.asarray(disp)
+    assert d[0, 0, 0] == 1  # token 0 -> expert 0 slot 0
+    assert d[1, 1, 0] == 1  # token 1 -> expert 1 slot 0
+    assert d[2, 0, 1] == 1  # token 2 -> expert 0 slot 1
+    assert d.sum() == 3
+    # capacity 1: token 2's assignment to expert 0 is dropped
+    disp1, comb1 = make_dispatch(idx, w, 2, capacity=1)
+    assert np.asarray(disp1).sum() == 2
+    assert np.asarray(comb1)[2].sum() == 0.0
+
+
+def test_expert_capacity():
+    assert expert_capacity(256, 8, 2, None) == 256  # dropless
+    c = expert_capacity(256, 8, 2, 1.25)
+    assert c % 8 == 0 and 64 <= c <= 256
+    assert expert_capacity(4, 8, 2, 1.0) == 8  # floor
+
+
+@pytest.mark.parametrize("T,k", [(16, 1), (33, 2), (64, 3)])
+def test_moe_mlp_vs_naive(T, k):
+    cfg = dataclassed(CFG, n_experts_per_token=k, dtype=jnp.float32)
+    layer = _moe_layer(jax.random.key(0), cfg)
+    h = jax.random.normal(jax.random.key(1), (T, cfg.dim), jnp.float32)
+    with jax.default_matmul_precision("highest"):
+        got, aux = moe_mlp(layer, h, cfg, act=jax.nn.silu)
+        want = moe_mlp_naive(layer, h, cfg, act=jax.nn.silu)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-4)
+    assert float(aux) > 0.0
+
+
+def test_moe_capacity_drops_are_zero_not_garbage():
+    """Over-capacity tokens must contribute exactly zero (the residual
+    carries them), not stale or mixed values."""
+    cfg = dataclassed(CFG, capacity_factor=0.5, dtype=jnp.float32)
+    layer = _moe_layer(jax.random.key(0), cfg)
+    # route ALL tokens to one expert by biasing the router
+    layer = dict(layer)
+    layer["w_router"] = jnp.zeros_like(layer["w_router"]).at[:, 0].set(10.0)
+    T = 32
+    h = jax.random.normal(jax.random.key(1), (T, cfg.dim), jnp.float32)
+    out, _ = moe_mlp(layer, h, cfg, act=jax.nn.silu)
+    C = expert_capacity(T, cfg.n_experts, cfg.n_experts_per_token, 0.5)
+    # tokens beyond both experts' capacity produce exactly 0
+    n_served = 2 * C  # top-2 -> first C tokens on each of 2 experts
+    if n_served < T:
+        np.testing.assert_array_equal(np.asarray(out[n_served:]), 0.0)
+
+
+def test_load_balance_loss_uniform_is_one():
+    T, E, k = 512, 4, 1
+    probs = jnp.full((T, E), 1.0 / E)
+    idx = (jnp.arange(T, dtype=jnp.int32) % E)[:, None]
+    assert abs(float(load_balance_loss(probs, idx, E)) - 1.0) < 1e-5
+
+
+def test_moe_forward_and_grad():
+    cfg = dataclassed(CFG, dtype=jnp.float32)
+    params = init_params(jax.random.key(0), cfg)
+    tokens = jax.random.randint(jax.random.key(1), (2, 16), 0,
+                                cfg.vocab_size)
+    logits = forward(params, tokens, cfg)
+    assert logits.shape == (2, 16, cfg.vocab_size)
+    assert bool(jnp.all(jnp.isfinite(logits)))
+
+    targets = jnp.roll(tokens, -1, axis=1)
+    loss, grads = jax.value_and_grad(loss_fn)(params, tokens, targets, cfg)
+    assert np.isfinite(float(loss))
+    gnorm = jax.tree.reduce(
+        lambda a, g: a + float(jnp.sum(jnp.abs(g))), grads, 0.0
+    )
+    assert np.isfinite(gnorm) and gnorm > 0.0
+    # the router weight must receive gradient (it only gets one through
+    # the combine weights — a classic silent-failure spot)
+    rg = grads["layers"][0]["w_router"]
+    assert float(jnp.sum(jnp.abs(rg))) > 0.0

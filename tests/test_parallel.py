@@ -603,3 +603,112 @@ def test_pp_train_step():
         sp, opt_state, loss = step(sp, opt_state, tokens, targets)
         losses.append(float(loss))
     assert losses[-1] < losses[0], losses
+
+
+# ---------------------------------------------------------------------------
+# expert parallelism (MoE over the "expert" mesh axis)
+
+
+def test_ep_forward_matches_single_device():
+    """EP-sharded MoE forward == single-device forward (dropless)."""
+    import dataclasses
+
+    from nnop_tpu.models.llama import forward
+    from nnop_tpu.parallel.ep import ep_forward, make_ep_mesh, shard_moe_params
+
+    cfg = dataclasses.replace(
+        LlamaConfig.tiny_moe(), dtype=jnp.float32, n_experts=4
+    )
+    params = init_params(jax.random.key(0), cfg)
+    tokens = jax.random.randint(jax.random.key(1), (8, 32), 0, cfg.vocab_size)
+
+    with jax.default_matmul_precision("highest"):
+        want = forward(params, tokens, cfg)
+        mesh = make_ep_mesh(data=2, expert=4)
+        sp = shard_moe_params(params, mesh, cfg)
+        got = ep_forward(sp, tokens, cfg, mesh)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), atol=2e-4, rtol=2e-3
+    )
+
+
+def test_ep_train_step():
+    """dp x ep training step runs and reduces the loss."""
+    import dataclasses
+
+    from nnop_tpu.parallel.ep import (
+        make_ep_mesh, make_moe_train_step, shard_moe_params,
+    )
+
+    cfg = dataclasses.replace(LlamaConfig.tiny_moe(), dtype=jnp.float32)
+    mesh = make_ep_mesh(data=2, expert=4)
+    params = shard_moe_params(init_params(jax.random.key(0), cfg), mesh, cfg)
+    train_step, optimizer = make_moe_train_step(mesh, cfg)
+    opt_state = optimizer.init(params)
+    tokens = jax.random.randint(jax.random.key(1), (8, 32), 0, cfg.vocab_size)
+    targets = jnp.roll(tokens, -1, axis=1)
+    losses = []
+    for _ in range(4):
+        params, opt_state, loss = train_step(params, opt_state, tokens,
+                                             targets)
+        losses.append(float(loss))
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0]
+
+
+def test_ep_grads_match_single_device():
+    """EP grads (incl. the all_to_all transpose) == single-device grads."""
+    import dataclasses
+
+    from nnop_tpu.models.llama import loss_fn
+    from nnop_tpu.parallel.ep import (
+        make_ep_mesh, moe_param_specs, shard_moe_params,
+    )
+    from nnop_tpu.parallel.ep import _ep_local_forward
+
+    cfg = dataclasses.replace(
+        LlamaConfig.tiny_moe(), dtype=jnp.float32, n_layers=1
+    )
+    params = init_params(jax.random.key(0), cfg)
+    tokens = jax.random.randint(jax.random.key(1), (8, 16), 0, cfg.vocab_size)
+    targets = jnp.roll(tokens, -1, axis=1)
+
+    with jax.default_matmul_precision("highest"):
+        gw = jax.grad(loss_fn)(params, tokens, targets, cfg)
+
+        mesh = make_ep_mesh(data=2, expert=4)
+        sp = shard_moe_params(params, mesh, cfg)
+        specs = moe_param_specs(cfg)
+
+        def local_loss(p, t, tg):
+            logits, aux = _ep_local_forward(p, t, cfg)
+            logp = jax.nn.log_softmax(logits, axis=-1)
+            ll = jnp.take_along_axis(logp, tg[..., None], axis=-1)[..., 0]
+            return -jnp.mean(ll) + cfg.router_aux_coef * aux / cfg.n_layers
+
+        def local_grad(p, t, tg):
+            g = jax.grad(local_loss)(p, t, tg)
+            ep = jax.lax.psum(1, "expert")
+            return jax.tree.map(
+                lambda x, s: (
+                    jax.lax.pmean(x, "data") / ep if "expert" in s
+                    else jax.lax.pmean(x, ("data", "expert"))
+                ),
+                g, specs,
+            )
+
+        gg = jax.jit(shard_map(
+            local_grad, mesh=mesh,
+            in_specs=(specs, P(("data", "expert")), P(("data", "expert"))),
+            out_specs=specs, check_rep=False,
+        ))(sp, tokens, targets)
+
+    for path in (("layers", 0, "w_router"), ("layers", 0, "w_gate"),
+                 ("layers", 0, "w_down"), ("layers", 0, "wq")):
+        a, b = gw, gg
+        for k in path:
+            a, b = a[k], b[k]
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), atol=3e-5, rtol=3e-3,
+            err_msg=str(path),
+        )
