@@ -32,6 +32,7 @@ from nnop_tpu.ops.flash_attention import flash_attention_chunked
 from nnop_tpu.ops.quantization import (QTensor, QTensor4, dequantize,
                                         dequantize4, quantize, quantize4)
 from nnop_tpu.ops.quantized_matmul import quantized_matmul, quantized_matmul4
+from nnop_tpu.ops.grouped_matmul import grouped_matmul
 
 __all__ = [
     "online_softmax",
@@ -46,6 +47,7 @@ __all__ = [
     "quantize",
     "dequantize",
     "quantized_matmul",
+    "grouped_matmul",
     "quantized_matmul4",
     "QTensor4",
     "quantize4",

@@ -89,6 +89,7 @@ class LlamaConfig:
     n_experts_per_token: int = 2
     capacity_factor: float | None = None
     router_aux_coef: float = 0.01
+    moe_impl: str = "einsum"  # or "grouped" (Pallas exact-work path)
 
     def layer_window(self, li: int) -> int | None:
         """Effective sliding window for layer `li` (Gemma-2 alternates)."""

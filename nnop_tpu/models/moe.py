@@ -26,6 +26,8 @@ tiny; at training scale use capacity_factor ~1.25-2.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -106,10 +108,17 @@ def make_dispatch(idx, weights, n_experts: int, capacity: int):
     return dispatch, combine
 
 
-def moe_mlp(layer, h, cfg, *, act):
+def moe_mlp(layer, h, cfg, *, act, impl: str | None = None):
     """MoE SwiGLU over flattened tokens h (T, d) -> (T, d), plus the
     router aux loss. layer holds w_router (d, E) and stacked expert
-    weights w_gate/w_up (E, d, hidden), w_down (E, hidden, d)."""
+    weights w_gate/w_up (E, d, hidden), w_down (E, hidden, d).
+
+    impl (default cfg.moe_impl): "einsum" = GShard one-hot dispatch
+    (capacity semantics, sharding-friendly); "grouped" = expert-sorted
+    Pallas grouped matmul (exact work, dropless, the serving path)."""
+    impl = impl or cfg.moe_impl
+    if impl == "grouped":
+        return moe_mlp_grouped(layer, h, cfg, act=act)
     T, d = h.shape
     E = cfg.n_experts
     k = cfg.n_experts_per_token
@@ -130,6 +139,77 @@ def moe_mlp(layer, h, cfg, *, act):
         "ech,ehd->ecd", (gate * up).astype(h.dtype), layer["w_down"]
     )
     out = jnp.einsum("tec,ecd->td", combine.astype(h.dtype), xout)
+    aux = load_balance_loss(probs, idx, E)
+    return out.astype(h.dtype), aux
+
+
+def sort_tokens_by_expert(idx, n_experts: int, block_m: int):
+    """Expert-sorted, block-aligned token layout for grouped_matmul.
+
+    idx: (T, k) expert assignments. Returns (src, dest, block_groups, Tp):
+    row j of the sorted buffer holds token src[j]'s features at position
+    dest[j]; every expert's rows start at a block_m-aligned offset so
+    each m-block belongs to exactly one expert. Tp is the static padded
+    row count (T*k + one partial block per expert, rounded up). Unused
+    rows stay zero; block_groups (Tp/block_m,) i32 is non-decreasing.
+    """
+    T, k = idx.shape
+    E, bm = n_experts, block_m
+    flat = idx.reshape(T * k)
+    order = jnp.argsort(flat, stable=True)  # (T*k,) sorted-row -> flat-row
+    es = flat[order]
+    counts = jnp.bincount(flat, length=E)
+    padded = ((counts + bm - 1) // bm) * bm
+    pad_off = jnp.concatenate(
+        [jnp.zeros((1,), counts.dtype), jnp.cumsum(padded)]
+    )
+    starts = jnp.cumsum(counts) - counts
+    rank = jnp.arange(T * k, dtype=jnp.int32) - starts[es].astype(jnp.int32)
+    dest = pad_off[es].astype(jnp.int32) + rank
+    Tp = -(-(T * k + E * (bm - 1)) // bm) * bm  # static upper bound
+    block_start = jnp.arange(Tp // bm, dtype=jnp.int32) * bm
+    block_groups = jnp.clip(
+        jnp.searchsorted(pad_off[1:], block_start, side="right"), 0, E - 1
+    ).astype(jnp.int32)
+    src = (order // k).astype(jnp.int32)  # token id per sorted row
+    return src, dest, block_groups, Tp, order
+
+
+def moe_mlp_grouped(layer, h, cfg, *, act, block_m: int | None = None):
+    """Exact-work MoE via ops/grouped_matmul (megablox-style): tokens
+    sorted by expert, three grouped matmuls, weighted scatter-add back.
+    Dropless always (capacity_factor is ignored); differentiable —
+    grads match moe_mlp. Only experts with tokens stream any weights,
+    which is the decode-path win at small T.
+
+    block_m trades padding waste (E*(block_m-1) dead rows, hurts small
+    T) against weight re-streaming (each expert's slabs stream once per
+    m-block it spans, hurts large T where the layer is HBM-bound); the
+    default grows with expected tokens-per-expert."""
+    from nnop_tpu.ops.grouped_matmul import grouped_matmul
+
+    T, d = h.shape
+    E = cfg.n_experts
+    k = cfg.n_experts_per_token
+    if block_m is None:
+        per_expert = (T * k) // E
+        block_m = max(128, min(512, (per_expert // 128) * 128))
+
+    w, idx, probs = router_topk(h, layer["w_router"], k)
+    src, dest, block_groups, Tp, order = sort_tokens_by_expert(idx, E,
+                                                               block_m)
+    xs = jnp.zeros((Tp, d), h.dtype).at[dest].set(h[src])
+    gmm = functools.partial(grouped_matmul, block_groups=block_groups,
+                            block_m=block_m)
+    gate = act(gmm(xs, layer["w_gate"]).astype(jnp.float32))
+    up = gmm(xs, layer["w_up"]).astype(jnp.float32)
+    y = gmm((gate * up).astype(h.dtype), layer["w_down"])  # (Tp, d)
+    wf = w.reshape(T * k)[order].astype(jnp.float32)
+    out = (
+        jnp.zeros((T, d), jnp.float32)
+        .at[src]
+        .add(y[dest].astype(jnp.float32) * wf[:, None])
+    )
     aux = load_balance_loss(probs, idx, E)
     return out.astype(h.dtype), aux
 

@@ -49,6 +49,12 @@ def _hf_layer_map(i: int, cfg: LlamaConfig | None = None):
         m["bq"] = p + "self_attn.q_proj.bias"
         m["bk"] = p + "self_attn.k_proj.bias"
         m["bv"] = p + "self_attn.v_proj.bias"
+    if cfg is not None and cfg.n_experts is not None:
+        # Mixtral: the dense MLP names don't exist; handled by stacking
+        # block_sparse_moe.experts.* in load_hf_llama.
+        for key in ("w_gate", "w_up", "w_down"):
+            del m[key]
+        m["w_router"] = p + "block_sparse_moe.gate.weight"
     return m
 
 
@@ -98,6 +104,17 @@ def load_hf_llama(path: str, cfg: LlamaConfig, dtype=None):
         layer = {}
         for ours, theirs in m.items():
             layer[ours] = get(theirs, transpose=ours.startswith("w"))
+        if cfg.n_experts is not None:
+            # Mixtral experts: w1 = gate (h, d), w3 = up (h, d),
+            # w2 = down (d, h) in HF layout; stack transposed to
+            # (E, d, h) / (E, h, d) as models/moe.py expects.
+            p = f"model.layers.{i}.block_sparse_moe.experts."
+            for ours, theirs in (("w_gate", "w1"), ("w_up", "w3"),
+                                 ("w_down", "w2")):
+                layer[ours] = jnp.stack([
+                    get(f"{p}{e}.{theirs}.weight", transpose=True)
+                    for e in range(cfg.n_experts)
+                ])
         params["layers"].append(layer)
     return params
 

@@ -1,0 +1,231 @@
+"""Grouped (ragged-expert) matmul: out[m] = x[m] @ w[group(m)].
+
+MoE serving/training fast path (megablox-style; no reference counterpart
+— NNop.jl has no MoE, SURVEY.md §2.5). The dispatch-einsum MoE layer
+(models/moe.py) computes every expert at full capacity C — O(E*C) rows of
+MXU work and O(T*E*C) dispatch-mask traffic. This kernel computes EXACT
+work over expert-sorted tokens instead:
+
+- Tokens are sorted by expert and padded so every expert's row range is
+  block_m-aligned (sorting glue in models/moe.py:sort_tokens_by_expert).
+  Each m-block then belongs to exactly ONE expert.
+- The per-block expert id rides in SMEM via scalar prefetch; the weight
+  BlockSpec index map selects `w[g[im]]` — the DMA engine streams only
+  the experts that actually have tokens (empty experts are never
+  fetched), which is what makes this the decode-path win: at B=32, top-2
+  routing touches at most 64 expert-blocks of weights, not all E slabs.
+- Grid (m, n, k), k innermost, fp32 VMEM accumulator — the same
+  structure as ops/quantized_matmul.py. Sorted order means consecutive
+  m-blocks of the same expert hit identical weight-block indices, which
+  the block pipeliner recognizes and skips the refetch.
+
+Backward (custom_vjp, so the grouped path is trainable):
+  dx = grouped dy @ w[g]^T        — this kernel with w transposed
+  dw[e] = sum_{m in e} x_m^T dy_m — a revisiting-output kernel: grid
+    (k, n, m) with m INNERMOST; the dw output block index g[im] is
+    constant across each expert's (sorted, contiguous) run of m-blocks,
+    so the block stays VMEM-resident while the run accumulates and is
+    flushed when the group changes. Empty experts' blocks are never
+    visited — their zeros come from input_output_aliasing with a zeros
+    buffer, not from the kernel.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from nnop_tpu.utils.platform import cdiv, interpret_default, round_up
+
+__all__ = ["grouped_matmul"]
+
+
+def _gmm_kernel(g_ref, x_ref, w_ref, o_ref, acc, *, n_k, block_k, k_dim,
+                compute_dtype):
+    del g_ref
+    ik = pl.program_id(2)
+
+    @pl.when(ik == 0)
+    def _():
+        acc[...] = jnp.zeros_like(acc)
+
+    x = x_ref[...]
+    w = w_ref[0]
+    if k_dim % block_k != 0:
+        rows = ik * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, (block_k, 1), 0
+        )
+        valid = rows < k_dim
+        x = jnp.where(valid.reshape(1, block_k), x, jnp.zeros_like(x))
+        w = jnp.where(valid, w, jnp.zeros_like(w))
+    acc[...] += jax.lax.dot_general(
+        x.astype(compute_dtype),
+        w.astype(compute_dtype),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(ik == n_k - 1)
+    def _():
+        o_ref[...] = acc[...].astype(o_ref.dtype)
+
+
+def _gmm_fwd_impl(x, w, block_groups, *, block_m, block_n, block_k,
+                  out_dtype=None):
+    Tp, K = x.shape
+    E, Kw, N = w.shape
+    if Kw != K:
+        raise ValueError(f"K mismatch: x {K} vs w {Kw}")
+    if Tp % block_m != 0:
+        raise ValueError(f"rows {Tp} not a multiple of block_m {block_m}")
+    if block_groups.shape != (Tp // block_m,):
+        raise ValueError(
+            f"block_groups {block_groups.shape} != ({Tp // block_m},)"
+        )
+    out_dtype = out_dtype or x.dtype
+    compute_dtype = jnp.float32 if x.dtype == jnp.float32 else jnp.bfloat16
+    bn = min(block_n, round_up(N, 128))
+    bk = min(block_k, round_up(K, 128))
+
+    kernel = functools.partial(
+        _gmm_kernel,
+        n_k=cdiv(K, bk),
+        block_k=bk,
+        k_dim=K,
+        compute_dtype=compute_dtype,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(Tp // block_m, cdiv(N, bn), cdiv(K, bk)),
+        in_specs=[
+            pl.BlockSpec((block_m, bk), lambda m, n, k, g: (m, k)),
+            pl.BlockSpec((1, bk, bn), lambda m, n, k, g: (g[m], k, n)),
+        ],
+        out_specs=pl.BlockSpec((block_m, bn), lambda m, n, k, g: (m, n)),
+        scratch_shapes=[pltpu.VMEM((block_m, bn), jnp.float32)],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((Tp, N), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret_default(),
+    )(block_groups.astype(jnp.int32), x, w)
+
+
+def _gmm_dw_kernel(g_ref, x_ref, dy_ref, z_ref, o_ref, acc, *, n_m,
+                   compute_dtype):
+    del z_ref  # zeros buffer exists only to initialize dw via aliasing
+    im = pl.program_id(2)
+    first = jnp.logical_or(im == 0, g_ref[im] != g_ref[jnp.maximum(im - 1, 0)])
+
+    @pl.when(first)
+    def _():
+        acc[...] = jnp.zeros_like(acc)
+
+    acc[...] += jax.lax.dot_general(
+        x_ref[...].astype(compute_dtype),
+        dy_ref[...].astype(compute_dtype),
+        dimension_numbers=(((0,), (0,)), ((), ())),  # x^T @ dy
+        preferred_element_type=jnp.float32,
+    )
+    last = jnp.logical_or(
+        im == n_m - 1, g_ref[jnp.minimum(im + 1, n_m - 1)] != g_ref[im]
+    )
+
+    @pl.when(last)
+    def _():
+        o_ref[0] = acc[...].astype(o_ref.dtype)
+
+
+def _gmm_dw(x, dy, block_groups, *, block_m, block_n, block_k, w_shape,
+            w_dtype):
+    """dw[e] = sum over expert-e m-blocks of x_m^T @ dy_m."""
+    Tp, K = x.shape
+    E, _, N = w_shape
+    compute_dtype = jnp.float32 if x.dtype == jnp.float32 else jnp.bfloat16
+    bn = min(block_n, round_up(N, 128))
+    bk = min(block_k, round_up(K, 128))
+    n_m = Tp // block_m
+
+    kernel = functools.partial(
+        _gmm_dw_kernel, n_m=n_m, compute_dtype=compute_dtype
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(cdiv(K, bk), cdiv(N, bn), n_m),
+        in_specs=[
+            pl.BlockSpec((block_m, bk), lambda k, n, m, g: (m, k)),
+            pl.BlockSpec((block_m, bn), lambda k, n, m, g: (m, n)),
+            pl.BlockSpec(memory_space=pl.ANY),  # aliased zeros, no DMA
+        ],
+        out_specs=pl.BlockSpec((1, bk, bn), lambda k, n, m, g: (g[m], k, n)),
+        scratch_shapes=[pltpu.VMEM((bk, bn), jnp.float32)],
+    )
+    # ragged K/N tails: pad dw to block multiples and slice back — the
+    # padded x/dy block tails are zero by construction (the sort glue
+    # scatters into zeros buffers), so padded rows/cols accumulate zeros.
+    Kp, Np = round_up(K, bk), round_up(N, bn)
+    zeros = jnp.zeros((E, Kp, Np), w_dtype)
+    dw = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((E, Kp, Np), w_dtype),
+        input_output_aliases={3: 0},  # zeros buffer -> dw (after scalars)
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret_default(),
+    )(block_groups.astype(jnp.int32), x, dy, zeros)
+    return dw[:, :K, :N]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _grouped_matmul(x, w, block_groups, block_m, block_n, block_k):
+    return _gmm_fwd_impl(x, w, block_groups, block_m=block_m,
+                         block_n=block_n, block_k=block_k)
+
+
+def _gmm_fwd(x, w, block_groups, block_m, block_n, block_k):
+    y = _gmm_fwd_impl(x, w, block_groups, block_m=block_m, block_n=block_n,
+                      block_k=block_k)
+    return y, (x, w, block_groups)
+
+
+def _gmm_bwd(block_m, block_n, block_k, res, dy):
+    x, w, block_groups = res
+    # dx: grouped dy @ w^T (transpose materialized once per bwd — the
+    # expert slabs are contiguous, XLA handles this as a cheap copy)
+    dx = _gmm_fwd_impl(
+        dy.astype(x.dtype), jnp.swapaxes(w, 1, 2), block_groups,
+        block_m=block_m, block_n=block_n, block_k=block_k,
+    )
+    dw = _gmm_dw(
+        x, dy.astype(x.dtype), block_groups, block_m=block_m,
+        block_n=block_n, block_k=block_k, w_shape=w.shape, w_dtype=w.dtype,
+    )
+    return dx, dw, None
+
+
+_grouped_matmul.defvjp(_gmm_fwd, _gmm_bwd)
+
+
+def grouped_matmul(x, w, block_groups, *, block_m: int = 128,
+                   block_n: int = 512, block_k: int = 512):
+    """out[m-block i] = x[block i] @ w[block_groups[i]].
+
+    x: (Tp, K) expert-sorted, block_m-aligned tokens (Tp % block_m == 0);
+    w: (E, K, N) stacked expert weights; block_groups: (Tp/block_m,) i32
+    expert id per m-block (must be non-decreasing for the backward's
+    run-length dw accumulation — the sort glue guarantees it).
+    Returns (Tp, N) in x.dtype. Differentiable in x and w.
+    """
+    return _grouped_matmul(x, w, block_groups, block_m, block_n, block_k)

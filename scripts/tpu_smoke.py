@@ -269,6 +269,39 @@ def main():
             f"decode_multitoken_t{t}", o_mt[:, :, t : t + 1], o_1, 2e-2, 2e-2
         )
 
+    # grouped matmul (MoE fast path): fwd + custom_vjp grads vs dense
+    from nnop_tpu.ops.grouped_matmul import grouped_matmul
+
+    Eg, Kg, Ng, bmg = 4, 256, 384, 128
+    Tpg = 6 * bmg
+    gk = jax.random.split(jax.random.key(30), 3)
+    xg = jax.random.normal(gk[0], (Tpg, Kg), jnp.float32)
+    wg = jax.random.normal(gk[1], (Eg, Kg, Ng), jnp.float32) * 0.1
+    bgg = jnp.array([0, 0, 1, 1, 3, 3], jnp.int32)  # expert 2 empty
+    tg = jax.random.normal(gk[2], (Tpg, Ng), jnp.float32)
+
+    def dense_g(x, w):
+        sel = w[bgg]
+        return jnp.einsum(
+            "bmk,bkn->bmn", x.reshape(6, bmg, Kg), sel
+        ).reshape(Tpg, Ng)
+
+    with jax.default_matmul_precision("highest"):
+        got_g = grouped_matmul(xg, wg, bgg, block_m=bmg)
+        want_g = dense_g(xg, wg)
+        ok &= check("grouped_matmul", got_g, want_g, 1e-4, 1e-4)
+        gxg, gwg = jax.grad(
+            lambda x, w: jnp.sum(grouped_matmul(x, w, bgg, block_m=bmg) * tg),
+            argnums=(0, 1),
+        )(xg, wg)
+        nxg, nwg = jax.grad(
+            lambda x, w: jnp.sum(dense_g(x, w) * tg), argnums=(0, 1)
+        )(xg, wg)
+        ok &= check("grouped_matmul_dx", gxg, nxg, 1e-3, 1e-3)
+        ok &= check("grouped_matmul_dw", gwg, nwg, 1e-3, 1e-3)
+        ok &= check("grouped_matmul_dw_empty", gwg[2],
+                    np.zeros_like(np.asarray(gwg[2])), 0.0, 0.0)
+
     print(f"total {time.time()-t0:.1f}s")
     sys.exit(0 if ok else 1)
 

@@ -124,3 +124,130 @@ def test_moe_forward_and_grad():
     # the combine weights — a classic silent-failure spot)
     rg = grads["layers"][0]["w_router"]
     assert float(jnp.sum(jnp.abs(rg))) > 0.0
+
+
+# ---------------------------------------------------------------------------
+# grouped (expert-sorted) Pallas path: ops/grouped_matmul.py
+
+
+def test_grouped_matmul_vs_dense():
+    """grouped_matmul == per-block dense matmul with that block's expert."""
+    from nnop_tpu.ops.grouped_matmul import grouped_matmul
+
+    E, K, N, bm = 3, 96, 160, 8  # ragged K/N tails on purpose
+    Tp = 5 * bm
+    keys = jax.random.split(jax.random.key(0), 3)
+    x = jax.random.normal(keys[0], (Tp, K), jnp.float32)
+    w = jax.random.normal(keys[1], (E, K, N), jnp.float32) * 0.1
+    bg = jnp.array([0, 0, 1, 2, 2], jnp.int32)
+    with jax.default_matmul_precision("highest"):
+        got = grouped_matmul(x, w, bg, block_m=bm)
+        want = jnp.concatenate(
+            [x[i * bm:(i + 1) * bm] @ w[int(bg[i])] for i in range(5)]
+        )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-4)
+
+
+def test_grouped_matmul_grads():
+    """custom_vjp dx/dw == autodiff through the dense formulation
+    (including empty experts, whose dw must be exactly zero)."""
+    from nnop_tpu.ops.grouped_matmul import grouped_matmul
+
+    E, K, N, bm = 4, 64, 96, 8
+    Tp = 4 * bm
+    keys = jax.random.split(jax.random.key(2), 3)
+    x = jax.random.normal(keys[0], (Tp, K), jnp.float32)
+    w = jax.random.normal(keys[1], (E, K, N), jnp.float32) * 0.1
+    bg = jnp.array([0, 0, 2, 2], jnp.int32)  # experts 1, 3 empty
+
+    def dense(x, w):
+        sel = w[bg]  # (blocks, K, N)
+        xb = x.reshape(4, bm, K)
+        return jnp.einsum("bmk,bkn->bmn", xb, sel).reshape(Tp, N)
+
+    t = jax.random.normal(keys[2], (Tp, N), jnp.float32)
+    with jax.default_matmul_precision("highest"):
+        gx, gw = jax.grad(
+            lambda x, w: jnp.sum(grouped_matmul(x, w, bg, block_m=bm) * t),
+            argnums=(0, 1),
+        )(x, w)
+        nx, nw = jax.grad(
+            lambda x, w: jnp.sum(dense(x, w) * t), argnums=(0, 1)
+        )(x, w)
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(nx),
+                               atol=1e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(gw), np.asarray(nw),
+                               atol=1e-5, rtol=1e-4)
+    np.testing.assert_array_equal(np.asarray(gw[1]), 0.0)
+    np.testing.assert_array_equal(np.asarray(gw[3]), 0.0)
+
+
+def test_sort_tokens_by_expert_layout():
+    from nnop_tpu.models.moe import sort_tokens_by_expert
+
+    idx = jnp.array([[1], [0], [1], [1]], jnp.int32)  # T=4, k=1
+    src, dest, bg, Tp, order = sort_tokens_by_expert(idx, n_experts=2,
+                                                     block_m=8)
+    assert Tp % 8 == 0
+    d, s = np.asarray(dest), np.asarray(src)
+    # expert 0's token (token 1) lands in block 0; expert 1's tokens in
+    # the next block_m-aligned region
+    assert d[list(s).index(1)] < 8
+    assert all(x >= 8 for t, x in zip(s, d) if t != 1)
+    # block_groups non-decreasing
+    b = np.asarray(bg)
+    assert (np.diff(b) >= 0).all()
+
+
+@pytest.mark.parametrize("T,k", [(16, 2), (50, 3)])
+def test_moe_grouped_matches_einsum(T, k):
+    cfg = dataclassed(CFG, n_experts_per_token=k, dtype=jnp.float32)
+    layer = _moe_layer(jax.random.key(0), cfg)
+    h = jax.random.normal(jax.random.key(1), (T, cfg.dim), jnp.float32)
+    with jax.default_matmul_precision("highest"):
+        want, aux_w = moe_mlp(layer, h, cfg, act=jax.nn.silu)
+        got, aux_g = moe_mlp(layer, h, cfg, act=jax.nn.silu, impl="grouped")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-4)
+    np.testing.assert_allclose(float(aux_g), float(aux_w), rtol=1e-6)
+
+
+def test_moe_grouped_grads_match_einsum():
+    from nnop_tpu.models.moe import moe_mlp_grouped
+
+    cfg = dataclassed(CFG, dtype=jnp.float32)
+    layer = _moe_layer(jax.random.key(0), cfg)
+    T = 24
+    h = jax.random.normal(jax.random.key(1), (T, cfg.dim), jnp.float32)
+    t = jax.random.normal(jax.random.key(2), (T, cfg.dim), jnp.float32)
+
+    def loss(fn):
+        def f(layer, h):
+            out, aux = fn(layer, h, cfg, act=jax.nn.silu)
+            return jnp.sum(out * t) + aux
+        return f
+
+    with jax.default_matmul_precision("highest"):
+        gw = jax.grad(loss(moe_mlp), argnums=(0, 1))(layer, h)
+        gg = jax.grad(loss(moe_mlp_grouped), argnums=(0, 1))(layer, h)
+    for name in ("w_router", "w_gate", "w_up", "w_down"):
+        np.testing.assert_allclose(
+            np.asarray(gg[0][name]), np.asarray(gw[0][name]),
+            atol=2e-5, rtol=2e-4, err_msg=name,
+        )
+    np.testing.assert_allclose(np.asarray(gg[1]), np.asarray(gw[1]),
+                               atol=2e-5, rtol=2e-4)
+
+
+def test_moe_forward_grouped_impl():
+    """Full model forward with cfg.moe_impl='grouped' matches einsum."""
+    cfg = dataclassed(CFG, dtype=jnp.float32)
+    params = init_params(jax.random.key(0), cfg)
+    tokens = jax.random.randint(jax.random.key(1), (2, 16), 0,
+                                cfg.vocab_size)
+    with jax.default_matmul_precision("highest"):
+        want = forward(params, tokens, cfg)
+        got = forward(params, tokens, dataclassed(cfg, moe_impl="grouped"))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-4, rtol=2e-3)

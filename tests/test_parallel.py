@@ -712,3 +712,53 @@ def test_ep_grads_match_single_device():
             np.asarray(b), np.asarray(a), atol=3e-5, rtol=3e-3,
             err_msg=str(path),
         )
+
+
+# ---------------------------------------------------------------------------
+# sharded checkpoint save/restore (orbax): re-shard across mesh layouts
+
+
+def test_sharded_checkpoint_reshard(tmp_path):
+    """Save on a (2,4) mesh, restore onto (4,2) — values identical,
+    target shardings honored (the elastic-resume path)."""
+    import numpy as onp
+    from jax.sharding import Mesh, NamedSharding
+
+    from nnop_tpu.utils.checkpoint import restore_sharded, save_sharded
+
+    devs = onp.asarray(jax.devices()[:8])
+    mesh_a = Mesh(devs.reshape(2, 4), ("data", "model"))
+    mesh_b = Mesh(devs.reshape(4, 2), ("data", "model"))
+
+    tree = {
+        "w": jax.device_put(
+            jnp.arange(64.0, dtype=jnp.float32).reshape(8, 8),
+            NamedSharding(mesh_a, P("data", "model")),
+        ),
+        "step": jax.device_put(
+            jnp.int32(7), NamedSharding(mesh_a, P())
+        ),
+        "moments": [
+            jax.device_put(
+                jnp.full((16,), 2.5, jnp.bfloat16),
+                NamedSharding(mesh_a, P("model")),
+            )
+        ],
+    }
+    path = str(tmp_path / "ckpt")
+    save_sharded(path, tree)
+
+    like = jax.tree.map(
+        lambda x: jax.device_put(
+            jnp.zeros_like(x),
+            NamedSharding(
+                mesh_b,
+                x.sharding.spec if hasattr(x.sharding, "spec") else P(),
+            ),
+        ),
+        tree,
+    )
+    got = restore_sharded(path, like)
+    for a, b in zip(jax.tree.leaves(tree), jax.tree.leaves(got)):
+        onp.testing.assert_array_equal(onp.asarray(a), onp.asarray(b))
+    assert got["w"].sharding.mesh.shape["data"] == 4

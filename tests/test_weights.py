@@ -51,6 +51,20 @@ def _dump_hf(tmp_path, params, cfg):
     for i, layer in enumerate(params["layers"]):
         for ours, arr in layer.items():
             a = np.asarray(arr, np.float32)
+            if cfg.n_experts is not None and ours == "w_router":
+                t[f"model.layers.{i}.block_sparse_moe.gate.weight"] = (
+                    np.ascontiguousarray(a.T)
+                )
+                continue
+            if cfg.n_experts is not None and ours in ("w_gate", "w_up",
+                                                      "w_down"):
+                hf = {"w_gate": "w1", "w_up": "w3", "w_down": "w2"}[ours]
+                for e in range(cfg.n_experts):
+                    t[
+                        f"model.layers.{i}.block_sparse_moe.experts."
+                        f"{e}.{hf}.weight"
+                    ] = np.ascontiguousarray(a[e].T)
+                continue
             if ours.startswith("w"):
                 a = np.ascontiguousarray(a.T)
             t[f"model.layers.{i}.{names[ours]}"] = a
@@ -65,8 +79,9 @@ def _dump_hf(tmp_path, params, cfg):
         dict(rms_offset=1.0, act="gelu", tie_embeddings=True,
              embed_scale=128.0**0.5, post_norms=True, attn_softcap=20.0,
              final_softcap=15.0),
+        dict(n_experts=4, n_experts_per_token=2),
     ],
-    ids=["llama", "qwen-bias", "gemma2"],
+    ids=["llama", "qwen-bias", "gemma2", "mixtral"],
 )
 def test_hf_roundtrip(tmp_path, knobs):
     cfg = LlamaConfig.tiny(dtype=jnp.float32, **knobs)
