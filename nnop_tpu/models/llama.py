@@ -507,19 +507,38 @@ def init_quantized_params(key: jax.Array, cfg: LlamaConfig, *, wbits: int = 8):
         scale = jnp.full((shape[1],), fan_in**-0.5 / 74.0, jnp.float32)
         return QTensor(vals, scale, 0)
 
+    def qexperts(k, shape):
+        # stacked (E, K, N) int8 experts, per-(E, N) scales (axis=1) —
+        # served by grouped_matmul_quantized (int8 regardless of wbits;
+        # see models/quantized.py on the int4 K-packing constraint)
+        E_, K_, N_ = shape
+        vals = jax.random.randint(k, shape, -127, 128, jnp.int8)
+        scale = jnp.full((E_, N_), K_**-0.5 / 74.0, jnp.float32)
+        return QTensor(vals, scale, 1)
+
     def layer(k):
-        ks = jax.random.split(k, 7)
-        return {
+        ks = jax.random.split(k, 8)
+        out = {
             "attn_norm": jnp.ones((d,), cfg.dtype),
             "wq": qdense(ks[0], (d, cfg.n_heads * hd)),
             "wk": qdense(ks[1], (d, cfg.n_kv_heads * hd)),
             "wv": qdense(ks[2], (d, cfg.n_kv_heads * hd)),
             "wo": qdense(ks[3], (cfg.n_heads * hd, d)),
             "mlp_norm": jnp.ones((d,), cfg.dtype),
-            "w_gate": qdense(ks[4], (d, cfg.hidden_dim)),
-            "w_up": qdense(ks[5], (d, cfg.hidden_dim)),
-            "w_down": qdense(ks[6], (cfg.hidden_dim, d)),
         }
+        if cfg.n_experts is not None:
+            E = cfg.n_experts
+            out["w_router"] = (
+                jax.random.normal(ks[7], (d, E), cfg.dtype) * 0.02
+            )
+            out["w_gate"] = qexperts(ks[4], (E, d, cfg.hidden_dim))
+            out["w_up"] = qexperts(ks[5], (E, d, cfg.hidden_dim))
+            out["w_down"] = qexperts(ks[6], (E, cfg.hidden_dim, d))
+        else:
+            out["w_gate"] = qdense(ks[4], (d, cfg.hidden_dim))
+            out["w_up"] = qdense(ks[5], (d, cfg.hidden_dim))
+            out["w_down"] = qdense(ks[6], (cfg.hidden_dim, d))
+        return out
 
     return {
         "embed": (

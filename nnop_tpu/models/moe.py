@@ -116,8 +116,13 @@ def moe_mlp(layer, h, cfg, *, act, impl: str | None = None):
     impl (default cfg.moe_impl): "einsum" = GShard one-hot dispatch
     (capacity semantics, sharding-friendly); "grouped" = expert-sorted
     Pallas grouped matmul (exact work, dropless, the serving path)."""
+    from nnop_tpu.ops.quantization import QTensor
+
     impl = impl or cfg.moe_impl
-    if impl == "grouped":
+    if (impl == "grouped" or "w_gateup" in layer
+            or isinstance(layer.get("w_gate"), QTensor)):
+        # quantized and engine-fused experts are always served by the
+        # grouped path (the dispatch einsums below need plain arrays)
         return moe_mlp_grouped(layer, h, cfg, act=act)
     T, d = h.shape
     E = cfg.n_experts
@@ -186,7 +191,11 @@ def moe_mlp_grouped(layer, h, cfg, *, act, block_m: int | None = None):
     T) against weight re-streaming (each expert's slabs stream once per
     m-block it spans, hurts large T where the layer is HBM-bound); the
     default grows with expected tokens-per-expert."""
-    from nnop_tpu.ops.grouped_matmul import grouped_matmul
+    from nnop_tpu.ops.grouped_matmul import (
+        grouped_matmul,
+        grouped_matmul_quantized,
+    )
+    from nnop_tpu.ops.quantization import QTensor
 
     T, d = h.shape
     E = cfg.n_experts
@@ -199,10 +208,19 @@ def moe_mlp_grouped(layer, h, cfg, *, act, block_m: int | None = None):
     src, dest, block_groups, Tp, order = sort_tokens_by_expert(idx, E,
                                                                block_m)
     xs = jnp.zeros((Tp, d), h.dtype).at[dest].set(h[src])
-    gmm = functools.partial(grouped_matmul, block_groups=block_groups,
-                            block_m=block_m)
-    gate = act(gmm(xs, layer["w_gate"]).astype(jnp.float32))
-    up = gmm(xs, layer["w_up"]).astype(jnp.float32)
+
+    def gmm(x, wts):
+        if isinstance(wts, QTensor):
+            return grouped_matmul_quantized(x, wts, block_groups,
+                                            block_m=block_m)
+        return grouped_matmul(x, wts, block_groups, block_m=block_m)
+
+    if "w_gateup" in layer:  # engine-fused experts: one pass for gate|up
+        gu = gmm(xs, layer["w_gateup"]).astype(jnp.float32)
+        gate, up = act(gu[:, : cfg.hidden_dim]), gu[:, cfg.hidden_dim:]
+    else:
+        gate = act(gmm(xs, layer["w_gate"]).astype(jnp.float32))
+        up = gmm(xs, layer["w_up"]).astype(jnp.float32)
     y = gmm((gate * up).astype(h.dtype), layer["w_down"])  # (Tp, d)
     wf = w.reshape(T * k)[order].astype(jnp.float32)
     out = (

@@ -27,13 +27,26 @@ def quantize_params(params, dtype=jnp.int8, *, wbits: int = 8,
             return quantize4(w, group=group)
         return quantize(w, axis=0, dtype=dtype)
 
+    def qlayer(layer):
+        moe = "w_router" in layer
+        out = {}
+        for k, v in layer.items():
+            if moe and k in ("w_gate", "w_up", "w_down"):
+                # stacked experts (E, K, N): per-(expert, out-channel)
+                # scales; served by grouped_matmul_quantized (int8 only —
+                # the int4 nibble layout packs along K and would need a
+                # per-expert repack; experts stay int8 under wbits=4)
+                out[k] = quantize(v, axis=1)
+            elif k in _QUANT_KEYS and k != "w_router":
+                out[k] = q(v)
+            else:
+                out[k] = v  # w_router stays fp: tiny, routing-critical
+        return out
+
     out = {k: v for k, v in params.items()}
     if "lm_head" in params:
         out["lm_head"] = q(params["lm_head"])
-    out["layers"] = [
-        {k: (q(v) if k in _QUANT_KEYS else v) for k, v in layer.items()}
-        for layer in params["layers"]
-    ]
+    out["layers"] = [qlayer(layer) for layer in params["layers"]]
     return out
 
 

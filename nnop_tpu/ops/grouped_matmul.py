@@ -41,7 +41,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from nnop_tpu.utils.platform import cdiv, interpret_default, round_up
 
-__all__ = ["grouped_matmul"]
+__all__ = ["grouped_matmul", "grouped_matmul_quantized"]
 
 
 def _gmm_kernel(g_ref, x_ref, w_ref, o_ref, acc, *, n_k, block_k, k_dim,
@@ -229,3 +229,95 @@ def grouped_matmul(x, w, block_groups, *, block_m: int = 128,
     Returns (Tp, N) in x.dtype. Differentiable in x and w.
     """
     return _grouped_matmul(x, w, block_groups, block_m, block_n, block_k)
+
+
+# ---------------------------------------------------------------------------
+# INT8 weight-only quantized variant (the Mixtral serving path): same
+# grid/indexing as the bf16 kernel, weights stream from HBM at int8
+# width, per-(expert, out-channel) scale applied once to the fp32
+# accumulator (see ops/quantized_matmul.py for the dequant-cost argument)
+
+
+def _gmm_q_kernel(g_ref, x_ref, w_ref, s_ref, o_ref, acc, *, n_k, block_k,
+                  k_dim, compute_dtype):
+    del g_ref
+    ik = pl.program_id(2)
+
+    @pl.when(ik == 0)
+    def _():
+        acc[...] = jnp.zeros_like(acc)
+
+    x = x_ref[...]
+    w = w_ref[0]
+    if k_dim % block_k != 0:
+        rows = ik * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, (block_k, 1), 0
+        )
+        valid = rows < k_dim
+        x = jnp.where(valid.reshape(1, block_k), x, jnp.zeros_like(x))
+        w = jnp.where(valid, w, jnp.zeros_like(w))
+    acc[...] += jax.lax.dot_general(
+        x.astype(compute_dtype),
+        w.astype(compute_dtype),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(ik == n_k - 1)
+    def _():
+        o_ref[...] = (acc[...] * s_ref[0]).astype(o_ref.dtype)
+
+
+def grouped_matmul_quantized(x, wq, block_groups, *, block_m: int = 128,
+                             block_n: int = 512, block_k: int = 512,
+                             out_dtype=None):
+    """Grouped matmul with int8 stacked expert weights.
+
+    x: (Tp, K) sorted tokens; wq: QTensor(values (E, K, N) int8,
+    scale (E, N), axis=1); block_groups: (Tp/block_m,) i32. Weights
+    stream at int8 width; scales applied to the fp32 accumulator.
+    Forward-only (serving); train with the bf16 grouped_matmul.
+    """
+    from nnop_tpu.ops.quantization import QTensor
+
+    if not isinstance(wq, QTensor) or wq.axis != 1:
+        raise ValueError("expected QTensor with scale over axis 1 (per-E,N)")
+    Tp, K = x.shape
+    E, Kw, N = wq.values.shape
+    if Kw != K:
+        raise ValueError(f"K mismatch: x {K} vs w {Kw}")
+    if Tp % block_m != 0:
+        raise ValueError(f"rows {Tp} not a multiple of block_m {block_m}")
+    out_dtype = out_dtype or x.dtype
+    compute_dtype = jnp.float32 if x.dtype == jnp.float32 else jnp.bfloat16
+    bn = min(block_n, round_up(N, 128))
+    bk = min(block_k, round_up(K, 128))
+
+    kernel = functools.partial(
+        _gmm_q_kernel,
+        n_k=cdiv(K, bk),
+        block_k=bk,
+        k_dim=K,
+        compute_dtype=compute_dtype,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(Tp // block_m, cdiv(N, bn), cdiv(K, bk)),
+        in_specs=[
+            pl.BlockSpec((block_m, bk), lambda m, n, k, g: (m, k)),
+            pl.BlockSpec((1, bk, bn), lambda m, n, k, g: (g[m], k, n)),
+            pl.BlockSpec((1, bn), lambda m, n, k, g: (g[m], n)),
+        ],
+        out_specs=pl.BlockSpec((block_m, bn), lambda m, n, k, g: (m, n)),
+        scratch_shapes=[pltpu.VMEM((block_m, bn), jnp.float32)],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((Tp, N), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret_default(),
+    )(block_groups.astype(jnp.int32), x, wq.values, wq.scale)

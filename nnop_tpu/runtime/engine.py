@@ -120,6 +120,16 @@ def _attn_out(layer, o, x, cfg: LlamaConfig):
 
 def _layer_mlp(layer, x, cfg: LlamaConfig):
     h = rms_norm(x, layer["mlp_norm"], cfg.rms_eps, offset=cfg.rms_offset)
+    if "w_router" in layer:  # MoE (Mixtral): grouped expert path
+        from nnop_tpu.models.moe import moe_mlp
+
+        B, L, d = h.shape
+        out, _ = moe_mlp(
+            layer, h.reshape(B * L, d), cfg,
+            act=lambda v: _act(cfg, v), impl="grouped",
+        )
+        out = out.reshape(B, L, d).astype(x.dtype)
+        return x + _post_norm(layer, out, cfg, "mlp_post_norm")
     if "w_gateup" in layer:
         gu = _mm(h, layer["w_gateup"]).astype(jnp.float32)
         gate = _act(cfg, gu[..., : cfg.hidden_dim])
@@ -360,6 +370,17 @@ def fuse_decode_weights(params):
             )
         return jnp.concatenate(ws, axis=1)
 
+    def cat_experts(ws):
+        """Stacked (E, K, N) experts fuse along N (QTensor axis=1 keeps
+        per-(E, N) scales; plain arrays concat the last axis)."""
+        if isinstance(ws[0], QTensor):
+            return QTensor(
+                jnp.concatenate([w.values for w in ws], axis=2),
+                jnp.concatenate([w.scale for w in ws], axis=1),
+                1,
+            )
+        return jnp.concatenate(ws, axis=2)
+
     out = {k: v for k, v in params.items() if k != "layers"}
     out["layers"] = []
     for layer in params["layers"]:
@@ -369,7 +390,11 @@ def fuse_decode_weights(params):
                          "bq", "bk", "bv")
         }
         fused["wqkv"] = cat([layer["wq"], layer["wk"], layer["wv"]])
-        fused["w_gateup"] = cat([layer["w_gate"], layer["w_up"]])
+        if "w_router" in layer:  # MoE: stacked experts fuse along N
+            fused["w_gateup"] = cat_experts([layer["w_gate"],
+                                             layer["w_up"]])
+        else:
+            fused["w_gateup"] = cat([layer["w_gate"], layer["w_up"]])
         if "bq" in layer:  # Qwen2 qkv bias rides fused too
             fused["bqkv"] = jnp.concatenate(
                 [layer["bq"], layer["bk"], layer["bv"]]

@@ -302,6 +302,18 @@ def main():
         ok &= check("grouped_matmul_dw_empty", gwg[2],
                     np.zeros_like(np.asarray(gwg[2])), 0.0, 0.0)
 
+    # quantized grouped matmul (Mixtral serving path)
+    from nnop_tpu.ops.grouped_matmul import grouped_matmul_quantized
+
+    wq = quantize(wg * 0.05, axis=1)
+    got_q = grouped_matmul_quantized(xg, wq, bgg, block_m=bmg)
+    want_q = grouped_matmul(
+        xg,
+        (wq.values.astype(jnp.float32) * wq.scale[:, None, :]),
+        bgg, block_m=bmg,
+    )
+    ok &= check("grouped_matmul_q", got_q, want_q, 1e-3, 1e-3)
+
     print(f"total {time.time()-t0:.1f}s")
     sys.exit(0 if ok else 1)
 

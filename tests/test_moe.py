@@ -251,3 +251,98 @@ def test_moe_forward_grouped_impl():
         got = forward(params, tokens, dataclassed(cfg, moe_impl="grouped"))
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=2e-4, rtol=2e-3)
+
+
+def test_grouped_matmul_quantized():
+    """INT8 grouped matmul == dequantized-reference grouped matmul."""
+    from nnop_tpu.ops.grouped_matmul import (
+        grouped_matmul, grouped_matmul_quantized,
+    )
+    from nnop_tpu.ops.quantization import dequantize, quantize
+
+    E, K, N, bm = 3, 128, 256, 8
+    Tp = 4 * bm
+    keys = jax.random.split(jax.random.key(5), 2)
+    x = jax.random.normal(keys[0], (Tp, K), jnp.float32)
+    w = jax.random.normal(keys[1], (E, K, N), jnp.float32) * 0.1
+    wq = quantize(w, axis=1)
+    bg = jnp.array([0, 1, 1, 2], jnp.int32)
+    with jax.default_matmul_precision("highest"):
+        got = grouped_matmul_quantized(x, wq, bg, block_m=bm)
+        want = grouped_matmul(
+            x, dequantize(wq).astype(jnp.float32), bg, block_m=bm
+        )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-4, rtol=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# quantized MoE (int8 stacked experts) + engine serving
+
+
+def test_quantized_moe_forward_close_to_fp():
+    from nnop_tpu.models.quantized import qmatmul, quantize_params
+
+    cfg = dataclassed(CFG, dtype=jnp.float32)
+    params = init_params(jax.random.key(0), cfg)
+    qparams = quantize_params(params)
+    tokens = jax.random.randint(jax.random.key(1), (2, 16), 0,
+                                cfg.vocab_size)
+    want = forward(params, tokens, cfg)
+    got = forward(qparams, tokens, cfg, matmul=qmatmul)
+    # int8 per-channel weight noise; compare argmax agreement + scale
+    rel = float(jnp.linalg.norm(got - want) / jnp.linalg.norm(want))
+    assert rel < 0.15, rel
+    agree = float(jnp.mean(
+        (jnp.argmax(got, -1) == jnp.argmax(want, -1)).astype(jnp.float32)
+    ))
+    assert agree >= 0.8, agree
+
+
+def test_engine_serves_moe():
+    """Engine greedy decode on a tiny MoE model matches the full-forward
+    argmax chain (fp weights, grouped expert path in the decode loop)."""
+    from nnop_tpu.runtime.engine import Engine
+
+    cfg = dataclassed(CFG, dtype=jnp.float32)
+    params = init_params(jax.random.key(0), cfg)
+
+    prompt = [5, 17, 42, 7, 99, 3]
+    toks, out = list(prompt), []
+    for _ in range(6):
+        logits = forward(params, jnp.asarray([toks], jnp.int32), cfg)
+        nxt = int(jnp.argmax(logits[0, -1]))
+        out.append(nxt)
+        toks.append(nxt)
+
+    eng = Engine(params, cfg, max_batch=2, max_seq=64)
+    req = eng.submit(prompt, max_new_tokens=6)
+    eng.run()
+    assert req.done
+    assert req.out == out, (req.out, out)
+
+
+def test_engine_serves_quantized_moe():
+    """Engine decode with int8 experts (grouped_matmul_quantized in the
+    chunk loop) stays on-distribution vs the fp reference."""
+    from nnop_tpu.models.quantized import quantize_params
+    from nnop_tpu.runtime.engine import Engine
+
+    cfg = dataclassed(CFG, dtype=jnp.float32)
+    params = init_params(jax.random.key(0), cfg)
+    qparams = quantize_params(params)
+
+    prompt = [5, 17, 42, 7, 99, 3]
+    toks, out = list(prompt), []
+    for _ in range(6):
+        logits = forward(params, jnp.asarray([toks], jnp.int32), cfg)
+        nxt = int(jnp.argmax(logits[0, -1]))
+        out.append(nxt)
+        toks.append(nxt)
+
+    eng = Engine(qparams, cfg, max_batch=2, max_seq=64)
+    req = eng.submit(prompt, max_new_tokens=6)
+    eng.run()
+    assert req.done
+    agree = sum(a == b for a, b in zip(req.out, out)) / len(out)
+    assert agree >= 0.5, (req.out, out)
