@@ -270,14 +270,25 @@ def _write_tokens(cache, new, positions):
     return jax.vmap(one)(cache, new, positions)
 
 
-def sample_tokens(logits, key, temperature: float = 0.0, top_k: int = 0):
-    """Greedy (temperature 0) or temperature/top-k sampling. logits (B, V)."""
+def sample_tokens(logits, key, temperature: float = 0.0, top_k: int = 0,
+                  top_p: float = 1.0):
+    """Greedy (temperature 0) or temperature/top-k/top-p sampling.
+    logits (B, V). top_p masks to the smallest prefix of the
+    descending-prob distribution with cumulative mass >= top_p (the
+    top-1 token always survives)."""
     if temperature <= 0.0:
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
     scaled = logits / temperature
     if top_k > 0:
         kth = jnp.sort(scaled, axis=-1)[:, -top_k][:, None]
         scaled = jnp.where(scaled >= kth, scaled, -jnp.inf)
+    if top_p < 1.0:
+        desc = jnp.sort(scaled, axis=-1)[:, ::-1]
+        probs = jax.nn.softmax(desc, axis=-1)
+        exclusive = jnp.cumsum(probs, axis=-1) - probs
+        kept = jnp.where(exclusive < top_p, desc, jnp.inf)
+        cutoff = jnp.min(kept, axis=-1, keepdims=True)
+        scaled = jnp.where(scaled >= cutoff, scaled, -jnp.inf)
     return jax.random.categorical(key, scaled, axis=-1).astype(jnp.int32)
 
 
@@ -405,6 +416,7 @@ def fuse_decode_weights(params):
 
 def make_decode_chunk(cfg: LlamaConfig, quantized: bool, chunk: int,
                       temperature: float = 0.0, top_k: int = 0,
+                      top_p: float = 1.0,
                       paged: bool = False, page_size: int = 0):
     """The engine fast path: W(=chunk) decode steps in ONE dispatch.
 
@@ -472,7 +484,7 @@ def make_decode_chunk(cfg: LlamaConfig, quantized: bool, chunk: int,
             x = rms_norm(x, params["final_norm"], cfg.rms_eps,
                          offset=cfg.rms_offset)
             logits = _lm_logits(params, cfg, x)[:, 0]
-            nxt = sample_tokens(logits, sub, temperature, top_k)
+            nxt = sample_tokens(logits, sub, temperature, top_k, top_p)
             toks = jax.lax.dynamic_update_slice(toks, nxt[None], (i, 0))
             return (k_stage, v_stage, nxt, key, toks)
 
@@ -814,6 +826,7 @@ class Engine:
     def __init__(self, params, cfg: LlamaConfig, *, max_batch=8,
                  max_seq=2048, quantized_kv=False, eos_id=None,
                  tokenizer=None, temperature: float = 0.0, top_k: int = 0,
+                 top_p: float = 1.0,
                  seed: int = 0, chunk_size: int = 8, fuse_weights=True,
                  paged: bool = False, page_size: int = 512,
                  n_pages: Optional[int] = None, prefill_chunk: int = 512,
@@ -826,6 +839,7 @@ class Engine:
         self.eos_id = eos_id
         self.temperature = temperature
         self.top_k = top_k
+        self.top_p = top_p
         if not 1 <= chunk_size <= STAGE_W:
             raise ValueError(f"chunk_size must be in [1, {STAGE_W}]")
         self.chunk_size = chunk_size
@@ -895,7 +909,7 @@ class Engine:
         else:
             self._chunk = jax.jit(
                 make_decode_chunk(cfg, quantized_kv, chunk_size, temperature,
-                                  top_k, paged=paged,
+                                  top_k, top_p, paged=paged,
                                   page_size=page_size if paged else 0),
                 donate_argnums=(1,),
             )
@@ -1042,7 +1056,8 @@ class Engine:
             # (and EOS-check it) — not unconditional argmax
             self._key, sub = jax.random.split(self._key)
             first = int(
-                sample_tokens(logits, sub, self.temperature, self.top_k)[0]
+                sample_tokens(logits, sub, self.temperature, self.top_k,
+                              self.top_p)[0]
             )
             self.state.last_token = self.state.last_token.at[slot].set(first)
             req.out.append(first)

@@ -286,3 +286,23 @@ def test_spec_engine_quantized_kv(params):
     spec.run()
     for w, g in zip(want, got):
         assert g.out == w.out, (g.out, w.out)
+
+
+def test_sample_tokens_top_p():
+    """top_p keeps the smallest prefix of descending probs with mass >=
+    top_p: with one dominant and many tiny logits, p=0.5 is greedy."""
+    from nnop_tpu.runtime.engine import sample_tokens
+
+    V = 64
+    logits = jnp.full((4, V), -10.0).at[:, 7].set(5.0).at[:, 9].set(4.0)
+    keys = jax.random.split(jax.random.key(0), 32)
+    outs = jnp.stack([
+        sample_tokens(logits, k, temperature=1.0, top_p=0.5) for k in keys
+    ])
+    assert bool(jnp.all(outs == 7)), np.unique(np.asarray(outs))
+    # p=0.95 admits token 9 too (p7 ~ 0.73, p9 ~ 0.27) but nothing else
+    outs = jnp.stack([
+        sample_tokens(logits, k, temperature=1.0, top_p=0.95) for k in keys
+    ])
+    u = set(np.unique(np.asarray(outs)).tolist())
+    assert u <= {7, 9} and len(u) == 2, u
