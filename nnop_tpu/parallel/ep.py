@@ -208,3 +208,140 @@ def make_moe_train_step(mesh: Mesh, cfg: LlamaConfig, optimizer=None):
         return params, opt_state, loss
 
     return step, optimizer
+
+
+# ---------------------------------------------------------------------------
+# Production Mixtral layout: TP attention + expert sharding on ONE
+# "model" axis. Attention heads shard over "model" (Megatron TP,
+# parallel/tp_llama.py); each device also owns E/tp experts, and the MoE
+# layer exchanges tokens over the SAME axis with two all_to_alls — the
+# standard deployment for MoE transformers (attention is too small to
+# expert-shard, experts too big to replicate).
+
+
+def mixtral_param_specs(cfg: LlamaConfig):
+    layer = {
+        "attn_norm": P(),
+        "wq": P(None, "model"),
+        "wk": P(None, "model"),
+        "wv": P(None, "model"),
+        "wo": P("model", None),
+        "mlp_norm": P(),
+        "w_router": P(),
+        "w_gate": P("model", None, None),
+        "w_up": P("model", None, None),
+        "w_down": P("model", None, None),
+    }
+    return {
+        "embed": P(),
+        "layers": [dict(layer) for _ in range(cfg.n_layers)],
+        "final_norm": P(),
+        "lm_head": P(None, "model"),
+    }
+
+
+def shard_mixtral_params(params, mesh: Mesh, cfg: LlamaConfig):
+    specs = mixtral_param_specs(cfg)
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs
+    )
+
+
+def _mixtral_local_forward(params, tokens, cfg: LlamaConfig,
+                           axis: str = "model"):
+    """Per-shard forward inside shard_map: head-sharded attention
+    (psum over `axis` after wo) + expert-sharded MoE (all_to_all over
+    the same axis). Returns (vocab-sharded logits, aux_sum)."""
+    from nnop_tpu.models.llama import _merge_heads, _split_heads
+    from nnop_tpu.ops.flash_attention import flash_attention
+
+    tp = jax.lax.psum(1, axis)
+    if cfg.n_heads % tp or cfg.n_kv_heads % tp:
+        raise ValueError(
+            f"heads {cfg.n_heads}/{cfg.n_kv_heads} not divisible by "
+            f"tp={tp}"
+        )
+    n_heads, n_kv = cfg.n_heads // tp, cfg.n_kv_heads // tp
+
+    B, L = tokens.shape
+    positions = jnp.broadcast_to(jnp.arange(L, dtype=jnp.int32)[None],
+                                 (B, L))
+    cos, sin = RotaryEmbedding(cfg.head_dim, cfg.rope_base,
+                               scaling=cfg.rope_scaling)(positions)
+    x = params["embed"][tokens]
+    act = jax.nn.silu if cfg.act == "silu" else jax.nn.gelu
+    aux_total = jnp.float32(0.0)
+    for layer in params["layers"]:
+        from nnop_tpu.ops.rope import llama_rope
+
+        h = rms_norm(x, layer["attn_norm"], cfg.rms_eps)
+        q = _split_heads(h @ layer["wq"], n_heads, cfg.head_dim)
+        k = _split_heads(h @ layer["wk"], n_kv, cfg.head_dim)
+        v = _split_heads(h @ layer["wv"], n_kv, cfg.head_dim)
+        q, k = llama_rope(q, k, cos, sin)
+        o = flash_attention(q, k, v, causal=True, scale=cfg.attn_scale)
+        att = _merge_heads(o.astype(x.dtype)) @ layer["wo"]
+        x = x + jax.lax.psum(att, axis)
+
+        # Megatron-SP style: activations are replicated over the tp axis
+        # after the attention psum, so TOKEN-shard them for the MoE block
+        # (each shard routes/dispatches its own token slice — no
+        # duplicated expert work) and all_gather the outputs back.
+        h = rms_norm(x, layer["mlp_norm"], cfg.rms_eps)
+        hf = h.reshape(B * L, cfg.dim)
+        if (B * L) % tp:
+            raise ValueError(f"B*L={B * L} not divisible by tp={tp}")
+        Tl = (B * L) // tp
+        hs = jax.lax.dynamic_slice_in_dim(
+            hf, jax.lax.axis_index(axis) * Tl, Tl, 0
+        )
+        out_s, aux = moe_mlp_ep(
+            layer, hs, cfg, act=act, axis=axis, aux_axes=("data", axis)
+        )
+        out = jax.lax.all_gather(out_s, axis, axis=0, tiled=True)
+        x = x + out.reshape(B, L, cfg.dim)
+        aux_total = aux_total + aux
+    x = rms_norm(x, params["final_norm"], cfg.rms_eps)
+    return (x @ params["lm_head"]).astype(jnp.float32), aux_total
+
+
+def make_mixtral_train_step(mesh: Mesh, cfg: LlamaConfig, optimizer=None):
+    """dp("data") x [tp-attention + ep-experts]("model") training step.
+
+    Gradients are taken OUTSIDE the shard_map: the per-shard forward has
+    mixed redundancy (attention activations replicated over "model", MoE
+    activations token-sharded), so per-shard jax.grad + hand reduction
+    scaling is a minefield — shard_map's transpose rule handles psum /
+    all_to_all / all_gather cotangents with global semantics, and the
+    grads land with exactly the params' shardings. Verified against
+    single-device grads leaf-by-leaf in test_mixtral_tp_ep_grads_match.
+    """
+    from nnop_tpu.parallel.tp_llama import AdamW, _sharded_xent
+
+    optimizer = optimizer or AdamW(lr=1e-3)
+    specs = mixtral_param_specs(cfg)
+
+    def local_loss(params, tokens, targets):
+        logits, aux = _mixtral_local_forward(params, tokens, cfg)
+        loss = _sharded_xent(logits, targets)
+        if cfg.router_aux_coef:
+            loss = loss + cfg.router_aux_coef * aux / cfg.n_layers
+        return jax.lax.pmean(loss, "data")
+
+    fwd = shard_map(
+        local_loss,
+        mesh=mesh,
+        in_specs=(specs, P("data"), P("data")),
+        out_specs=P(),
+        check_rep=False,
+    )
+
+    @jax.jit
+    def step(params, opt_state, tokens, targets):
+        loss, grads = jax.value_and_grad(
+            lambda p: fwd(p, tokens, targets)
+        )(params)
+        params, opt_state = optimizer.update(grads, opt_state, params)
+        return params, opt_state, loss
+
+    return step, optimizer

@@ -762,3 +762,97 @@ def test_sharded_checkpoint_reshard(tmp_path):
     for a, b in zip(jax.tree.leaves(tree), jax.tree.leaves(got)):
         onp.testing.assert_array_equal(onp.asarray(a), onp.asarray(b))
     assert got["w"].sharding.mesh.shape["data"] == 4
+
+
+# ---------------------------------------------------------------------------
+# production Mixtral layout: tp attention + ep experts on one "model" axis
+
+
+def test_mixtral_tp_ep_grads_match():
+    """Grads from the dp x (tp+ep) step's loss == single-device grads
+    (attention psum transpose AND expert all_to_all transpose exact)."""
+    import dataclasses
+
+    from nnop_tpu.models.llama import loss_fn
+    from nnop_tpu.parallel.ep import (
+        _mixtral_local_forward,
+        make_ep_mesh,
+        mixtral_param_specs,
+        shard_mixtral_params,
+    )
+    from nnop_tpu.parallel.tp_llama import _sharded_xent
+
+    cfg = dataclasses.replace(
+        LlamaConfig.tiny_moe(), dtype=jnp.float32, n_layers=1
+    )
+    params = init_params(jax.random.key(0), cfg)
+    tokens = jax.random.randint(jax.random.key(1), (4, 16), 0,
+                                cfg.vocab_size)
+    targets = jnp.roll(tokens, -1, axis=1)
+
+    import numpy as onp
+    from jax.sharding import Mesh
+
+    devs = onp.asarray(jax.devices()[:8]).reshape(4, 2)
+    mesh = Mesh(devs, ("data", "model"))
+    specs = mixtral_param_specs(cfg)
+
+    with jax.default_matmul_precision("highest"):
+        gw = jax.grad(loss_fn)(params, tokens, targets, cfg)
+
+        sp = shard_mixtral_params(params, mesh, cfg)
+
+        # grad OUTSIDE the shard_map: the transpose rule handles the
+        # mixed replicated/token-sharded redundancy with global semantics
+        def local_loss(p, t, tg):
+            logits, aux = _mixtral_local_forward(p, t, cfg)
+            return jax.lax.pmean(
+                _sharded_xent(logits, tg)
+                + cfg.router_aux_coef * aux / cfg.n_layers, "data",
+            )
+
+        fwd = shard_map(
+            local_loss, mesh=mesh,
+            in_specs=(specs, P("data"), P("data")),
+            out_specs=P(), check_rep=False,
+        )
+        gg = jax.jit(jax.grad(lambda p: fwd(p, tokens, targets)))(sp)
+
+    for path in (("layers", 0, "wq"), ("layers", 0, "wo"),
+                 ("layers", 0, "w_router"), ("layers", 0, "w_gate"),
+                 ("layers", 0, "w_down"), ("layers", 0, "mlp_norm"),
+                 ("embed",), ("lm_head",)):
+        a, b = gw, gg
+        for k in path:
+            a, b = a[k], b[k]
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), atol=5e-5, rtol=5e-3,
+            err_msg=str(path),
+        )
+
+
+def test_mixtral_tp_ep_train_step():
+    import dataclasses
+
+    from nnop_tpu.parallel.ep import (
+        make_ep_mesh, make_mixtral_train_step, shard_mixtral_params,
+    )
+
+    cfg = dataclasses.replace(LlamaConfig.tiny_moe(), dtype=jnp.float32)
+    import numpy as onp
+    from jax.sharding import Mesh
+
+    devs = onp.asarray(jax.devices()[:8]).reshape(4, 2)
+    mesh = Mesh(devs, ("data", "model"))
+    params = shard_mixtral_params(init_params(jax.random.key(0), cfg),
+                                  mesh, cfg)
+    step, opt = make_mixtral_train_step(mesh, cfg)
+    state = opt.init(params)
+    tokens = jax.random.randint(jax.random.key(1), (8, 32), 0,
+                                cfg.vocab_size)
+    targets = jnp.roll(tokens, -1, axis=1)
+    losses = []
+    for _ in range(4):
+        params, state, loss = step(params, state, tokens, targets)
+        losses.append(float(loss))
+    assert all(np.isfinite(losses)) and losses[-1] < losses[0], losses
