@@ -224,35 +224,35 @@ def make_train_step(mesh: Mesh, cfg: LlamaConfig, optimizer: AdamW | None = None
     rep_axes = ("data", "seq") if use_seq else ("data",)
     n_seq = mesh.shape.get("seq", 1)
 
-    def step(params, opt_state, tokens, targets):
-        def loss_fn(p):
-            logits = _local_forward(
-                p, tokens, cfg, seq_axis=seq_axis, zigzag=zigzag
-            )
-            return _sharded_xent(logits, targets)
-
-        loss, grads = jax.value_and_grad(loss_fn)(params)
-        # average over the axes params are replicated across ("model"
-        # grads are already consistent up to psum transposes)
-        grads = jax.tree.map(
-            lambda g: jax.lax.pmean(g, rep_axes), grads
+    # Gradients are taken OUTSIDE the shard_map (jax.grad of the
+    # shard_map'd loss): differentiating per-shard and hand-reducing is
+    # subtly wrong — every model shard computes the identical global
+    # loss (the xent psums over "model"), and the collective transposes
+    # SUM the redundant cotangents, inflating every grad by tp (it was
+    # uniform, so Adam's mu/sqrt(nu) masked it; gradient clipping or SGD
+    # would not). The shard_map transpose rule yields exact global
+    # grads — verified leaf-by-leaf in test_tp_grads_match_single_device.
+    def local_loss(params, tokens, targets):
+        logits = _local_forward(
+            params, tokens, cfg, seq_axis=seq_axis, zigzag=zigzag
         )
-        loss = jax.lax.pmean(loss, rep_axes)
-        params, opt_state = optimizer.update(grads, opt_state, params)
-        return params, opt_state, loss
+        return jax.lax.pmean(_sharded_xent(logits, targets), rep_axes)
 
-    sharded = shard_map(
-        step,
+    fwd = shard_map(
+        local_loss,
         mesh=mesh,
-        in_specs=(pspecs, opt_specs, data_spec, data_spec),
-        out_specs=(pspecs, opt_specs, P()),
+        in_specs=(pspecs, data_spec, data_spec),
+        out_specs=P(),
         check_rep=False,
     )
 
-    if zigzag:
-        from nnop_tpu.parallel.ring_attention import zigzag_shard
+    del opt_specs  # optimizer now updates sharded global arrays directly
 
-        def outer(params, opt_state, tokens, targets):
+    @jax.jit
+    def step(params, opt_state, tokens, targets):
+        if zigzag:
+            from nnop_tpu.parallel.ring_attention import zigzag_shard
+
             # permute the global sequence so contiguous shard d receives
             # the zigzag pair (chunk d, chunk 2n-1-d); the mean loss is
             # permutation-invariant, params/grads are position-free
@@ -262,7 +262,10 @@ def make_train_step(mesh: Mesh, cfg: LlamaConfig, optimizer: AdamW | None = None
             targets = jnp.concatenate(
                 zigzag_shard(targets, n_seq, axis=1), axis=1
             )
-            return sharded(params, opt_state, tokens, targets)
+        loss, grads = jax.value_and_grad(
+            lambda p: fwd(p, tokens, targets)
+        )(params)
+        params, opt_state = optimizer.update(grads, opt_state, params)
+        return params, opt_state, loss
 
-        return jax.jit(outer), optimizer
-    return jax.jit(sharded), optimizer
+    return step, optimizer

@@ -856,3 +856,48 @@ def test_mixtral_tp_ep_train_step():
         params, state, loss = step(params, state, tokens, targets)
         losses.append(float(loss))
     assert all(np.isfinite(losses)) and losses[-1] < losses[0], losses
+
+
+def test_tp_grads_match_single_device():
+    """TP train-step grads == single-device grads exactly (the
+    grad-outside-shard_map pattern; per-shard grads were tp-x inflated
+    by collective-transpose redundancy before)."""
+    from nnop_tpu.models.llama import loss_fn
+    from nnop_tpu.parallel.tp_llama import _local_forward, _sharded_xent
+
+    cfg = LlamaConfig.tiny(
+        n_heads=8, n_kv_heads=4, dim=256, head_dim=32, dtype=jnp.float32,
+        n_layers=1,
+    )
+    params = init_params(jax.random.key(0), cfg)
+    tokens = jax.random.randint(jax.random.key(1), (4, 16), 0,
+                                cfg.vocab_size)
+    targets = jnp.roll(tokens, -1, axis=1)
+    mesh = make_mesh(data=2, model=4)
+    specs = param_specs(cfg)
+
+    with jax.default_matmul_precision("highest"):
+        gw = jax.grad(loss_fn)(params, tokens, targets, cfg)
+        sp = shard_params(params, mesh, cfg)
+
+        def local_loss(p, t, tg):
+            logits = _local_forward(p, t, cfg)
+            return jax.lax.pmean(_sharded_xent(logits, tg), ("data",))
+
+        fwd = shard_map(
+            local_loss, mesh=mesh,
+            in_specs=(specs, P("data"), P("data")),
+            out_specs=P(), check_rep=False,
+        )
+        gg = jax.jit(jax.grad(lambda p: fwd(p, tokens, targets)))(sp)
+
+    for path in (("layers", 0, "wq"), ("layers", 0, "wo"),
+                 ("layers", 0, "w_gate"), ("layers", 0, "attn_norm"),
+                 ("embed",), ("lm_head",)):
+        a, b = gw, gg
+        for k in path:
+            a, b = a[k], b[k]
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), atol=5e-5, rtol=5e-3,
+            err_msg=str(path),
+        )
