@@ -82,6 +82,7 @@ def pp_param_specs(cfg: LlamaConfig):
             for k in (
                 ["attn_norm", "wq", "wk", "wv", "wo",
                  "mlp_norm", "w_gate", "w_up", "w_down"]
+                + (["w_router"] if cfg.n_experts is not None else [])
                 + (["bq", "bk", "bv"] if cfg.qkv_bias else [])
                 + (["attn_post_norm", "mlp_post_norm"] if cfg.post_norms
                    else [])

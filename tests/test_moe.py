@@ -346,3 +346,42 @@ def test_engine_serves_quantized_moe():
     assert req.done
     agree = sum(a == b for a, b in zip(req.out, out)) / len(out)
     assert agree >= 0.5, (req.out, out)
+
+
+def test_spec_engine_moe_matches_plain_greedy():
+    """Speculative decoding over a MoE model: byte-identical greedy
+    stream (verify path exercises the grouped expert MLP at T>1)."""
+    from nnop_tpu.runtime.engine import Engine
+
+    cfg = dataclassed(CFG, dtype=jnp.float32)
+    params = init_params(jax.random.key(0), cfg)
+    prompt = [5, 17, 42, 7, 5, 17, 42, 7]
+
+    plain = Engine(params, cfg, max_batch=2, max_seq=96, chunk_size=4)
+    r0 = plain.submit(prompt, max_new_tokens=10)
+    plain.run()
+
+    spec = Engine(params, cfg, max_batch=2, max_seq=96, chunk_size=4,
+                  spec_k=2)
+    r1 = spec.submit(prompt, max_new_tokens=10)
+    spec.run()
+    assert r0.done and r1.done
+    assert r1.out == r0.out, (r1.out, r0.out)
+
+
+def test_paged_engine_moe_matches_contiguous():
+    from nnop_tpu.runtime.engine import Engine
+
+    cfg = dataclassed(CFG, dtype=jnp.float32)
+    params = init_params(jax.random.key(0), cfg)
+    prompt = [9, 3, 1, 4, 1, 5]
+
+    cont = Engine(params, cfg, max_batch=2, max_seq=256)
+    r0 = cont.submit(prompt, max_new_tokens=8)
+    cont.run()
+    paged = Engine(params, cfg, max_batch=2, max_seq=256, paged=True,
+                   page_size=128)
+    r1 = paged.submit(prompt, max_new_tokens=8)
+    paged.run()
+    assert r0.done and r1.done
+    assert r1.out == r0.out, (r1.out, r0.out)

@@ -901,3 +901,28 @@ def test_tp_grads_match_single_device():
             np.asarray(b), np.asarray(a), atol=5e-5, rtol=5e-3,
             err_msg=str(path),
         )
+
+
+def test_pp_train_step_moe():
+    """GPipe pipeline over stacked MoE layers (scan over expert stacks)."""
+    import dataclasses
+
+    from nnop_tpu.parallel.pp import make_pp_train_step, shard_pp_params
+
+    cfg = dataclasses.replace(
+        LlamaConfig.tiny_moe(), dtype=jnp.float32, n_layers=4
+    )
+    from nnop_tpu.parallel.pp import make_pp_mesh
+
+    mesh = make_pp_mesh(pipe=4, data=2)
+    params = shard_pp_params(init_params(jax.random.key(0), cfg), mesh, cfg)
+    step, opt = make_pp_train_step(mesh, cfg, n_micro=4)
+    state = opt.init(params)
+    tokens = jax.random.randint(jax.random.key(1), (8, 32), 0,
+                                cfg.vocab_size)
+    targets = jnp.roll(tokens, -1, axis=1)
+    losses = []
+    for _ in range(3):
+        params, state, loss = step(params, state, tokens, targets)
+        losses.append(float(loss))
+    assert all(np.isfinite(losses)) and losses[-1] < losses[0], losses
