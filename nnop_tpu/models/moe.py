@@ -118,9 +118,11 @@ def moe_mlp(layer, h, cfg, *, act, impl: str | None = None):
     Pallas grouped matmul (exact work, dropless, the serving path)."""
     from nnop_tpu.ops.quantization import QTensor
 
+    from nnop_tpu.ops.quantization import QTensor4
+
     impl = impl or cfg.moe_impl
     if (impl == "grouped" or "w_gateup" in layer
-            or isinstance(layer.get("w_gate"), QTensor)):
+            or isinstance(layer.get("w_gate"), (QTensor, QTensor4))):
         # quantized and engine-fused experts are always served by the
         # grouped path (the dispatch einsums below need plain arrays)
         return moe_mlp_grouped(layer, h, cfg, act=act)
@@ -192,10 +194,11 @@ def moe_mlp_grouped(layer, h, cfg, *, act, block_m: int | None = None):
     m-block it spans, hurts large T where the layer is HBM-bound); the
     default grows with expected tokens-per-expert."""
     from nnop_tpu.ops.grouped_matmul import (
+        _grouped_matmul_q4,
         grouped_matmul,
         grouped_matmul_quantized,
     )
-    from nnop_tpu.ops.quantization import QTensor
+    from nnop_tpu.ops.quantization import QTensor, QTensor4
 
     T, d = h.shape
     E = cfg.n_experts
@@ -213,6 +216,9 @@ def moe_mlp_grouped(layer, h, cfg, *, act, block_m: int | None = None):
         if isinstance(wts, QTensor):
             return grouped_matmul_quantized(x, wts, block_groups,
                                             block_m=block_m)
+        if isinstance(wts, QTensor4):
+            return _grouped_matmul_q4(x, wts, block_groups,
+                                      block_m=block_m, block_n=2048)
         return grouped_matmul(x, wts, block_groups, block_m=block_m)
 
     if "w_gateup" in layer:  # engine-fused experts: one pass for gate|up

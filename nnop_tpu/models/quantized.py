@@ -32,11 +32,15 @@ def quantize_params(params, dtype=jnp.int8, *, wbits: int = 8,
         out = {}
         for k, v in layer.items():
             if moe and k in ("w_gate", "w_up", "w_down"):
-                # stacked experts (E, K, N): per-(expert, out-channel)
-                # scales; served by grouped_matmul_quantized (int8 only —
-                # the int4 nibble layout packs along K and would need a
-                # per-expert repack; experts stay int8 under wbits=4)
-                out[k] = quantize(v, axis=1)
+                # stacked experts (E, K, N): int8 with per-(E, N) scales,
+                # or per-expert packed int4 planes under wbits=4 — both
+                # served by the grouped kernels
+                if wbits == 4:
+                    from nnop_tpu.ops.grouped_matmul import quantize4_experts
+
+                    out[k] = quantize4_experts(v, group=group)
+                else:
+                    out[k] = quantize(v, axis=1)
             elif k in _QUANT_KEYS and k != "w_router":
                 out[k] = q(v)
             else:

@@ -321,3 +321,101 @@ def grouped_matmul_quantized(x, wq, block_groups, *, block_m: int = 128,
         ),
         interpret=interpret_default(),
     )(block_groups.astype(jnp.int32), x, wq.values, wq.scale)
+
+
+# ---------------------------------------------------------------------------
+# INT4 variant: packed-nibble stacked experts (see ops/quantized_matmul.py
+# _qmm4_kernel for the unpack strategy — i32 shifts, group scales folded
+# into the weight planes in VMEM, no sublane concat). Halves the expert
+# weight stream again vs int8 — Mixtral decode is weight-bound.
+
+
+def _gmm_q4_kernel(g_ref, x_ref, w_ref, s_ref, o_ref, acc, *, n_k, groups,
+                   group, compute_dtype):
+    del g_ref
+    ik = pl.program_id(2)
+
+    @pl.when(ik == 0)
+    def _():
+        acc[...] = jnp.zeros_like(acc)
+
+    b = w_ref[0].astype(jnp.int32)  # (P/2, bn)
+    half, bn = b.shape
+    planes = ((b << 28) >> 28, b >> 4)
+    x = x_ref[...].astype(compute_dtype)
+    s = s_ref[0]  # (groups, bn) f32
+    gh = groups // 2
+    for h, w in enumerate(planes):
+        sw = s[h * gh:(h + 1) * gh].reshape(gh, 1, bn)
+        wsc = (
+            (w.astype(jnp.float32).reshape(gh, group, bn) * sw)
+            .reshape(half, bn)
+            .astype(compute_dtype)
+        )
+        acc[...] += jax.lax.dot_general(
+            x[:, h * half:(h + 1) * half],
+            wsc,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(ik == n_k - 1)
+    def _():
+        o_ref[...] = acc[...].astype(o_ref.dtype)
+
+
+def quantize4_experts(w, *, group: int = 128, pack_block: int = 1024):
+    """Stacked (E, K, N) -> QTensor4 with (E, Kp/2, N) packed planes."""
+    from nnop_tpu.ops.quantization import quantize4
+
+    return jax.vmap(
+        lambda we: quantize4(we, group=group, pack_block=pack_block)
+    )(w)
+
+
+def _grouped_matmul_q4(x, wq, block_groups, *, block_m, block_n,
+                       out_dtype=None):
+    Tp, K = x.shape
+    E = wq.packed.shape[0]
+    N = wq.packed.shape[2]
+    P = wq.pack_block
+    kp = 2 * wq.packed.shape[1]
+    if not (K == kp or (K < kp and kp - K < P)):
+        raise ValueError(f"K mismatch: x {K} vs packed {kp} (pack {P})")
+    if kp != K:
+        x = jnp.pad(x, ((0, 0), (0, kp - K)))
+    if Tp % block_m != 0:
+        raise ValueError(f"rows {Tp} not a multiple of block_m {block_m}")
+    out_dtype = out_dtype or x.dtype
+    compute_dtype = jnp.float32 if x.dtype == jnp.float32 else jnp.bfloat16
+    bn = min(block_n, round_up(N, 128))
+    groups = P // wq.group
+
+    kernel = functools.partial(
+        _gmm_q4_kernel,
+        n_k=kp // P,
+        groups=groups,
+        group=wq.group,
+        compute_dtype=compute_dtype,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(Tp // block_m, cdiv(N, bn), kp // P),
+        in_specs=[
+            pl.BlockSpec((block_m, P), lambda m, n, k, g: (m, k)),
+            pl.BlockSpec((1, P // 2, bn), lambda m, n, k, g: (g[m], k, n)),
+            pl.BlockSpec((1, groups, bn), lambda m, n, k, g: (g[m], k, n)),
+        ],
+        out_specs=pl.BlockSpec((block_m, bn), lambda m, n, k, g: (m, n)),
+        scratch_shapes=[pltpu.VMEM((block_m, bn), jnp.float32)],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((Tp, N), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret_default(),
+    )(block_groups.astype(jnp.int32), x, wq.packed, wq.scale)

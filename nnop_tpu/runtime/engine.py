@@ -383,12 +383,20 @@ def fuse_decode_weights(params):
 
     def cat_experts(ws):
         """Stacked (E, K, N) experts fuse along N (QTensor axis=1 keeps
-        per-(E, N) scales; plain arrays concat the last axis)."""
+        per-(E, N) scales; QTensor4 concats packed planes and group
+        scales on N; plain arrays concat the last axis)."""
         if isinstance(ws[0], QTensor):
             return QTensor(
                 jnp.concatenate([w.values for w in ws], axis=2),
                 jnp.concatenate([w.scale for w in ws], axis=1),
                 1,
+            )
+        if isinstance(ws[0], QTensor4):
+            return QTensor4(
+                jnp.concatenate([w.packed for w in ws], axis=2),
+                jnp.concatenate([w.scale for w in ws], axis=2),
+                ws[0].group,
+                ws[0].pack_block,
             )
         return jnp.concatenate(ws, axis=2)
 

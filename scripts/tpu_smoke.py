@@ -314,6 +314,18 @@ def main():
     )
     ok &= check("grouped_matmul_q", got_q, want_q, 1e-3, 1e-3)
 
+    # int4 packed-expert grouped matmul
+    from nnop_tpu.ops.grouped_matmul import (
+        _grouped_matmul_q4, quantize4_experts,
+    )
+
+    wq4 = quantize4_experts(wg * 0.05, group=128, pack_block=256)
+    got_q4 = _grouped_matmul_q4(xg, wq4, bgg, block_m=bmg, block_n=Ng)
+    want_q4 = grouped_matmul(
+        xg, jax.vmap(dequantize4)(wq4), bgg, block_m=bmg
+    )
+    ok &= check("grouped_matmul_q4", got_q4, want_q4, 1e-3, 1e-3)
+
     print(f"total {time.time()-t0:.1f}s")
     sys.exit(0 if ok else 1)
 

@@ -385,3 +385,75 @@ def test_paged_engine_moe_matches_contiguous():
     paged.run()
     assert r0.done and r1.done
     assert r1.out == r0.out, (r1.out, r0.out)
+
+
+def test_grouped_matmul_int4():
+    """INT4 grouped matmul == dense grouped matmul on the dequantized
+    expert planes (exact: f32 path, same rounding)."""
+    from nnop_tpu.ops.grouped_matmul import (
+        _grouped_matmul_q4, grouped_matmul, quantize4_experts,
+    )
+    from nnop_tpu.ops.quantization import dequantize4
+
+    E, K, N, bm = 3, 256, 384, 8
+    Tp = 4 * bm
+    keys = jax.random.split(jax.random.key(6), 2)
+    x = jax.random.normal(keys[0], (Tp, K), jnp.float32)
+    w = jax.random.normal(keys[1], (E, K, N), jnp.float32) * 0.05
+    wq = quantize4_experts(w, group=128, pack_block=256)
+    bg = jnp.array([0, 1, 1, 2], jnp.int32)
+    deq = jax.vmap(dequantize4)(wq)
+    with jax.default_matmul_precision("highest"):
+        got = _grouped_matmul_q4(x, wq, bg, block_m=bm, block_n=384)
+        want = grouped_matmul(x, deq, bg, block_m=bm)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-4, rtol=1e-3)
+
+
+def test_engine_serves_int4_moe():
+    """Engine decode with packed int4 experts matches the greedy chain
+    of the DEQUANTIZED model (same int4 values, XLA einsum path) — the
+    oracle that isolates engine-path differences from quantization
+    noise (random tiny weights compound int4 noise; NOTES.md)."""
+    from nnop_tpu.models.quantized import quantize_params
+    from nnop_tpu.ops.quantization import QTensor, QTensor4, dequantize
+    from nnop_tpu.ops.quantization import dequantize4
+    from nnop_tpu.runtime.engine import Engine
+
+    cfg = dataclassed(CFG, dtype=jnp.float32)
+    params = init_params(jax.random.key(0), cfg)
+    qparams = quantize_params(params, wbits=4, group=64)
+
+    def deq(leaf):
+        if isinstance(leaf, QTensor4):
+            if leaf.packed.ndim == 3:  # stacked experts
+                return jax.vmap(dequantize4)(leaf)
+            return dequantize4(leaf)
+        if isinstance(leaf, QTensor):
+            return dequantize(leaf)
+        return leaf
+
+    is_q = lambda x: isinstance(x, (QTensor, QTensor4))
+    dq_params = jax.tree.map(deq, qparams, is_leaf=is_q)
+    # int4 pads K; slice dequantized planes back to the true K
+    def fix(dq, ref):
+        return dq[..., : ref.shape[-2], :] if dq.shape != ref.shape else dq
+    dq_params = jax.tree.map(
+        lambda d, r: fix(d, r) if isinstance(d, jax.Array) else d,
+        dq_params, params,
+    )
+
+    prompt = [5, 17, 42, 7, 99, 3]
+    toks, out = list(prompt), []
+    for _ in range(6):
+        logits = forward(dq_params, jnp.asarray([toks], jnp.int32), cfg)
+        nxt = int(jnp.argmax(logits[0, -1]))
+        out.append(nxt)
+        toks.append(nxt)
+
+    eng = Engine(qparams, cfg, max_batch=2, max_seq=64)
+    req = eng.submit(prompt, max_new_tokens=6)
+    eng.run()
+    assert req.done
+    agree = sum(a == b for a, b in zip(req.out, out)) / len(out)
+    assert agree >= 0.8, (req.out, out)
