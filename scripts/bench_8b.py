@@ -37,6 +37,11 @@ def main():
     ap.add_argument("--spec", type=int, default=0,
                     help="speculative mode: drafts per verify step; "
                     "measures the T=spec+1 verify-step cost vs plain")
+    ap.add_argument("--model", type=str, default="8b",
+                    choices=("8b", "mixtral"))
+    ap.add_argument("--layers", type=int, default=0,
+                    help="override n_layers (mixtral 8x7b int8 needs "
+                    "<=6 layers to fit one v5e; tokens/s scales ~1/layers)")
     args = ap.parse_args()
 
     from nnop_tpu.models.llama import LlamaConfig, init_quantized_params
@@ -45,8 +50,13 @@ def main():
         make_spec_chunk,
     )
 
-    cfg = LlamaConfig.llama3_8b(vocab_size=args.vocab)
-    print(f"building random INT{args.wbits} 8B params...", file=sys.stderr, flush=True)
+    kw = dict(vocab_size=args.vocab)
+    if args.layers:
+        kw["n_layers"] = args.layers
+    cfg = (LlamaConfig.mixtral_8x7b(**kw) if args.model == "mixtral"
+           else LlamaConfig.llama3_8b(**kw))
+    print(f"building random INT{args.wbits} {args.model} params "
+          f"({cfg.n_layers} layers)...", file=sys.stderr, flush=True)
     params = fuse_decode_weights(
         init_quantized_params(jax.random.key(0), cfg, wbits=args.wbits)
     )
@@ -110,7 +120,7 @@ def main():
     if args.spec:
         T = args.spec + 1
         print(
-            f"8B INT{args.wbits} SPEC decode (k={args.spec}, verify T={T}): "
+            f"{args.model} INT{args.wbits} SPEC decode (k={args.spec}, verify T={T}): "
             f"B={B} ctx={ctx} chunk={chunk}: {step*1e3:.2f} ms/verify-step; "
             f"tokens/s/chip = {B/step:.0f} at zero acceptance .. "
             f"{B*T/step:.0f} at full acceptance "
@@ -119,7 +129,7 @@ def main():
         )
     else:
         print(
-            f"8B INT{args.wbits} decode (staged engine path): B={B} ctx={ctx} chunk={chunk}: "
+            f"{args.model} INT{args.wbits} decode ({cfg.n_layers} layers, staged engine path): B={B} ctx={ctx} chunk={chunk}: "
             f"{step*1e3:.2f} ms/step = {B/step:.0f} tokens/s/chip "
             f"({wbytes/1e9:.1f} GB packed weights -> {wbytes/step/1e9:.0f} GB/s)",
             flush=True,
