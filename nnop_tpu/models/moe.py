@@ -272,3 +272,58 @@ def init_moe_layer(key, cfg, dense):
         "w_down": jnp.stack([dense(k, (hd, d)) for k in
                              jax.random.split(ks[3], E)]),
     }
+
+
+def moe_mlp_local_experts(layer, h, cfg, *, act, lo: int, n_local: int,
+                          block_m: int = 32):
+    """Local-expert contribution for REPLICATED tokens (the serving-TP
+    layout, parallel/tp_decode.py): this shard owns experts
+    [lo, lo + n_local); assignments to other shards' experts get
+    combine weight 0 here and are summed in by the caller's psum —
+    tokens are replicated over the axis, so no all_to_all is needed.
+    layer weights are LOCAL stacks (n_local, ...); plain, QTensor, or
+    QTensor4 (fused w_gateup supported). Returns (T, d)."""
+    from nnop_tpu.ops.grouped_matmul import (
+        _grouped_matmul_q4,
+        grouped_matmul,
+        grouped_matmul_quantized,
+    )
+    from nnop_tpu.ops.quantization import QTensor, QTensor4
+
+    T, d = h.shape
+    k = cfg.n_experts_per_token
+
+    w, idx, _ = router_topk(h, layer["w_router"], k)
+    valid = (idx >= lo) & (idx < lo + n_local)
+    idx_local = jnp.where(valid, idx - lo, 0)
+    w = jnp.where(valid, w, 0.0)
+
+    src, dest, block_groups, Tp, order = sort_tokens_by_expert(
+        idx_local, n_local, block_m
+    )
+    xs = jnp.zeros((Tp, d), h.dtype).at[dest].set(h[src])
+
+    def gmm(x, wts):
+        if isinstance(wts, QTensor):
+            return grouped_matmul_quantized(x, wts, block_groups,
+                                            block_m=block_m)
+        if isinstance(wts, QTensor4):
+            return _grouped_matmul_q4(x, wts, block_groups,
+                                      block_m=block_m, block_n=2048)
+        return grouped_matmul(x, wts, block_groups, block_m=block_m)
+
+    if "w_gateup" in layer:
+        hidden = cfg.hidden_dim
+        gu = gmm(xs, layer["w_gateup"]).astype(jnp.float32)
+        gate, up = act(gu[:, :hidden]), gu[:, hidden:]
+    else:
+        gate = act(gmm(xs, layer["w_gate"]).astype(jnp.float32))
+        up = gmm(xs, layer["w_up"]).astype(jnp.float32)
+    y = gmm((gate * up).astype(h.dtype), layer["w_down"])
+    wf = w.reshape(T * k)[order].astype(jnp.float32)
+    out = (
+        jnp.zeros((T, d), jnp.float32)
+        .at[src]
+        .add(y[dest].astype(jnp.float32) * wf[:, None])
+    )
+    return out.astype(h.dtype)

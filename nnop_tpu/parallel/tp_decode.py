@@ -52,6 +52,15 @@ def decode_param_specs(cfg: LlamaConfig):
         "w_up": P(None, "model"),
         "w_down": P("model", None),
     }
+    if cfg.n_experts is not None:
+        # MoE serving: experts sharded over "model" (stacked dim 0),
+        # router replicated; contributions summed by the existing psum
+        layer.update({
+            "w_router": P(),
+            "w_gate": P("model", None, None),
+            "w_up": P("model", None, None),
+            "w_down": P("model", None, None),
+        })
     return {
         "embed": P(),
         "layers": [dict(layer) for _ in range(cfg.n_layers)],
@@ -139,11 +148,21 @@ def make_tp_decode_chunk(mesh: Mesh, cfg: LlamaConfig, quantized: bool,
                 x = x + jax.lax.psum(att, "model")
 
                 h = rms_norm(x, layer["mlp_norm"], cfg.rms_eps)
-                gate = jax.nn.silu(
-                    _mm(h, layer["w_gate"]).astype(jnp.float32)
-                )
-                up = _mm(h, layer["w_up"]).astype(jnp.float32)
-                down = _mm((gate * up).astype(x.dtype), layer["w_down"])
+                if cfg.n_experts is not None:
+                    from nnop_tpu.models.moe import moe_mlp_local_experts
+
+                    n_local = cfg.n_experts // tp
+                    lo = jax.lax.axis_index("model") * n_local
+                    down = moe_mlp_local_experts(
+                        layer, h[:, 0], cfg, act=jax.nn.silu,
+                        lo=lo, n_local=n_local,
+                    )[:, None]
+                else:
+                    gate = jax.nn.silu(
+                        _mm(h, layer["w_gate"]).astype(jnp.float32)
+                    )
+                    up = _mm(h, layer["w_up"]).astype(jnp.float32)
+                    down = _mm((gate * up).astype(x.dtype), layer["w_down"])
                 x = x + jax.lax.psum(down, "model")
 
             x = rms_norm(x, params["final_norm"], cfg.rms_eps)
@@ -221,11 +240,14 @@ def shard_decode_params(params, mesh: Mesh, cfg: LlamaConfig):
     def put(x, s):
         if isinstance(x, QTensor):
             vspec = s
-            # scale is per-output-channel: shard iff the output axis is
-            out_axis = s[1] if len(s) > 1 else None
-            sspec = P(out_axis) if s == P(None, "model") else (
-                P() if s == P("model", None) else P(out_axis)
-            )
+            if len(s) == 3:  # stacked experts: scale (E, N) follows dim 0
+                sspec = P(s[0])
+            else:
+                # scale is per-output-channel: shard iff the output axis is
+                out_axis = s[1] if len(s) > 1 else None
+                sspec = P(out_axis) if s == P(None, "model") else (
+                    P() if s == P("model", None) else P(out_axis)
+                )
             return QTensor(
                 jax.device_put(x.values, NamedSharding(mesh, vspec)),
                 jax.device_put(x.scale, NamedSharding(mesh, sspec)),

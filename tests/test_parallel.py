@@ -926,3 +926,47 @@ def test_pp_train_step_moe():
         params, state, loss = step(params, state, tokens, targets)
         losses.append(float(loss))
     assert all(np.isfinite(losses)) and losses[-1] < losses[0], losses
+
+
+def test_tp_decode_moe_matches_single_device():
+    """Expert-sharded serving decode (tokens replicated over "model",
+    local-expert contributions psum'd) == single-device MoE chunk."""
+    import dataclasses
+
+    from nnop_tpu.models.llama import LlamaConfig
+    from nnop_tpu.parallel.tp_decode import (
+        make_tp_decode_chunk, shard_decode_params, shard_decode_state,
+    )
+    from nnop_tpu.runtime.engine import init_state, make_decode_chunk
+
+    cfg = dataclasses.replace(
+        LlamaConfig.tiny_moe(), dtype=jnp.float32, n_heads=4, n_kv_heads=2
+    )
+    params = init_params(jax.random.key(0), cfg)
+    B, L, S, chunk = 2, 12, 128, 6
+
+    def mk_state():
+        st = init_state(cfg, B, S, quantized=False, chunk=chunk)
+        ks = jax.random.split(jax.random.key(7), 2)
+        kv_shape = (cfg.n_layers, B, cfg.n_kv_heads, S, cfg.head_dim)
+        kfull = jax.random.normal(ks[0], kv_shape, jnp.float32) * 0.3
+        vfull = jax.random.normal(ks[1], kv_shape, jnp.float32) * 0.3
+        mask = (jnp.arange(S) < L)[None, None, None, :, None]
+        return dataclasses.replace(
+            st,
+            k=jnp.where(mask, kfull, 0.0).astype(st.k.dtype),
+            v=jnp.where(mask, vfull, 0.0).astype(st.v.dtype),
+            lengths=jnp.full((B,), L, jnp.int32),
+            last_token=jnp.array([3, 11], jnp.int32),
+        )
+
+    key = jax.random.key(1)
+    ref_chunk = jax.jit(make_decode_chunk(cfg, False, chunk))
+    toks_ref, _ = ref_chunk(params, mk_state(), key)
+
+    mesh = make_mesh(model=2)  # 2 experts per shard
+    sp = shard_decode_params(params, mesh, cfg)
+    sst = shard_decode_state(mk_state(), mesh)
+    tp_chunk = make_tp_decode_chunk(mesh, cfg, False, chunk)
+    toks_tp, _ = tp_chunk(sp, sst, key)
+    np.testing.assert_array_equal(np.asarray(toks_tp), np.asarray(toks_ref))
