@@ -309,7 +309,7 @@ def _post(layer, out, cfg: LlamaConfig, key: str):
 
 def attention_block(layer, x, cos, sin, cfg: LlamaConfig, *, kv_cache=None,
                     kpad_mask=None, causal=True, matmul=None,
-                    layer_idx: int = 0):
+                    layer_idx: int = 0, segment_ids=None):
     """rms_norm -> qkv proj -> rope -> flash attention -> out proj.
 
     This is the reference-parity end-to-end slice (SURVEY.md §7 "Minimum
@@ -383,6 +383,8 @@ def attention_block(layer, x, cos, sin, cfg: LlamaConfig, *, kv_cache=None,
 
     o = flash_attention(
         q, k, v, causal=causal, kpad_mask=kpad_mask,
+        segment_ids=(segment_ids, segment_ids)
+        if segment_ids is not None else None,
         window=window if causal else None,
         softcap=softcap,
         scale=scale,
@@ -421,7 +423,7 @@ def mlp_block(layer, x, cfg: LlamaConfig, *, matmul=None):
 
 def forward(params, tokens, cfg: LlamaConfig, *, positions=None,
             kv_caches=None, kpad_mask=None, matmul=None,
-            return_aux=False):
+            return_aux=False, segment_ids=None):
     """Full forward pass: tokens (B, L) int32 -> logits (B, L, vocab).
 
     positions: (B, L) absolute positions (defaults to arange — pass the
@@ -445,7 +447,7 @@ def forward(params, tokens, cfg: LlamaConfig, *, positions=None,
         x, new_cache = attention_block(
             layer, x, cos, sin, cfg,
             kv_cache=cache, kpad_mask=kpad_mask, matmul=matmul,
-            layer_idx=i,
+            layer_idx=i, segment_ids=segment_ids,
         )
         if new_caches is not None:
             new_caches.append(new_cache)

@@ -67,3 +67,42 @@ def prefetch_to_device(it: Iterator, sharding=None, depth: int = 2):
             yield queue.popleft()
     while queue:
         yield queue.popleft()
+
+
+def pack_tokens_segmented(streams: Iterable[list[int]], seq_len: int,
+                          eos_id: int = 0):
+    """Document-aware LM packing: like pack_tokens, but also returns
+    per-position SEGMENT ids (1-based document index within the row) and
+    per-position POSITIONS (index within the document), so the model can
+    mask cross-document attention (flash_attention segment_ids) and
+    reset rope per document. Returns (rows, segments, positions), each
+    (N, seq_len + 1) int32.
+    """
+    width = seq_len + 1
+    buf: list[int] = []
+    seg: list[int] = []
+    pos: list[int] = []
+    rows, segs, poss = [], [], []
+    doc = 1
+    for toks in streams:
+        start = len(buf)
+        buf.extend(toks)
+        buf.append(eos_id)
+        seg.extend([doc] * (len(buf) - start))
+        pos.extend(range(len(buf) - start))
+        doc += 1
+        while len(buf) >= width:
+            rows.append(buf[:width])
+            # renumber the row's segments from 1 (ids are row-local)
+            s0 = seg[0]
+            segs.append([s - s0 + 1 for s in seg[:width]])
+            poss.append(pos[:width])
+            buf, seg, pos = buf[seq_len:], seg[seq_len:], pos[seq_len:]
+            # the carried overlap token keeps its original doc/pos
+    if not rows:
+        raise ValueError("not enough tokens for a single row")
+    return (
+        np.asarray(rows, np.int32),
+        np.asarray(segs, np.int32),
+        np.asarray(poss, np.int32),
+    )

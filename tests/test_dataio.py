@@ -62,3 +62,39 @@ def test_train_loop_end_to_end():
             )
             losses.append(float(loss))
     assert losses[-1] < losses[0] * 0.5, (losses[0], losses[-1])
+
+
+def test_segmented_packing_blocks_cross_doc_attention():
+    """Packed-document training: forward with segment_ids + per-doc
+    positions gives each document EXACTLY the logits it gets alone."""
+    import jax
+    import jax.numpy as jnp
+
+    from nnop_tpu.models.llama import LlamaConfig, forward, init_params
+    from nnop_tpu.runtime.dataio import pack_tokens_segmented
+
+    cfg = LlamaConfig.tiny(dtype=jnp.float32)
+    params = init_params(jax.random.key(0), cfg)
+
+    doc_a = [5, 17, 42, 7, 99, 3, 12, 77]      # 8 tokens + EOS = 9
+    doc_b = [9, 4, 88, 21, 33, 2, 64]          # 7 tokens + EOS = 8
+    rows, segs, poss = pack_tokens_segmented([doc_a, doc_b], seq_len=16,
+                                             eos_id=0)
+    assert rows.shape == (1, 17)
+    tokens = jnp.asarray(rows[:, :16])
+    seg = jnp.asarray(segs[:, :16])
+    pos = jnp.asarray(poss[:, :16])
+
+    with jax.default_matmul_precision("highest"):
+        packed = forward(params, tokens, cfg, positions=pos,
+                         segment_ids=seg)
+        alone_b = forward(
+            params, jnp.asarray([doc_b + [0]], jnp.int32)[:, :8], cfg
+        )
+    # doc_b occupies packed positions 9..15 (7 tokens)
+    import numpy as np
+
+    np.testing.assert_allclose(
+        np.asarray(packed[0, 9:16]), np.asarray(alone_b[0, :7]),
+        atol=1e-5, rtol=1e-5,
+    )
