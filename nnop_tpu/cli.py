@@ -22,11 +22,12 @@ def cmd_train(args):
     from nnop_tpu.parallel.tp_llama import AdamW
     from nnop_tpu.runtime.dataio import batches, pack_tokens
 
-    cfg = (
-        LlamaConfig.llama3_8b()
-        if args.model == "8b"
-        else LlamaConfig.tiny(dtype=jnp.float32)
-    )
+    cfg = {
+        "8b": LlamaConfig.llama3_8b,
+        "tiny": lambda: LlamaConfig.tiny(dtype=jnp.float32),
+        "tiny_moe": lambda: LlamaConfig.tiny_moe(dtype=jnp.float32),
+        "mixtral": LlamaConfig.mixtral_8x7b,
+    }[args.model]()
     params = init_params(jax.random.key(args.seed), cfg)
     opt = AdamW(lr=args.lr)
     state = opt.init(params)
@@ -40,11 +41,25 @@ def cmd_train(args):
         stream = [(7 * i + 3) % cfg.vocab_size for i in range(args.seq * 64)]
     rows = pack_tokens([stream], seq_len=args.seq)
 
-    @jax.jit
-    def step(params, state, toks, tgts):
-        loss, grads = jax.value_and_grad(loss_fn)(params, toks, tgts, cfg)
-        params, state = opt.update(grads, state, params)
-        return params, state, loss
+    if args.mesh:
+        # dp[,tp[,sp]] sharded training (parallel/tp_llama.py)
+        from nnop_tpu.parallel.mesh import make_mesh
+        from nnop_tpu.parallel.tp_llama import make_train_step, shard_params
+
+        dims = dict(zip(("data", "model", "seq"),
+                        [int(x) for x in args.mesh.split(",")]))
+        mesh = make_mesh(**dims)
+        params = shard_params(params, mesh, cfg)
+        step, opt = make_train_step(mesh, cfg, optimizer=opt)
+        state = opt.init(params)
+    else:
+        @jax.jit
+        def step(params, state, toks, tgts):
+            loss, grads = jax.value_and_grad(loss_fn)(
+                params, toks, tgts, cfg
+            )
+            params, state = opt.update(grads, state, params)
+            return params, state, loss
 
     n = 0
     t0 = time.time()
@@ -73,11 +88,12 @@ def cmd_generate(args):
     from nnop_tpu.runtime.engine import Engine
     from nnop_tpu.runtime.tokenizer import BPETokenizer
 
-    cfg = (
-        LlamaConfig.llama3_8b()
-        if args.model == "8b"
-        else LlamaConfig.tiny(dtype=jnp.float32)
-    )
+    cfg = {
+        "8b": LlamaConfig.llama3_8b,
+        "tiny": lambda: LlamaConfig.tiny(dtype=jnp.float32),
+        "tiny_moe": lambda: LlamaConfig.tiny_moe(dtype=jnp.float32),
+        "mixtral": LlamaConfig.mixtral_8x7b,
+    }[args.model]()
     params = init_params(jax.random.key(args.seed), cfg)
     if args.hf_path:
         params = load_hf_llama(args.hf_path, cfg)
@@ -115,7 +131,10 @@ def main():
     sub = ap.add_subparsers(dest="cmd", required=True)
 
     t = sub.add_parser("train")
-    t.add_argument("--model", default="tiny", choices=["tiny", "8b"])
+    t.add_argument("--model", default="tiny",
+                   choices=["tiny", "tiny_moe", "8b", "mixtral"])
+    t.add_argument("--mesh", default="",
+                   help="dp[,tp[,sp]] device mesh, e.g. 2,2,2")
     t.add_argument("--steps", type=int, default=50)
     t.add_argument("--batch", type=int, default=4)
     t.add_argument("--seq", type=int, default=128)
@@ -126,7 +145,8 @@ def main():
     t.set_defaults(fn=cmd_train)
 
     g = sub.add_parser("generate")
-    g.add_argument("--model", default="tiny", choices=["tiny", "8b"])
+    g.add_argument("--model", default="tiny",
+                   choices=["tiny", "tiny_moe", "8b", "mixtral"])
     g.add_argument("--prompt", nargs="+", default=["hello world"])
     g.add_argument("--max-new", type=int, default=32)
     g.add_argument("--batch", type=int, default=4)
