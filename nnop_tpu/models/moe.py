@@ -116,9 +116,7 @@ def moe_mlp(layer, h, cfg, *, act, impl: str | None = None):
     impl (default cfg.moe_impl): "einsum" = GShard one-hot dispatch
     (capacity semantics, sharding-friendly); "grouped" = expert-sorted
     Pallas grouped matmul (exact work, dropless, the serving path)."""
-    from nnop_tpu.ops.quantization import QTensor
-
-    from nnop_tpu.ops.quantization import QTensor4
+    from nnop_tpu.ops.quantization import QTensor, QTensor4
 
     impl = impl or cfg.moe_impl
     if (impl == "grouped" or "w_gateup" in layer

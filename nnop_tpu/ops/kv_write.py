@@ -77,10 +77,10 @@ def write_kv_token(cache: jax.Array, new: jax.Array, positions: jax.Array):
         num_scalar_prefetch=1,
         grid=(B, KH),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
     )
     return pl.pallas_call(
         _write_kernel,

@@ -129,10 +129,10 @@ def streaming_rowop(fn, xs, out_shapes, *, block_rows=1024, const_xs=()):
             pltpu.SemaphoreType.DMA((2, n_out)),
         ]
     )
-    in_specs = [pl.BlockSpec(memory_space=pltpu.ANY) for _ in xs] + [
+    in_specs = [pl.BlockSpec(memory_space=pl.ANY) for _ in xs] + [
         pl.BlockSpec(memory_space=pltpu.VMEM) for _ in const_xs
     ]
-    out_specs = [pl.BlockSpec(memory_space=pltpu.ANY) for _ in out_shapes]
+    out_specs = [pl.BlockSpec(memory_space=pl.ANY) for _ in out_shapes]
 
     outs = pl.pallas_call(
         kernel,

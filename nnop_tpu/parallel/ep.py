@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding
 from jax.sharding import PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from nnop_tpu.models.llama import (
     LlamaConfig,
@@ -154,7 +154,7 @@ def ep_forward(params, tokens, cfg: LlamaConfig, mesh: Mesh):
         mesh=mesh,
         in_specs=(moe_param_specs(cfg), P(("data", "expert"))),
         out_specs=P(("data", "expert")),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(fwd)(params, tokens)
 
@@ -198,7 +198,7 @@ def make_moe_train_step(mesh: Mesh, cfg: LlamaConfig, optimizer=None):
         mesh=mesh,
         in_specs=(specs, P(("data", "expert")), P(("data", "expert"))),
         out_specs=(P(), specs),
-        check_rep=False,
+        check_vma=False,
     )
 
     @jax.jit
@@ -333,7 +333,7 @@ def make_mixtral_train_step(mesh: Mesh, cfg: LlamaConfig, optimizer=None):
         mesh=mesh,
         in_specs=(specs, P("data"), P("data")),
         out_specs=P(),
-        check_rep=False,
+        check_vma=False,
     )
 
     @jax.jit

@@ -35,7 +35,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding
 from jax.sharding import PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from nnop_tpu.models.llama import (
     LlamaConfig,
@@ -208,7 +208,7 @@ def make_pp_loss(mesh: Mesh, cfg: LlamaConfig, n_micro: int = 4):
         mesh=mesh,
         in_specs=(pspecs, P("data"), P("data")),
         out_specs=P(),
-        check_rep=False,
+        check_vma=False,
     )
 
 
@@ -264,7 +264,7 @@ def make_pp_train_step(mesh: Mesh, cfg: LlamaConfig, n_micro: int = 4,
             mesh=mesh,
             in_specs=(pspecs, opt_specs, P("data"), P("data")),
             out_specs=(pspecs, opt_specs, P()),
-            check_rep=False,
+            check_vma=False,
         )
     )
     return sharded, optimizer

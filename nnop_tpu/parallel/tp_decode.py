@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding
 from jax.sharding import PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from nnop_tpu.models.llama import LlamaConfig, _merge_heads, _split_heads
 from nnop_tpu.ops.attention_decode import decode_attention
@@ -218,7 +218,7 @@ def make_tp_decode_chunk(mesh: Mesh, cfg: LlamaConfig, quantized: bool,
         mesh=mesh,
         in_specs=(pspecs, sspecs, P()),
         out_specs=(P(), sspecs),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(sharded, donate_argnums=(1,))
 

@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding
 from jax.sharding import PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from nnop_tpu.models.llama import LlamaConfig, _merge_heads, _split_heads
 from nnop_tpu.ops.flash_attention import flash_attention
@@ -243,7 +243,7 @@ def make_train_step(mesh: Mesh, cfg: LlamaConfig, optimizer: AdamW | None = None
         mesh=mesh,
         in_specs=(pspecs, data_spec, data_spec),
         out_specs=P(),
-        check_rep=False,
+        check_vma=False,
     )
 
     del opt_specs  # optimizer now updates sharded global arrays directly

@@ -8,7 +8,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 from jax.sharding import PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from nnop_tpu.models.llama import LlamaConfig, init_params
 from nnop_tpu.ops.naive import naive_attention
@@ -37,7 +37,7 @@ def test_ring_attention_fwd(causal):
         mesh=mesh,
         in_specs=(P(None, None, "seq", None),) * 3,
         out_specs=P(None, None, "seq", None),
-        check_rep=False,
+        check_vma=False,
     )
     got = jax.jit(ring)(q, k, v)
     want = naive_attention(q, k, v, causal=causal)
@@ -66,7 +66,7 @@ def test_ring_attention_grads(causal):
             mesh=mesh,
             in_specs=(P(None, None, "seq", None),) * 3,
             out_specs=P(),
-            check_rep=False,
+            check_vma=False,
         )(q, k, v)
 
     def naive_loss(q, k, v):
@@ -119,7 +119,7 @@ def test_tp_forward_matches_single_device():
         mesh=mesh,
         in_specs=(param_specs(cfg), P(), P()),
         out_specs=P(),
-        check_rep=False,
+        check_vma=False,
     )
     got = jax.jit(sharded)(params, tokens, targets)
 
@@ -170,7 +170,7 @@ def test_sp_loss_matches_single_device():
         mesh=mesh,
         in_specs=(param_specs(cfg), P(None, "seq"), P(None, "seq")),
         out_specs=P(),
-        check_rep=False,
+        check_vma=False,
     )
     got = jax.jit(sharded)(params, tokens, targets)
     want = loss_fn(params, tokens, targets, cfg)
@@ -193,7 +193,7 @@ def test_ulysses_attention(causal):
         mesh=mesh,
         in_specs=(P(None, None, "seq", None),) * 3,
         out_specs=P(None, None, "seq", None),
-        check_rep=False,
+        check_vma=False,
     )
     got = jax.jit(uly)(q, k, v)
     want = naive_attention(q, k, v, causal=causal)
@@ -220,7 +220,7 @@ def test_ulysses_grads():
             mesh=mesh,
             in_specs=(P(None, None, "seq", None),) * 3,
             out_specs=P(),
-            check_rep=False,
+            check_vma=False,
         )(q, k, v)
 
     def naive_loss(q, k, v):
@@ -263,7 +263,7 @@ def test_zigzag_ring_fwd():
         mesh=mesh,
         in_specs=(P(None, None, "seq", None),) * 3,
         out_specs=P(None, None, "seq", None),
-        check_rep=False,
+        check_vma=False,
     )
     got_zz = jax.jit(ring)(
         _zz_permute(q, n), _zz_permute(k, n), _zz_permute(v, n)
@@ -295,7 +295,7 @@ def test_zigzag_ring_grads():
             mesh=mesh,
             in_specs=(P(None, None, "seq", None),) * 3,
             out_specs=P(),
-            check_rep=False,
+            check_vma=False,
         )(_zz_permute(q, n), _zz_permute(k, n), _zz_permute(v, n))
 
     def ref_loss(q, k, v):
@@ -352,7 +352,7 @@ def test_ring_kpad_and_segments():
             + (P(None, "seq"), P(None, "seq"), P(None, "seq"))
         ),
         out_specs=P(None, None, "seq", None),
-        check_rep=False,
+        check_vma=False,
     )
     got = jax.jit(ring)(q, k, v, kpad, seg, seg)
     want = naive_attention(
@@ -379,7 +379,7 @@ def test_ring_kpad_and_segments():
                 + (P(None, "seq"), P(None, "seq"), P(None, "seq"))
             ),
             out_specs=P(),
-            check_rep=False,
+            check_vma=False,
         )(q, k, v, kpad, seg, seg)
 
     def ref_loss(q, k, v):
@@ -467,7 +467,7 @@ def test_ulysses_kpad_and_segments():
             + (P(None, "seq"),) * 3
         ),
         out_specs=P(None, None, "seq", None),
-        check_rep=False,
+        check_vma=False,
     )
     got = jax.jit(uly)(q, k, v, kpad, seg, seg)
     want = naive_attention(q, k, v, kpad_mask=kpad, segment_ids=(seg, seg))
@@ -700,7 +700,7 @@ def test_ep_grads_match_single_device():
         gg = jax.jit(shard_map(
             local_grad, mesh=mesh,
             in_specs=(specs, P(("data", "expert")), P(("data", "expert"))),
-            out_specs=specs, check_rep=False,
+            out_specs=specs, check_vma=False,
         ))(sp, tokens, targets)
 
     for path in (("layers", 0, "w_router"), ("layers", 0, "w_gate"),
@@ -814,7 +814,7 @@ def test_mixtral_tp_ep_grads_match():
         fwd = shard_map(
             local_loss, mesh=mesh,
             in_specs=(specs, P("data"), P("data")),
-            out_specs=P(), check_rep=False,
+            out_specs=P(), check_vma=False,
         )
         gg = jax.jit(jax.grad(lambda p: fwd(p, tokens, targets)))(sp)
 
@@ -887,7 +887,7 @@ def test_tp_grads_match_single_device():
         fwd = shard_map(
             local_loss, mesh=mesh,
             in_specs=(specs, P("data"), P("data")),
-            out_specs=P(), check_rep=False,
+            out_specs=P(), check_vma=False,
         )
         gg = jax.jit(jax.grad(lambda p: fwd(p, tokens, targets)))(sp)
 
