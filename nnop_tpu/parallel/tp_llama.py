@@ -175,8 +175,13 @@ class AdamW:
     optimizer state shards with exactly the same PartitionSpecs as the
     params — no pytree-prefix gymnastics under shard_map."""
 
-    def __init__(self, lr=1e-4, b1=0.9, b2=0.999, eps=1e-8, wd=0.0):
+    def __init__(self, lr=1e-4, b1=0.9, b2=0.999, eps=1e-8, wd=0.0,
+                 clip_norm=None):
+        """lr: float or a step->lr schedule callable
+        (cosine_warmup_schedule). clip_norm: optional global-norm
+        gradient clipping applied inside update()."""
         self.lr, self.b1, self.b2, self.eps, self.wd = lr, b1, b2, eps, wd
+        self.clip_norm = clip_norm
 
     def init(self, params):
         zeros = jax.tree.map(lambda p: jnp.zeros_like(p, jnp.float32), params)
@@ -187,7 +192,10 @@ class AdamW:
         }
 
     def update(self, grads, state, params):
+        if self.clip_norm is not None:
+            grads, _ = clip_by_global_norm(grads, self.clip_norm)
         count = state["count"] + 1
+        lr = (self.lr(count) if callable(self.lr) else self.lr)
         b1c = 1.0 - self.b1 ** count.astype(jnp.float32)
         b2c = 1.0 - self.b2 ** count.astype(jnp.float32)
 
@@ -196,7 +204,7 @@ class AdamW:
             mu = self.b1 * mu + (1 - self.b1) * g
             nu = self.b2 * nu + (1 - self.b2) * g * g
             step = (mu / b1c) / (jnp.sqrt(nu / b2c) + self.eps)
-            new_p = p.astype(jnp.float32) - self.lr * (
+            new_p = p.astype(jnp.float32) - lr * (
                 step + self.wd * p.astype(jnp.float32)
             )
             return new_p.astype(p.dtype), mu, nu
@@ -216,7 +224,6 @@ def make_train_step(mesh: Mesh, cfg: LlamaConfig, optimizer: AdamW | None = None
     attention by default; zigzag=False keeps the contiguous ring)."""
     optimizer = optimizer or AdamW(1e-3)
     pspecs = param_specs(cfg)
-    opt_specs = {"mu": pspecs, "nu": pspecs, "count": P()}
     use_seq = "seq" in mesh.shape and mesh.shape["seq"] > 1
     seq_axis = "seq" if use_seq else None
     zigzag = zigzag and use_seq
@@ -246,8 +253,6 @@ def make_train_step(mesh: Mesh, cfg: LlamaConfig, optimizer: AdamW | None = None
         check_vma=False,
     )
 
-    del opt_specs  # optimizer now updates sharded global arrays directly
-
     @jax.jit
     def step(params, opt_state, tokens, targets):
         if zigzag:
@@ -269,3 +274,39 @@ def make_train_step(mesh: Mesh, cfg: LlamaConfig, optimizer: AdamW | None = None
         return params, opt_state, loss
 
     return step, optimizer
+
+
+def clip_by_global_norm(grads, max_norm: float):
+    """Scale grads so their global L2 norm is at most max_norm.
+
+    Meaningful only with EXACT grads (see make_train_step: grads are
+    taken outside the shard_map, so the norm is the true global norm —
+    under the old per-shard tp-x inflation this would have clipped at
+    the wrong threshold). Returns (clipped_grads, global_norm).
+    """
+    sq = jax.tree.reduce(
+        lambda a, g: a + jnp.sum(jnp.square(g.astype(jnp.float32))),
+        grads,
+        jnp.float32(0.0),
+    )
+    norm = jnp.sqrt(sq)
+    scale = jnp.minimum(1.0, max_norm / jnp.maximum(norm, 1e-12))
+    return jax.tree.map(lambda g: (g * scale).astype(g.dtype), grads), norm
+
+
+def cosine_warmup_schedule(base_lr: float, warmup_steps: int,
+                           total_steps: int, min_lr: float = 0.0):
+    """step -> lr: linear warmup then cosine decay (the standard LM
+    pretraining schedule)."""
+
+    def lr(step):
+        step = jnp.asarray(step, jnp.float32)
+        warm = base_lr * step / jnp.maximum(1.0, float(warmup_steps))
+        t = (step - warmup_steps) / jnp.maximum(
+            1.0, float(total_steps - warmup_steps)
+        )
+        t = jnp.clip(t, 0.0, 1.0)
+        cos = min_lr + 0.5 * (base_lr - min_lr) * (1 + jnp.cos(jnp.pi * t))
+        return jnp.where(step < warmup_steps, warm, cos)
+
+    return lr

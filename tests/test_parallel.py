@@ -970,3 +970,30 @@ def test_tp_decode_moe_matches_single_device():
     tp_chunk = make_tp_decode_chunk(mesh, cfg, False, chunk)
     toks_tp, _ = tp_chunk(sp, sst, key)
     np.testing.assert_array_equal(np.asarray(toks_tp), np.asarray(toks_ref))
+
+
+def test_clip_and_schedule():
+    from nnop_tpu.parallel.tp_llama import (
+        AdamW, clip_by_global_norm, cosine_warmup_schedule,
+    )
+
+    g = {"a": jnp.full((4,), 3.0), "b": jnp.full((4,), 4.0)}
+    clipped, norm = clip_by_global_norm(g, 5.0)
+    assert abs(float(norm) - 10.0) < 1e-5
+    cn = jnp.sqrt(sum(jnp.sum(x**2) for x in jax.tree.leaves(clipped)))
+    assert abs(float(cn) - 5.0) < 1e-4
+
+    lr = cosine_warmup_schedule(1.0, warmup_steps=10, total_steps=110,
+                                min_lr=0.1)
+    assert abs(float(lr(5)) - 0.5) < 1e-6       # mid-warmup
+    assert abs(float(lr(10)) - 1.0) < 1e-6      # peak
+    assert abs(float(lr(110)) - 0.1) < 1e-6     # floor
+    assert float(lr(60)) < 1.0                  # decaying
+
+    # schedule + clipping through a real update
+    opt = AdamW(lr=lr, clip_norm=1.0)
+    p = {"w": jnp.ones((4,))}
+    st = opt.init(p)
+    p2, st = opt.update({"w": jnp.full((4,), 100.0)}, st, p)
+    assert np.isfinite(np.asarray(p2["w"])).all()
+    assert float(jnp.max(jnp.abs(p2["w"] - p["w"]))) < 0.2
