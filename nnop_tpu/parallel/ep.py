@@ -14,6 +14,12 @@ layout, TPU-native collectives:
   expert outputs back. Both ride ICI inside a shard_map.
 * Gradients: expert-sharded leaves are averaged over "data" only;
   replicated leaves over both axes (see make_moe_train_step).
+
+Also here: the PRODUCTION Mixtral layout (make_mixtral_train_step) —
+TP attention and expert sharding share one "model" axis, activations
+are token-sharded for the MoE block (Megatron-SP style), and gradients
+are taken OUTSIDE the shard_map (see NOTES.md "shard_map gradient
+semantics" for why per-shard grads are wrong under mixed redundancy).
 """
 
 from __future__ import annotations
