@@ -153,3 +153,71 @@ def load_checkpoint(path: str, like):
         return jnp.asarray(data[prefix[:-1]])
 
     return rebuild(like)
+
+
+_HF_ARCH_DEFAULTS = {
+    # per-family knobs not expressible in config.json fields alone
+    "LlamaForCausalLM": {},
+    "MistralForCausalLM": {},
+    "MixtralForCausalLM": {},
+    "Qwen2ForCausalLM": {"qkv_bias": True},
+    "Gemma2ForCausalLM": {"rms_offset": 1.0, "act": "gelu",
+                          "post_norms": True, "window_pattern": 2},
+    "GemmaForCausalLM": {"rms_offset": 1.0, "act": "gelu"},
+}
+
+
+def config_from_hf(path: str, **overrides) -> LlamaConfig:
+    """Build a LlamaConfig from a HF checkpoint directory's config.json.
+
+    Covers the supported families (Llama/3.1, Mistral, Mixtral, Qwen2,
+    Gemma/Gemma-2); anything else raises. `overrides` win over both the
+    file and the family defaults (e.g. dtype=jnp.float32)."""
+    import json
+
+    with open(os.path.join(path, "config.json")) as f:
+        hf = json.load(f)
+    arch = (hf.get("architectures") or ["LlamaForCausalLM"])[0]
+    if arch not in _HF_ARCH_DEFAULTS:
+        raise ValueError(f"unsupported architecture {arch!r}")
+
+    dim = hf["hidden_size"]
+    n_heads = hf["num_attention_heads"]
+    kw = dict(
+        vocab_size=hf["vocab_size"],
+        dim=dim,
+        n_layers=hf["num_hidden_layers"],
+        n_heads=n_heads,
+        n_kv_heads=hf.get("num_key_value_heads", n_heads),
+        head_dim=hf.get("head_dim", dim // n_heads),
+        hidden_dim=hf["intermediate_size"],
+        rope_base=hf.get("rope_theta", 10000.0),
+        rms_eps=hf.get("rms_norm_eps", 1e-5),
+        max_seq_len=hf.get("max_position_embeddings", 8192),
+    )
+    if hf.get("sliding_window"):
+        kw["sliding_window"] = hf["sliding_window"]
+    if hf.get("tie_word_embeddings"):
+        kw["tie_embeddings"] = True
+    rs = hf.get("rope_scaling")
+    if rs and rs.get("rope_type", rs.get("type")) == "llama3":
+        kw["rope_scaling"] = (
+            rs["factor"], rs["low_freq_factor"], rs["high_freq_factor"],
+            rs["original_max_position_embeddings"],
+        )
+    if arch == "MixtralForCausalLM":
+        kw["n_experts"] = hf["num_local_experts"]
+        kw["n_experts_per_token"] = hf["num_experts_per_tok"]
+        kw["router_aux_coef"] = hf.get("router_aux_loss_coef", 0.01)
+    if arch == "Gemma2ForCausalLM":
+        kw["attn_softcap"] = hf.get("attn_logit_softcapping", 50.0)
+        kw["final_softcap"] = hf.get("final_logit_softcapping", 30.0)
+        q = hf.get("query_pre_attn_scalar")
+        if q:
+            kw["attn_scale"] = q**-0.5
+    if arch in ("GemmaForCausalLM", "Gemma2ForCausalLM"):
+        kw["embed_scale"] = float(dim) ** 0.5
+        kw["tie_embeddings"] = True
+    kw.update(_HF_ARCH_DEFAULTS[arch])
+    kw.update(overrides)
+    return LlamaConfig(**kw)

@@ -102,3 +102,54 @@ def test_npz_checkpoint_roundtrip(tmp_path):
     loaded = load_checkpoint(path, params)
     for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(loaded)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.parametrize("arch,extra,expect", [
+    ("LlamaForCausalLM", {}, {}),
+    ("MixtralForCausalLM",
+     {"num_local_experts": 8, "num_experts_per_tok": 2},
+     {"n_experts": 8, "n_experts_per_token": 2}),
+    ("Qwen2ForCausalLM", {}, {"qkv_bias": True}),
+    ("Gemma2ForCausalLM",
+     {"attn_logit_softcapping": 50.0, "final_logit_softcapping": 30.0,
+      "query_pre_attn_scalar": 256, "sliding_window": 4096},
+     {"post_norms": True, "attn_softcap": 50.0, "sliding_window": 4096,
+      "tie_embeddings": True}),
+])
+def test_config_from_hf(tmp_path, arch, extra, expect):
+    import json
+
+    from nnop_tpu.models.weights import config_from_hf
+
+    hf = dict(
+        architectures=[arch], vocab_size=1024, hidden_size=256,
+        num_hidden_layers=3, num_attention_heads=8,
+        num_key_value_heads=4, intermediate_size=512,
+        rope_theta=500000.0, rms_norm_eps=1e-6,
+        max_position_embeddings=4096,
+    )
+    hf.update(extra)
+    (tmp_path / "config.json").write_text(json.dumps(hf))
+    cfg = config_from_hf(str(tmp_path))
+    assert cfg.dim == 256 and cfg.n_layers == 3
+    assert cfg.rope_base == 500000.0 and cfg.head_dim == 32
+    for k, v in expect.items():
+        assert getattr(cfg, k) == v, (k, getattr(cfg, k), v)
+
+
+def test_config_from_hf_llama31_rope_scaling(tmp_path):
+    import json
+
+    from nnop_tpu.models.weights import config_from_hf
+
+    hf = dict(
+        architectures=["LlamaForCausalLM"], vocab_size=1024,
+        hidden_size=256, num_hidden_layers=2, num_attention_heads=8,
+        num_key_value_heads=4, intermediate_size=512,
+        rope_scaling=dict(rope_type="llama3", factor=8.0,
+                          low_freq_factor=1.0, high_freq_factor=4.0,
+                          original_max_position_embeddings=8192),
+    )
+    (tmp_path / "config.json").write_text(json.dumps(hf))
+    cfg = config_from_hf(str(tmp_path))
+    assert cfg.rope_scaling == (8.0, 1.0, 4.0, 8192)
