@@ -812,6 +812,20 @@ def flash_attention(
         softcap = float(softcap)
     if scale is None:
         scale = 1.0 / (q.shape[-1] ** 0.5)
+    E = q.shape[-1]
+    if E & (E - 1):  # non-pow2 head dim: zero-pad lanes (SURVEY.md §7
+        # "keep the pow2-E constraint, relax later via padding" — the
+        # reference ERRORS here, attention.jl:143). Zero lanes add 0 to
+        # every dot product and slice off the output; grads flow through
+        # pad/slice outside the custom_vjp. `scale` above uses true E.
+        Ep = 1 << (E - 1).bit_length()
+        padw = [(0, 0)] * 3 + [(0, Ep - E)]
+        q, k, v = (jnp.pad(x, padw) for x in (q, k, v))
+        out = _flash_attention(
+            q, k, v, pair, kpad_mask, segment_ids, causal, float(scale),
+            precision, window, softcap,
+        )
+        return out[..., :E]
     return _flash_attention(
         q, k, v, pair, kpad_mask, segment_ids, causal, float(scale), precision,
         window, softcap,

@@ -132,3 +132,26 @@ def test_attention_segment_ids(causal):
     got = flash_attention(q, k, v, causal=causal, segment_ids=(seg, seg))
     want = naive_attention(q, k, v, causal=causal, segment_ids=(seg, seg))
     np.testing.assert_allclose(got, want, atol=ATOL, rtol=RTOL)
+
+
+@pytest.mark.parametrize("E", [48, 80])
+def test_attention_nonpow2_head_dim(E):
+    """Non-pow2 head dims run via lane padding (the reference errors on
+    these, attention.jl:143); fwd + grads match naive."""
+    B, H, L = 2, 2, 128
+    ks = jax.random.split(jax.random.key(11), 3)
+    q = jax.random.normal(ks[0], (B, H, L, E), jnp.float32)
+    k = jax.random.normal(ks[1], (B, H, L, E), jnp.float32)
+    v = jax.random.normal(ks[2], (B, H, L, E), jnp.float32)
+    with jax.default_matmul_precision("highest"):
+        got = flash_attention(q, k, v, causal=True)
+        want = naive_attention(q, k, v, causal=True)
+        np.testing.assert_allclose(got, want, atol=ATOL, rtol=RTOL)
+
+        def loss(fn):
+            return lambda *a: jnp.sum(jnp.cos(fn(*a, causal=True)))
+
+        gf = jax.grad(loss(flash_attention), argnums=(0, 1, 2))(q, k, v)
+        gn = jax.grad(loss(naive_attention), argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gf, gn):
+        np.testing.assert_allclose(a, b, atol=1e-4, rtol=1e-3)
