@@ -327,10 +327,56 @@ def bench_qmm(results):
         f"int4 {t4*1e3:.3f} ms ({gb4/t4:.0f} GB/s) = {t8/t4:.2f}x")
 
 
+def bench_moe(results):
+    """Grouped (Pallas, int8 experts) MoE layer at Mixtral-8x7B geometry,
+    serving (T=64) and prefill (T=2048) token counts. The int8 grouped
+    kernel is the only quantized-expert consumer — its weight stream
+    halves the bf16 einsum path's (NOTES.md "Grouped matmul vs dispatch
+    einsum")."""
+    from nnop_tpu.models.llama import LlamaConfig
+    from nnop_tpu.models.moe import init_moe_layer, moe_mlp
+    from nnop_tpu.ops.quantization import quantize
+
+    d, hd, E, k = 4096, 14336, 8, 2
+    cfg = LlamaConfig.tiny(dim=d, hidden_dim=hd, n_experts=E,
+                           n_experts_per_token=k, dtype=jnp.bfloat16)
+
+    def dense(key, shape):
+        return jax.random.normal(key, shape, jnp.bfloat16) * 0.02
+
+    layer = init_moe_layer(jax.random.key(0), cfg, dense)
+    qlayer = {
+        "w_router": layer["w_router"],
+        **{kk: quantize(layer[kk].astype(jnp.float32), axis=1)
+           for kk in ("w_gate", "w_up", "w_down")},
+    }
+    wbytes = sum(
+        v.values.size for v in qlayer.values() if hasattr(v, "values")
+    )
+    for T in (64, 2048):
+        h = jax.random.normal(jax.random.key(1), (T, d), jnp.bfloat16)
+
+        def body(i, hh):
+            out, _ = moe_mlp(qlayer, hh, cfg, act=jax.nn.silu,
+                             impl="grouped")
+            return hh + 1e-6 * out
+
+        t = marginal_time(body, h, n1=8, n2=8 + max(16, int(0.5 / 0.006)))
+        fl = 2 * T * k * 3 * d * hd
+        results[f"moe_grouped_int8_T{T}"] = dict(
+            time_s=t, tflops=fl / t / 1e12, wstream_gbps=wbytes / t / 1e9
+        )
+        log(f"moe grouped int8 T={T}: {t*1e3:.3f} ms "
+            f"({fl/t/1e12:.1f} TF/s exact-work, "
+            f"{wbytes/t/1e9:.0f} GB/s weight stream)")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--json-all", action="store_true")
+    ap.add_argument("--moe", action="store_true",
+                    help="also run the MoE grouped-kernel rows")
     args = ap.parse_args()
 
     log(f"backend: {jax.default_backend()}, devices: {jax.devices()}")
@@ -342,6 +388,8 @@ def main():
         bench_rope(results)
         bench_decode(results)
         bench_qmm(results)
+    if args.moe:
+        bench_moe(results)
 
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "BENCH_LOCAL.json"), "w") as f:
