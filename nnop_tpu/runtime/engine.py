@@ -425,7 +425,8 @@ def fuse_decode_weights(params):
 def make_decode_chunk(cfg: LlamaConfig, quantized: bool, chunk: int,
                       temperature: float = 0.0, top_k: int = 0,
                       top_p: float = 1.0,
-                      paged: bool = False, page_size: int = 0):
+                      paged: bool = False, page_size: int = 0,
+                      logprobs: bool = False):
     """The engine fast path: W(=chunk) decode steps in ONE dispatch.
 
     Per step, each layer's new K/V token is appended to the bf16 staging
@@ -450,7 +451,7 @@ def make_decode_chunk(cfg: LlamaConfig, quantized: bool, chunk: int,
         rope = RotaryEmbedding(cfg.head_dim, cfg.rope_base, scaling=cfg.rope_scaling)
 
         def step(i, carry):
-            k_stage, v_stage, last, key, toks = carry
+            k_stage, v_stage, last, key, toks, lps = carry
             key, sub = jax.random.split(key)
             positions = (state.lengths + i)[:, None]
             x = _embed_tokens(params, cfg, last[:, None])
@@ -494,12 +495,18 @@ def make_decode_chunk(cfg: LlamaConfig, quantized: bool, chunk: int,
             logits = _lm_logits(params, cfg, x)[:, 0]
             nxt = sample_tokens(logits, sub, temperature, top_k, top_p)
             toks = jax.lax.dynamic_update_slice(toks, nxt[None], (i, 0))
-            return (k_stage, v_stage, nxt, key, toks)
+            if logprobs:
+                logp = jax.nn.log_softmax(logits, axis=-1)
+                lp = jnp.take_along_axis(logp, nxt[:, None], axis=-1)[:, 0]
+                lps = jax.lax.dynamic_update_slice(lps, lp[None], (i, 0))
+            return (k_stage, v_stage, nxt, key, toks, lps)
 
         toks0 = jnp.zeros((chunk, B), jnp.int32)
-        k_stage, v_stage, last, _, toks = jax.lax.fori_loop(
+        lps0 = jnp.zeros((chunk, B), jnp.float32)
+        k_stage, v_stage, last, _, toks, lps = jax.lax.fori_loop(
             0, chunk, step,
-            (state.k_stage, state.v_stage, state.last_token, key, toks0),
+            (state.k_stage, state.v_stage, state.last_token, key, toks0,
+             lps0),
         )
 
         if paged:
@@ -521,6 +528,8 @@ def make_decode_chunk(cfg: LlamaConfig, quantized: bool, chunk: int,
             k_stage=k_stage, v_stage=v_stage,
             page_table=state.page_table,
         )
+        if logprobs:
+            return toks, lps, new_state
         return toks, new_state
 
     return chunk_fn
@@ -818,6 +827,7 @@ class Request:
     prompt: list[int]
     max_new_tokens: int
     out: list[int] = dataclasses.field(default_factory=list)
+    logprobs: list[float] = dataclasses.field(default_factory=list)
     done: bool = False
 
 
@@ -836,6 +846,7 @@ class Engine:
                  tokenizer=None, temperature: float = 0.0, top_k: int = 0,
                  top_p: float = 1.0,
                  seed: int = 0, chunk_size: int = 8, fuse_weights=True,
+                 logprobs: bool = False,
                  paged: bool = False, page_size: int = 512,
                  n_pages: Optional[int] = None, prefill_chunk: int = 512,
                  pipeline_depth: int = 2, spec_k: int = 0):
@@ -848,6 +859,7 @@ class Engine:
         self.temperature = temperature
         self.top_k = top_k
         self.top_p = top_p
+        self.logprobs = logprobs
         if not 1 <= chunk_size <= STAGE_W:
             raise ValueError(f"chunk_size must be in [1, {STAGE_W}]")
         self.chunk_size = chunk_size
@@ -917,7 +929,8 @@ class Engine:
         else:
             self._chunk = jax.jit(
                 make_decode_chunk(cfg, quantized_kv, chunk_size, temperature,
-                                  top_k, top_p, paged=paged,
+                                  top_k, top_p, logprobs=logprobs,
+                                  paged=paged,
                                   page_size=page_size if paged else 0),
                 donate_argnums=(1,),
             )
@@ -1069,6 +1082,9 @@ class Engine:
             )
             self.state.last_token = self.state.last_token.at[slot].set(first)
             req.out.append(first)
+            if self.logprobs:
+                lp0 = jax.nn.log_softmax(logits[0])[first]
+                req.logprobs.append(float(lp0))
             if (self.eos_id is not None and first == self.eos_id) or (
                 req.max_new_tokens <= 1
             ):
@@ -1083,6 +1099,7 @@ class Engine:
         self._admit()
         live = {s: r for s, r in enumerate(self.slots) if r is not None}
         dispatched = False
+        lps = None
         if live:
             if self.paged:
                 lens = jax.device_get(self.state.lengths)
@@ -1097,25 +1114,35 @@ class Engine:
                     self.params, self.state, self._history, step_key
                 )
             else:
-                toks, self.state = self._chunk(
-                    self.params, self.state, step_key
-                )
+                if self.logprobs:
+                    toks, lps, self.state = self._chunk(
+                        self.params, self.state, step_key
+                    )
+                else:
+                    toks, self.state = self._chunk(
+                        self.params, self.state, step_key
+                    )
+                    lps = None
                 counts = None
             # snapshot slot->request at dispatch time: collection must
             # not attribute this chunk's tokens to a request admitted
             # into a recycled slot later
-            self._inflight.append((toks, counts, live))
+            self._inflight.append(
+                (toks, counts, live, lps if not self.spec_k and
+                 self.logprobs else None)
+            )
             dispatched = True
         keep = self.pipeline_depth - 1 if dispatched else 0
         while len(self._inflight) > keep:
             self._collect(*self._inflight.pop(0))
         return dispatched or bool(self._inflight)
 
-    def _collect(self, toks_dev, counts_dev, live):
+    def _collect(self, toks_dev, counts_dev, live, lps_dev=None):
         toks = jax.device_get(toks_dev)  # (chunk, B) or (steps, B, T)
         counts = (
             jax.device_get(counts_dev) if counts_dev is not None else None
         )
+        lps = jax.device_get(lps_dev) if lps_dev is not None else None
         for slot, req in live.items():
             if req.done:
                 # finished in an earlier chunk while this one was already
@@ -1123,14 +1150,21 @@ class Engine:
                 continue
             if counts is None:
                 slot_toks = [int(toks[t, slot]) for t in range(toks.shape[0])]
+                slot_lps = (
+                    [float(lps[t, slot]) for t in range(toks.shape[0])]
+                    if lps is not None else [None] * len(slot_toks)
+                )
             else:
                 slot_toks = [
                     int(toks[t, slot, j])
                     for t in range(toks.shape[0])
                     for j in range(int(counts[t, slot]))
                 ]
-            for tok in slot_toks:
+                slot_lps = [None] * len(slot_toks)
+            for tok, lp in zip(slot_toks, slot_lps):
                 req.out.append(tok)
+                if lp is not None:
+                    req.logprobs.append(lp)
                 full = len(req.prompt) + len(req.out) >= self.max_seq
                 if (
                     len(req.out) >= req.max_new_tokens

@@ -306,3 +306,22 @@ def test_sample_tokens_top_p():
     ])
     u = set(np.unique(np.asarray(outs)).tolist())
     assert u <= {7, 9} and len(u) == 2, u
+
+
+def test_engine_logprobs(params):
+    """Engine(logprobs=True): per-token logprobs match the oracle
+    log-softmax of the greedy chain, one per generated token."""
+    prompt = [5, 17, 42, 7, 99, 3]
+    eng = Engine(params, CFG, max_batch=2, max_seq=64, logprobs=True)
+    req = eng.submit(prompt, max_new_tokens=5)
+    eng.run()
+    assert req.done and len(req.logprobs) == len(req.out) == 5
+
+    toks = list(prompt)
+    for tok, lp in zip(req.out, req.logprobs):
+        logits = forward(params, jnp.asarray([toks], jnp.int32), CFG)
+        want = float(jax.nn.log_softmax(logits[0, -1])[tok])
+        # decode path stages K/V in bf16 -> logit-level noise vs the
+        # f32 full-forward oracle; rankings match (same greedy tokens)
+        assert abs(lp - want) < 2e-2, (lp, want)
+        toks.append(tok)
