@@ -887,6 +887,11 @@ class Engine:
                     "spec decoding is exact only for greedy decoding; "
                     "temperature sampling would need rejection sampling"
                 )
+            if logprobs:
+                raise ValueError(
+                    "logprobs not supported with spec decoding (the "
+                    "verify step keeps only accepted-token ids)"
+                )
         if paged:
             # paged mode: KV lives in a shared page pool; a slot only
             # holds pages for its live length (+ flush slack), so total
