@@ -849,7 +849,8 @@ class Engine:
                  logprobs: bool = False,
                  paged: bool = False, page_size: int = 512,
                  n_pages: Optional[int] = None, prefill_chunk: int = 512,
-                 pipeline_depth: int = 2, spec_k: int = 0):
+                 pipeline_depth: int = 2, spec_k: int = 0,
+                 prefix_cache: bool = False):
         self.cfg = cfg
         self.tokenizer = tokenizer
         self.max_batch = max_batch
@@ -874,6 +875,14 @@ class Engine:
         # unpipelined.
         self.pipeline_depth = 1 if paged else max(1, pipeline_depth)
         self._inflight: list[tuple] = []
+        # paged-only prompt prefix cache: page-aligned token prefix ->
+        # page ids (kept alive by a refcount; see _admit_prefix_cached)
+        self.prefix_cache = prefix_cache
+        if prefix_cache and not paged:
+            raise ValueError("prefix_cache requires paged=True")
+        self._prefix_cache: dict[tuple, list[int]] = {}
+        self._page_refs: dict[int, int] = {}
+        self.prefix_hits = 0  # matched tokens served from cache (stats)
         # speculative decoding (greedy only): each chunk step verifies
         # spec_k prompt-lookup drafts in one forward and emits 1..k+1
         # tokens per sequence — exact greedy token streams, fewer weight
@@ -951,18 +960,35 @@ class Engine:
         pages = self._slot_pages[slot]
         while len(pages) < need:
             if not self._free_pages:
+                self._evict_prefixes(1)
+            if not self._free_pages:
                 raise RuntimeError(
                     "page pool exhausted — raise n_pages or lower load"
                 )
-            pages.append(self._free_pages.pop())
+            pid = self._free_pages.pop()
+            self._page_refs[pid] = self._page_refs.get(pid, 0) + 1
+            pages.append(pid)
         row = jnp.zeros((self.max_pages,), jnp.int32).at[: len(pages)].set(
             jnp.asarray(pages, jnp.int32)
         )
         self.state.page_table = self.state.page_table.at[slot].set(row)
 
     def _release_pages(self, slot: int):
-        self._free_pages.extend(self._slot_pages[slot])
+        for pid in self._slot_pages[slot]:
+            self._page_refs[pid] = self._page_refs.get(pid, 1) - 1
+            if self._page_refs[pid] <= 0:
+                self._free_pages.append(pid)
         self._slot_pages[slot] = []
+
+    def _evict_prefixes(self, n_needed: int):
+        """Drop oldest cached prefixes until n_needed pages are free."""
+        for key in list(self._prefix_cache):
+            if len(self._free_pages) >= n_needed:
+                break
+            for pid in self._prefix_cache.pop(key):
+                self._page_refs[pid] = self._page_refs.get(pid, 1) - 1
+                if self._page_refs[pid] <= 0:
+                    self._free_pages.append(pid)
 
     def submit(self, prompt: list[int], max_new_tokens: int = 32) -> Request:
         if len(prompt) + max_new_tokens > self.max_seq:
@@ -985,8 +1011,64 @@ class Engine:
             raise ValueError("Engine was built without a tokenizer")
         return self.tokenizer.decode(req.out)
 
-    def _admit_paged(self, slot: int, L: int, ks_l, vs_l):
-        """Write a prefilled prompt's K/V into this slot's pages."""
+
+    # ---- prompt prefix cache (paged mode) ---------------------------------
+
+    def _match_prefix(self, prompt: list[int]):
+        """Longest cached page-aligned prefix of `prompt`, leaving >= 32
+        tokens to prefill (the staged flush writes 32-aligned windows
+        around the live length — a shorter remainder would let the first
+        flush RMW into the last SHARED page and corrupt it for other
+        holders). Takes a ref on the matched pages."""
+        pg = self.page_size
+        n_max = ((len(prompt) - 32) // pg) * pg
+        for n in range(n_max, 0, -pg):
+            key = tuple(prompt[:n])
+            pages = self._prefix_cache.get(key)
+            if pages is not None:
+                for pid in pages:
+                    self._page_refs[pid] = self._page_refs.get(pid, 0) + 1
+                self.prefix_hits += n
+                return n, list(pages)
+        return 0, []
+
+    def _insert_prefix(self, prompt: list[int], slot: int):
+        """Publish this slot's pages covering a page-aligned, flush-safe
+        prefix of `prompt` into the cache (idempotent per key)."""
+        pg = self.page_size
+        n_ins = ((len(prompt) - 32) // pg) * pg
+        if n_ins <= 0:
+            return
+        key = tuple(prompt[:n_ins])
+        if key in self._prefix_cache:
+            return
+        pages = self._slot_pages[slot][: n_ins // pg]
+        for pid in pages:
+            self._page_refs[pid] = self._page_refs.get(pid, 0) + 1
+        self._prefix_cache[key] = list(pages)
+
+    def _gather_prefix_kv(self, pages: list[int], n: int):
+        """Read `n` tokens of K/V back out of pool pages as bf16
+        (nl, 1, KH, n, E) buffers for the remainder prefill."""
+        ids = jnp.asarray(pages, jnp.int32)
+
+        def gather(pool, scale):
+            x = jnp.take(pool, ids, axis=1)  # (nl, npg, KH, pg, E)
+            if scale is not None:
+                sc = jnp.take(scale, ids, axis=1)  # (nl, npg, KH, pg)
+                x = x.astype(jnp.float32) * sc[..., None]
+            nl, npg, kh, pg, e = x.shape
+            x = x.transpose(0, 2, 1, 3, 4).reshape(nl, kh, npg * pg, e)
+            return x[:, None, :, :n].astype(jnp.bfloat16)
+
+        ksc = self.state.k_scale if self.quantized else None
+        vsc = self.state.v_scale if self.quantized else None
+        return gather(self.state.k, ksc), gather(self.state.v, vsc)
+
+    def _admit_paged(self, slot: int, L: int, ks_l, vs_l, start: int = 0):
+        """Write a prefilled prompt's K/V into this slot's pages (rows
+        [start, L); rows below `start` live in SHARED prefix pages that
+        must not be rewritten)."""
         self._ensure_pages(slot, L + STAGE_W + 128)
         pg = self.page_size
         if self.quantized:
@@ -997,6 +1079,8 @@ class Engine:
             ksc = vsc = None
         for pi, pid in enumerate(self._slot_pages[slot]):
             r0 = pi * pg
+            if r0 < start:
+                continue
             if r0 >= L:
                 break
             r1 = min(L, r0 + pg)
@@ -1022,7 +1106,45 @@ class Engine:
             req = self.queue.pop(0)
             self.slots[slot] = req
             L = len(req.prompt)
-            if L > self.prefill_chunk:
+            n_match = 0
+            if self.prefix_cache:
+                n_match, shared = self._match_prefix(req.prompt)
+            if n_match:
+                # prefix hit: seed the slot with the shared pages, read
+                # their K/V back as the prefill context, and compute only
+                # the REMAINDER through the offset-aware chunked prefill
+                self._slot_pages[slot] = shared
+                pk, pv = self._gather_prefix_kv(shared, n_match)
+                remainder = req.prompt[n_match:]
+                C = self.prefill_chunk
+                rem_chunks = -(-len(remainder) // C)
+                nl, kh, e = (
+                    self.cfg.n_layers, self.cfg.n_kv_heads,
+                    self.cfg.head_dim,
+                )
+                sbuf = n_match + rem_chunks * C
+                ks = jnp.zeros((nl, 1, kh, sbuf, e), jnp.bfloat16)
+                vs = jnp.zeros((nl, 1, kh, sbuf, e), jnp.bfloat16)
+                ks = ks.at[:, :, :, :n_match].set(pk)
+                vs = vs.at[:, :, :, :n_match].set(pv)
+                logits_c = None
+                for ci in range(rem_chunks):
+                    chunk = remainder[ci * C : (ci + 1) * C]
+                    chunk = chunk + [0] * (C - len(chunk))
+                    logits_c, ks, vs = self._prefill_chunk_fn(
+                        self.params,
+                        jnp.asarray([chunk], jnp.int32),
+                        ks, vs,
+                        jnp.int32(n_match + ci * C),
+                    )
+                logits = logits_c[
+                    :, (len(remainder) - 1) - (rem_chunks - 1) * C
+                ]
+                self._admit_paged(
+                    slot, L, ks[:, 0, :, :L], vs[:, 0, :, :L],
+                    start=n_match,
+                )
+            elif L > self.prefill_chunk:
                 # CHUNKED prefill into a live K/V buffer: later chunks
                 # attend everything before them via the offset-aware
                 # causal kernel — bounded per-dispatch latency and one
@@ -1054,9 +1176,12 @@ class Engine:
                 tokens = jnp.asarray([padded], jnp.int32)
                 logits_seq, ks, vs = self._prefill(self.params, tokens)
                 logits = logits_seq[:, L - 1]
-            ks_l = ks[:, 0, :, :L]  # strip batch dim + bucket padding
-            vs_l = vs[:, 0, :, :L]
-            if self.paged:
+            if not n_match:
+                ks_l = ks[:, 0, :, :L]  # strip batch dim + bucket padding
+                vs_l = vs[:, 0, :, :L]
+            if n_match:
+                pass  # K/V already written into pages above
+            elif self.paged:
                 self._admit_paged(slot, L, ks_l, vs_l)
             elif self.quantized:
                 kq, ksc = _quant_token(ks_l)
@@ -1073,6 +1198,8 @@ class Engine:
                     vs_l.astype(self.state.v.dtype)
                 )
             self.state.lengths = self.state.lengths.at[slot].set(L)
+            if self.prefix_cache:
+                self._insert_prefix(req.prompt, slot)
             if self.spec_k:
                 # drafting history: prompt tokens at positions [0, L)
                 self._history = self._history.at[slot, :L].set(

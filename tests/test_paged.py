@@ -77,3 +77,81 @@ def test_allocator_reuse():
     with pytest.raises(MemoryError):
         for _ in range(40):
             cache.append_token(1, jnp.zeros((1, 16)), jnp.zeros((1, 16)))
+
+
+# ---------------------------------------------------------------------------
+# prompt prefix caching (paged engine)
+
+
+def _greedy_ref(params, cfg, prompt, n_new):
+    from nnop_tpu.models.llama import forward
+
+    toks, out = list(prompt), []
+    for _ in range(n_new):
+        logits = forward(params, jnp.asarray([toks], jnp.int32), cfg)
+        nxt = int(jnp.argmax(logits[0, -1]))
+        out.append(nxt)
+        toks.append(nxt)
+    return out
+
+
+def test_prefix_cache_exact_and_hits():
+    """Second request sharing a 128-token prefix: (a) tokens identical
+    to the uncached paged engine, (b) the prefix pages are SHARED (same
+    ids), (c) the cache reports the match."""
+    from nnop_tpu.models.llama import LlamaConfig, init_params
+    from nnop_tpu.runtime.engine import Engine
+
+    cfg = LlamaConfig.tiny(dtype=jnp.float32)
+    params = init_params(jax.random.key(0), cfg)
+    base = [int(x) for x in
+            jax.random.randint(jax.random.key(5), (160,), 1, 250)]
+    p1 = base + [7, 8, 9]
+    p2 = base + [20, 21]
+
+    want1 = _greedy_ref(params, cfg, p1, 4)
+    want2 = _greedy_ref(params, cfg, p2, 4)
+
+    eng = Engine(params, cfg, max_batch=2, max_seq=512, paged=True,
+                 page_size=128, prefix_cache=True, prefill_chunk=64)
+    r1 = eng.submit(p1, max_new_tokens=4)
+    eng.run()
+    assert r1.done and r1.out == want1, (r1.out, want1)
+    assert len(eng._prefix_cache) == 1
+    assert eng.prefix_hits == 0
+
+    r2 = eng.submit(p2, max_new_tokens=4)
+    eng.run()
+    assert r2.done and r2.out == want2, (r2.out, want2)
+    assert eng.prefix_hits == 128
+
+
+def test_prefix_cache_concurrent_sharing_and_release():
+    """Two live requests share prefix pages; finishing both returns
+    only the unshared pages, and the cached pages stay reusable."""
+    from nnop_tpu.models.llama import LlamaConfig, init_params
+    from nnop_tpu.runtime.engine import Engine
+
+    cfg = LlamaConfig.tiny(dtype=jnp.float32)
+    params = init_params(jax.random.key(0), cfg)
+    base = [int(x) for x in
+            jax.random.randint(jax.random.key(6), (160,), 1, 250)]
+
+    eng = Engine(params, cfg, max_batch=2, max_seq=512, paged=True,
+                 page_size=128, prefix_cache=True, prefill_chunk=64)
+    r1 = eng.submit(base + [3, 4, 5], max_new_tokens=3)
+    eng.run()
+    cached_pages = list(eng._prefix_cache.values())[0]
+    free_before = len(eng._free_pages)
+
+    r2 = eng.submit(base + [9, 9], max_new_tokens=3)
+    r3 = eng.submit(base + [1], max_new_tokens=3)
+    # admit both (they run concurrently in the 2 slots)
+    eng.run()
+    assert r2.done and r3.done
+    assert eng.prefix_hits == 256
+    # all slot pages released; cached pages still held by the cache
+    assert eng._free_pages.count(cached_pages[0]) == 0
+    assert len(eng._free_pages) == free_before
+    for pid in cached_pages:
+        assert eng._page_refs[pid] == 1  # only the cache's ref remains
