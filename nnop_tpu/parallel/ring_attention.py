@@ -256,16 +256,26 @@ def zigzag_unshard(shards, axis=2):
     return jnp.concatenate(lo + hi[::-1], axis=axis)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def zigzag_ring_flash_attention(q, k, v, axis_name: str,
-                                scale: float | None = None):
+                                scale: float | None = None,
+                                kpad_mask=None, segment_ids=None):
     """Causal ring flash attention with ZIGZAG-sharded inputs.
 
     q/k/v: local (B, H, 2C, E) where rows [0, C) are global chunk `idx`
     and rows [C, 2C) are global chunk 2n-1-idx (see zigzag_shard).
+    kpad_mask: optional local (B, 2C) bool over this shard's keys, same
+    zigzag layout (rotates with the K/V pair). segment_ids: optional
+    (q_seg, kv_seg) local (B, 2C) int pair for packed-docs masking.
     Returns the local output in the same zigzag layout.
     """
-    o, _ = _zz_fwd_impl(q, k, v, axis_name, scale)
+    q_seg = segment_ids[0] if segment_ids is not None else None
+    kv_seg = segment_ids[1] if segment_ids is not None else None
+    return _zz_fa(q, k, v, kpad_mask, q_seg, kv_seg, axis_name, scale)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
+def _zz_fa(q, k, v, kpad, q_seg, kv_seg, axis_name, scale):
+    o, _ = _zz_fwd_impl(q, k, v, kpad, q_seg, kv_seg, axis_name, scale)
     return o
 
 
@@ -275,7 +285,11 @@ def _zz_pairs(idx, origin):
     return jnp.where(origin == idx, 1, jnp.where(origin < idx, 0, 2))
 
 
-def _zz_fwd_impl(q, k, v, axis_name, scale):
+def _zz_split(x, C):
+    return (None, None) if x is None else (x[:, :C], x[:, C:])
+
+
+def _zz_fwd_impl(q, k, v, kpad, q_seg, kv_seg, axis_name, scale):
     if scale is None:
         scale = 1.0 / (q.shape[-1] ** 0.5)
     n = jax.lax.psum(1, axis_name)
@@ -285,53 +299,63 @@ def _zz_fwd_impl(q, k, v, axis_name, scale):
     perm = [(i, (i + 1) % n) for i in range(n)]
 
     q_lo, q_hi = q[:, :, :C], q[:, :, C:]
+    qseg_lo, qseg_hi = _zz_split(q_seg, C)
     o_lo = jnp.zeros((B, H, C, E), jnp.float32)
     o_hi = jnp.zeros((B, H, C, E), jnp.float32)
     lse_lo = jnp.full((B, H, C, 1), NEG, jnp.float32)
     lse_hi = jnp.full((B, H, C, 1), NEG, jnp.float32)
     k_cur, v_cur = k, v
+    kpad_cur, kvseg_cur = kpad, kv_seg
 
-    def fwd(qq, kk, vv, causal_flag):
-        return _fwd_impl(qq, kk, vv, None, None, causal_flag, scale)
+    def fwd(qq, kk, vv, causal_flag, kp, qs, ks):
+        seg = (qs, ks) if ks is not None else None
+        return _fwd_impl(qq, kk, vv, None, kp, causal_flag, scale,
+                         segment_ids=seg)
 
     for t in range(n):
         origin = (idx - t) % n
         k_lo, k_hi = k_cur[:, :, :C], k_cur[:, :, C:]
         v_lo, v_hi = v_cur[:, :, :C], v_cur[:, :, C:]
+        kp_lo, kp_hi = _zz_split(kpad_cur, C)
+        ks_lo, ks_hi = _zz_split(kvseg_cur, C)
 
         # constant work: q_hi vs kv_lo, full, every step
-        o_t, lse_t = fwd(q_hi, k_lo, v_lo, False)
+        o_t, lse_t = fwd(q_hi, k_lo, v_lo, False, kp_lo, qseg_hi, ks_lo)
         o_hi, lse_hi = _merge(o_hi, lse_hi, o_t.astype(jnp.float32), lse_t)
 
         def lo_full(args):
-            q_lo, q_hi, k_lo, k_hi, v_lo, v_hi, o_lo, lse_lo, o_hi, lse_hi = args
-            o_t, lse_t = fwd(q_lo, k_lo, v_lo, False)
+            (k_lo, k_hi, v_lo, v_hi, kp_lo, kp_hi, ks_lo, ks_hi,
+             o_lo, lse_lo, o_hi, lse_hi) = args
+            o_t, lse_t = fwd(q_lo, k_lo, v_lo, False, kp_lo, qseg_lo, ks_lo)
             o_lo, lse_lo = _merge(
                 o_lo, lse_lo, o_t.astype(jnp.float32), lse_t
             )
             return o_lo, lse_lo, o_hi, lse_hi
 
         def diag(args):
-            q_lo, q_hi, k_lo, k_hi, v_lo, v_hi, o_lo, lse_lo, o_hi, lse_hi = args
-            o_t, lse_t = fwd(q_lo, k_lo, v_lo, True)
+            (k_lo, k_hi, v_lo, v_hi, kp_lo, kp_hi, ks_lo, ks_hi,
+             o_lo, lse_lo, o_hi, lse_hi) = args
+            o_t, lse_t = fwd(q_lo, k_lo, v_lo, True, kp_lo, qseg_lo, ks_lo)
             o_lo, lse_lo = _merge(
                 o_lo, lse_lo, o_t.astype(jnp.float32), lse_t
             )
-            o_t, lse_t = fwd(q_hi, k_hi, v_hi, True)
+            o_t, lse_t = fwd(q_hi, k_hi, v_hi, True, kp_hi, qseg_hi, ks_hi)
             o_hi, lse_hi = _merge(
                 o_hi, lse_hi, o_t.astype(jnp.float32), lse_t
             )
             return o_lo, lse_lo, o_hi, lse_hi
 
         def hi_full(args):
-            q_lo, q_hi, k_lo, k_hi, v_lo, v_hi, o_lo, lse_lo, o_hi, lse_hi = args
-            o_t, lse_t = fwd(q_hi, k_hi, v_hi, False)
+            (k_lo, k_hi, v_lo, v_hi, kp_lo, kp_hi, ks_lo, ks_hi,
+             o_lo, lse_lo, o_hi, lse_hi) = args
+            o_t, lse_t = fwd(q_hi, k_hi, v_hi, False, kp_hi, qseg_hi, ks_hi)
             o_hi, lse_hi = _merge(
                 o_hi, lse_hi, o_t.astype(jnp.float32), lse_t
             )
             return o_lo, lse_lo, o_hi, lse_hi
 
-        args = (q_lo, q_hi, k_lo, k_hi, v_lo, v_hi, o_lo, lse_lo, o_hi, lse_hi)
+        args = (k_lo, k_hi, v_lo, v_hi, kp_lo, kp_hi, ks_lo, ks_hi,
+                o_lo, lse_lo, o_hi, lse_hi)
         o_lo, lse_lo, o_hi, lse_hi = jax.lax.switch(
             _zz_pairs(idx, origin), [lo_full, diag, hi_full], args
         )
@@ -339,19 +363,23 @@ def _zz_fwd_impl(q, k, v, axis_name, scale):
         if t != n - 1:
             k_cur = jax.lax.ppermute(k_cur, axis_name, perm)
             v_cur = jax.lax.ppermute(v_cur, axis_name, perm)
+            if kpad_cur is not None:
+                kpad_cur = jax.lax.ppermute(kpad_cur, axis_name, perm)
+            if kvseg_cur is not None:
+                kvseg_cur = jax.lax.ppermute(kvseg_cur, axis_name, perm)
 
     o = jnp.concatenate([o_lo, o_hi], axis=2).astype(q.dtype)
     lse = jnp.concatenate([lse_lo, lse_hi], axis=2)
     return o, lse
 
 
-def _zz_vjp_fwd(q, k, v, axis_name, scale):
-    o, lse = _zz_fwd_impl(q, k, v, axis_name, scale)
-    return o, (q, k, v, o, lse)
+def _zz_vjp_fwd(q, k, v, kpad, q_seg, kv_seg, axis_name, scale):
+    o, lse = _zz_fwd_impl(q, k, v, kpad, q_seg, kv_seg, axis_name, scale)
+    return o, (q, k, v, kpad, q_seg, kv_seg, o, lse)
 
 
 def _zz_vjp_bwd(axis_name, scale, res, do):
-    q, k, v, o, lse = res
+    q, k, v, kpad, q_seg, kv_seg, o, lse = res
     if scale is None:
         scale = 1.0 / (q.shape[-1] ** 0.5)
     n = jax.lax.psum(1, axis_name)
@@ -360,6 +388,7 @@ def _zz_vjp_bwd(axis_name, scale, res, do):
     perm = [(i, (i + 1) % n) for i in range(n)]
 
     q_lo, q_hi = q[:, :, :C], q[:, :, C:]
+    qseg_lo, qseg_hi = _zz_split(q_seg, C)
     o_lo, o_hi = o[:, :, :C], o[:, :, C:]
     lse_lo, lse_hi = lse[:, :, :C], lse[:, :, C:]
     do_lo, do_hi = do[:, :, :C], do[:, :, C:]
@@ -367,12 +396,14 @@ def _zz_vjp_bwd(axis_name, scale, res, do):
     dq_lo = jnp.zeros(q_lo.shape, jnp.float32)
     dq_hi = jnp.zeros(q_hi.shape, jnp.float32)
     k_cur, v_cur = k, v
+    kpad_cur, kvseg_cur = kpad, kv_seg
     dkv_cur = jnp.zeros((2, *k.shape), jnp.float32)  # rotates with k/v
 
-    def bwd(qq, kk, vv, oo, ll, dd, causal_flag):
+    def bwd(qq, kk, vv, oo, ll, dd, causal_flag, kp, qs, ks):
+        seg = (qs, ks) if ks is not None else None
         dq_t, dk_t, dv_t, _ = flash_attention_bwd(
-            qq, kk, vv, None, None, oo, ll, dd,
-            causal=causal_flag, scale=scale,
+            qq, kk, vv, None, kp, oo, ll, dd,
+            causal=causal_flag, scale=scale, segment_ids=seg,
         )
         return (
             dq_t.astype(jnp.float32),
@@ -384,17 +415,22 @@ def _zz_vjp_bwd(axis_name, scale, res, do):
         origin = (idx - t) % n
         k_lo, k_hi = k_cur[:, :, :C], k_cur[:, :, C:]
         v_lo, v_hi = v_cur[:, :, :C], v_cur[:, :, C:]
+        kp_lo, kp_hi = _zz_split(kpad_cur, C)
+        ks_lo, ks_hi = _zz_split(kvseg_cur, C)
 
         # constant: q_hi vs kv_lo full
-        dq_t, dk_t, dv_t = bwd(q_hi, k_lo, v_lo, o_hi, lse_hi, do_hi, False)
+        dq_t, dk_t, dv_t = bwd(q_hi, k_lo, v_lo, o_hi, lse_hi, do_hi,
+                               False, kp_lo, qseg_hi, ks_lo)
         dq_hi = dq_hi + dq_t
         dkv_cur = dkv_cur.at[0, :, :, :C].add(dk_t)
         dkv_cur = dkv_cur.at[1, :, :, :C].add(dv_t)
 
         def lo_full(args):
-            k_lo, k_hi, v_lo, v_hi, dq_lo, dq_hi, dkv_cur = args
+            (k_lo, k_hi, v_lo, v_hi, kp_lo, kp_hi, ks_lo, ks_hi,
+             dq_lo, dq_hi, dkv_cur) = args
             dq_t, dk_t, dv_t = bwd(
-                q_lo, k_lo, v_lo, o_lo, lse_lo, do_lo, False
+                q_lo, k_lo, v_lo, o_lo, lse_lo, do_lo, False,
+                kp_lo, qseg_lo, ks_lo,
             )
             return (
                 dq_lo + dq_t,
@@ -403,15 +439,18 @@ def _zz_vjp_bwd(axis_name, scale, res, do):
             )
 
         def diag(args):
-            k_lo, k_hi, v_lo, v_hi, dq_lo, dq_hi, dkv_cur = args
+            (k_lo, k_hi, v_lo, v_hi, kp_lo, kp_hi, ks_lo, ks_hi,
+             dq_lo, dq_hi, dkv_cur) = args
             dq_t, dk_t, dv_t = bwd(
-                q_lo, k_lo, v_lo, o_lo, lse_lo, do_lo, True
+                q_lo, k_lo, v_lo, o_lo, lse_lo, do_lo, True,
+                kp_lo, qseg_lo, ks_lo,
             )
             dq_lo = dq_lo + dq_t
             dkv_cur = dkv_cur.at[0, :, :, :C].add(dk_t)
             dkv_cur = dkv_cur.at[1, :, :, :C].add(dv_t)
             dq_t, dk_t, dv_t = bwd(
-                q_hi, k_hi, v_hi, o_hi, lse_hi, do_hi, True
+                q_hi, k_hi, v_hi, o_hi, lse_hi, do_hi, True,
+                kp_hi, qseg_hi, ks_hi,
             )
             dq_hi = dq_hi + dq_t
             dkv_cur = dkv_cur.at[0, :, :, C:].add(dk_t)
@@ -419,9 +458,11 @@ def _zz_vjp_bwd(axis_name, scale, res, do):
             return dq_lo, dq_hi, dkv_cur
 
         def hi_full(args):
-            k_lo, k_hi, v_lo, v_hi, dq_lo, dq_hi, dkv_cur = args
+            (k_lo, k_hi, v_lo, v_hi, kp_lo, kp_hi, ks_lo, ks_hi,
+             dq_lo, dq_hi, dkv_cur) = args
             dq_t, dk_t, dv_t = bwd(
-                q_hi, k_hi, v_hi, o_hi, lse_hi, do_hi, False
+                q_hi, k_hi, v_hi, o_hi, lse_hi, do_hi, False,
+                kp_hi, qseg_hi, ks_hi,
             )
             return (
                 dq_lo,
@@ -429,7 +470,8 @@ def _zz_vjp_bwd(axis_name, scale, res, do):
                 dkv_cur.at[0, :, :, C:].add(dk_t).at[1, :, :, C:].add(dv_t),
             )
 
-        args = (k_lo, k_hi, v_lo, v_hi, dq_lo, dq_hi, dkv_cur)
+        args = (k_lo, k_hi, v_lo, v_hi, kp_lo, kp_hi, ks_lo, ks_hi,
+                dq_lo, dq_hi, dkv_cur)
         dq_lo, dq_hi, dkv_cur = jax.lax.switch(
             _zz_pairs(idx, origin), [lo_full, diag, hi_full], args
         )
@@ -437,11 +479,22 @@ def _zz_vjp_bwd(axis_name, scale, res, do):
         if t != n - 1:
             k_cur = jax.lax.ppermute(k_cur, axis_name, perm)
             v_cur = jax.lax.ppermute(v_cur, axis_name, perm)
+            if kpad_cur is not None:
+                kpad_cur = jax.lax.ppermute(kpad_cur, axis_name, perm)
+            if kvseg_cur is not None:
+                kvseg_cur = jax.lax.ppermute(kvseg_cur, axis_name, perm)
             dkv_cur = jax.lax.ppermute(dkv_cur, axis_name, perm)
 
     dkv_home = jax.lax.ppermute(dkv_cur, axis_name, perm)
     dq = jnp.concatenate([dq_lo, dq_hi], axis=2).astype(q.dtype)
-    return dq, dkv_home[0].astype(k.dtype), dkv_home[1].astype(v.dtype)
+    return (
+        dq,
+        dkv_home[0].astype(k.dtype),
+        dkv_home[1].astype(v.dtype),
+        None,
+        None,
+        None,
+    )
 
 
-zigzag_ring_flash_attention.defvjp(_zz_vjp_fwd, _zz_vjp_bwd)
+_zz_fa.defvjp(_zz_vjp_fwd, _zz_vjp_bwd)

@@ -997,3 +997,69 @@ def test_clip_and_schedule():
     p2, st = opt.update({"w": jnp.full((4,), 100.0)}, st, p)
     assert np.isfinite(np.asarray(p2["w"])).all()
     assert float(jnp.max(jnp.abs(p2["w"] - p["w"]))) < 0.2
+
+
+def test_zigzag_kpad_and_segments():
+    """Zigzag causal ring with varlen kpad + packed-doc segments: fwd
+    and grads match single-device flash attention."""
+    from nnop_tpu.ops.flash_attention import flash_attention
+    from nnop_tpu.parallel.ring_attention import (
+        zigzag_ring_flash_attention, zigzag_shard, zigzag_unshard,
+    )
+
+    n = 4
+    mesh = make_mesh(seq=n)
+    B, H, L, E = 2, 2, 256, 32
+    ks = jax.random.split(jax.random.key(13), 6)
+    q = jax.random.normal(ks[0], (B, H, L, E), jnp.float32)
+    k = jax.random.normal(ks[1], (B, H, L, E), jnp.float32)
+    v = jax.random.normal(ks[2], (B, H, L, E), jnp.float32)
+    kpad = jnp.arange(L)[None, :] < jnp.array([[L - 17], [L - 40]])
+    seg = jnp.cumsum(
+        jax.random.bernoulli(ks[3], 0.03, (B, L)), axis=1
+    ).astype(jnp.int32)
+
+    def zz(x, axis=2):
+        return jnp.concatenate(zigzag_shard(x, n, axis=axis), axis=axis)
+
+    def local(q, k, v, kp, sg):
+        o = zigzag_ring_flash_attention(
+            q, k, v, "seq", kpad_mask=kp, segment_ids=(sg, sg)
+        )
+        return o
+
+    fwd = shard_map(
+        local, mesh=mesh,
+        in_specs=(P(None, None, "seq"), P(None, None, "seq"),
+                  P(None, None, "seq"), P(None, "seq"), P(None, "seq")),
+        out_specs=P(None, None, "seq"), check_vma=False,
+    )
+    with jax.default_matmul_precision("highest"):
+        got_zz = jax.jit(fwd)(
+            zz(q), zz(k), zz(v), zz(kpad, axis=1), zz(seg, axis=1)
+        )
+        got = zigzag_unshard(jnp.split(got_zz, n, axis=2))
+        want = flash_attention(
+            q, k, v, causal=True, kpad_mask=kpad, segment_ids=(seg, seg)
+        )
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-5, rtol=2e-4)
+
+        # grads
+        t = jax.random.normal(ks[4], (B, H, L, E), jnp.float32)
+        tz = zz(t)
+
+        def loss_zz(q_, k_, v_):
+            return jnp.sum(fwd(zz(q_), zz(k_), zz(v_), zz(kpad, axis=1),
+                               zz(seg, axis=1)) * tz)
+
+        def loss_ref(q_, k_, v_):
+            return jnp.sum(flash_attention(
+                q_, k_, v_, causal=True, kpad_mask=kpad,
+                segment_ids=(seg, seg)) * t)
+
+        gz = jax.jit(jax.grad(loss_zz, argnums=(0, 1, 2)))(q, k, v)
+        gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gz, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-5, rtol=5e-4)
