@@ -155,3 +155,42 @@ def test_prefix_cache_concurrent_sharing_and_release():
     assert len(eng._free_pages) == free_before
     for pid in cached_pages:
         assert eng._page_refs[pid] == 1  # only the cache's ref remains
+
+
+def test_prefix_cache_stress_mixed_load():
+    """12 requests / 3 slots, mixed prefix sharing and lengths: every
+    request's tokens match its isolated no-cache run (continuous
+    batching + prefix cache interplay, page recycling under load)."""
+    from nnop_tpu.models.llama import LlamaConfig, init_params
+    from nnop_tpu.runtime.engine import Engine
+
+    cfg = LlamaConfig.tiny(dtype=jnp.float32)
+    params = init_params(jax.random.key(0), cfg)
+    base_a = [int(x) for x in
+              jax.random.randint(jax.random.key(7), (160,), 1, 250)]
+    base_b = [int(x) for x in
+              jax.random.randint(jax.random.key(8), (160,), 1, 250)]
+    prompts = []
+    for i in range(12):
+        base = base_a if i % 2 == 0 else base_b
+        prompts.append(base + [(3 * i + 1) % 250 + 1, (7 * i) % 250 + 1])
+
+    def isolated(p):
+        e = Engine(params, cfg, max_batch=1, max_seq=512, paged=True,
+                   page_size=128, prefill_chunk=64)
+        r = e.submit(p, max_new_tokens=4)
+        e.run()
+        return r.out
+
+    want = [isolated(p) for p in prompts[:4]]  # spot-check 4 oracles
+
+    eng = Engine(params, cfg, max_batch=3, max_seq=512, paged=True,
+                 page_size=128, prefix_cache=True, prefill_chunk=64,
+                 n_pages=24)
+    reqs = [eng.submit(p, max_new_tokens=4) for p in prompts]
+    eng.run()
+    assert all(r.done for r in reqs)
+    for r, w in zip(reqs[:4], want):
+        assert r.out == w, (r.rid, r.out, w)
+    # both prefixes cached, many hits
+    assert eng.prefix_hits >= 128 * 8
