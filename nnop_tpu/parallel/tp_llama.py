@@ -65,7 +65,8 @@ def shard_params(params, mesh: Mesh, cfg: LlamaConfig):
 
 
 def _local_forward(params, tokens, cfg: LlamaConfig, axis: str = "model",
-                   seq_axis: str | None = None, zigzag: bool = False):
+                   seq_axis: str | None = None, zigzag: bool = False,
+                   segments=None, positions_in=None):
     """Per-shard forward: local head/feature shards + psum over `axis`.
 
     Runs inside shard_map; `params` leaves are LOCAL shards. When
@@ -91,7 +92,9 @@ def _local_forward(params, tokens, cfg: LlamaConfig, axis: str = "model",
     n_kv = cfg.n_kv_heads // tp
 
     B, L = tokens.shape
-    if seq_axis is not None and zigzag:
+    if positions_in is not None:
+        positions = positions_in
+    elif seq_axis is not None and zigzag:
         n = jax.lax.psum(1, seq_axis)
         idx = jax.lax.axis_index(seq_axis)
         C = L // 2
@@ -116,18 +119,22 @@ def _local_forward(params, tokens, cfg: LlamaConfig, axis: str = "model",
         k = _split_heads(h @ layer["wk"], n_kv, cfg.head_dim)
         v = _split_heads(h @ layer["wv"], n_kv, cfg.head_dim)
         q, k = llama_rope(q, k, cos, sin)
+        seg_pair = (segments, segments) if segments is not None else None
         if seq_axis is not None and zigzag:
             from nnop_tpu.parallel.ring_attention import (
                 zigzag_ring_flash_attention,
             )
 
-            o = zigzag_ring_flash_attention(q, k, v, seq_axis)
+            o = zigzag_ring_flash_attention(q, k, v, seq_axis,
+                                            segment_ids=seg_pair)
         elif seq_axis is not None:
             from nnop_tpu.parallel.ring_attention import ring_flash_attention
 
-            o = ring_flash_attention(q, k, v, seq_axis, True, None)
+            o = ring_flash_attention(q, k, v, seq_axis, True, None,
+                                     segment_ids=seg_pair)
         else:
-            o = flash_attention(q, k, v, causal=True)
+            o = flash_attention(q, k, v, causal=True,
+                                segment_ids=seg_pair)
         att = _merge_heads(o.astype(x.dtype)) @ layer["wo"]
         x = x + jax.lax.psum(att, axis)
 
@@ -217,11 +224,17 @@ class AdamW:
 
 
 def make_train_step(mesh: Mesh, cfg: LlamaConfig, optimizer: AdamW | None = None,
-                    zigzag: bool = True):
-    """Returns (jitted train_step(params, opt_state, tokens, targets),
-    optimizer) with dp over "data", tp over "model", and — when the mesh's
-    "seq" axis is >1 — sp over "seq" (balanced ZIGZAG causal ring
-    attention by default; zigzag=False keeps the contiguous ring)."""
+                    zigzag: bool = True, packed: bool = False):
+    """Returns (jitted train_step, optimizer) with dp over "data", tp
+    over "model", and — when the mesh's "seq" axis is >1 — sp over "seq"
+    (balanced ZIGZAG causal ring attention by default; zigzag=False
+    keeps the contiguous ring).
+
+    packed=False: step(params, opt_state, tokens, targets).
+    packed=True: step(params, opt_state, tokens, targets, segments,
+    positions) — document-aware packing (dataio.pack_tokens_segmented):
+    segment masking rides the ring/zigzag with the K/V chunks and rope
+    uses the per-document positions."""
     optimizer = optimizer or AdamW(1e-3)
     pspecs = param_specs(cfg)
     use_seq = "seq" in mesh.shape and mesh.shape["seq"] > 1
@@ -239,39 +252,52 @@ def make_train_step(mesh: Mesh, cfg: LlamaConfig, optimizer: AdamW | None = None
     # uniform, so Adam's mu/sqrt(nu) masked it; gradient clipping or SGD
     # would not). The shard_map transpose rule yields exact global
     # grads — verified leaf-by-leaf in test_tp_grads_match_single_device.
-    def local_loss(params, tokens, targets):
+    def local_loss(params, tokens, targets, segments=None, positions=None):
         logits = _local_forward(
-            params, tokens, cfg, seq_axis=seq_axis, zigzag=zigzag
+            params, tokens, cfg, seq_axis=seq_axis, zigzag=zigzag,
+            segments=segments, positions_in=positions,
         )
         return jax.lax.pmean(_sharded_xent(logits, targets), rep_axes)
 
+    n_batch_in = 4 if packed else 2
     fwd = shard_map(
         local_loss,
         mesh=mesh,
-        in_specs=(pspecs, data_spec, data_spec),
+        in_specs=(pspecs,) + (data_spec,) * n_batch_in,
         out_specs=P(),
         check_vma=False,
     )
 
-    @jax.jit
-    def step(params, opt_state, tokens, targets):
-        if zigzag:
-            from nnop_tpu.parallel.ring_attention import zigzag_shard
+    def _zz(x):
+        from nnop_tpu.parallel.ring_attention import zigzag_shard
 
-            # permute the global sequence so contiguous shard d receives
-            # the zigzag pair (chunk d, chunk 2n-1-d); the mean loss is
-            # permutation-invariant, params/grads are position-free
-            tokens = jnp.concatenate(
-                zigzag_shard(tokens, n_seq, axis=1), axis=1
-            )
-            targets = jnp.concatenate(
-                zigzag_shard(targets, n_seq, axis=1), axis=1
-            )
-        loss, grads = jax.value_and_grad(
-            lambda p: fwd(p, tokens, targets)
-        )(params)
-        params, opt_state = optimizer.update(grads, opt_state, params)
-        return params, opt_state, loss
+        # permute the global sequence so contiguous shard d receives
+        # the zigzag pair (chunk d, chunk 2n-1-d); the mean loss is
+        # permutation-invariant, params/grads are position-free
+        return jnp.concatenate(zigzag_shard(x, n_seq, axis=1), axis=1)
+
+    if packed:
+        @jax.jit
+        def step(params, opt_state, tokens, targets, segments, positions):
+            if zigzag:
+                tokens, targets, segments, positions = (
+                    _zz(tokens), _zz(targets), _zz(segments), _zz(positions)
+                )
+            loss, grads = jax.value_and_grad(
+                lambda p: fwd(p, tokens, targets, segments, positions)
+            )(params)
+            params, opt_state = optimizer.update(grads, opt_state, params)
+            return params, opt_state, loss
+    else:
+        @jax.jit
+        def step(params, opt_state, tokens, targets):
+            if zigzag:
+                tokens, targets = _zz(tokens), _zz(targets)
+            loss, grads = jax.value_and_grad(
+                lambda p: fwd(p, tokens, targets)
+            )(params)
+            params, opt_state = optimizer.update(grads, opt_state, params)
+            return params, opt_state, loss
 
     return step, optimizer
 

@@ -1063,3 +1063,42 @@ def test_zigzag_kpad_and_segments():
     for a, b in zip(gz, gr):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=5e-5, rtol=5e-4)
+
+
+def test_packed_sp_loss_matches_single_device():
+    """dp x sp x tp PACKED training (segments + per-doc positions
+    through the zigzag ring): the sharded loss equals the single-device
+    packed loss exactly."""
+    from nnop_tpu.models.llama import forward
+    from nnop_tpu.parallel.tp_llama import make_train_step
+    from nnop_tpu.runtime.dataio import pack_tokens_segmented
+
+    cfg = LlamaConfig.tiny(
+        n_heads=4, n_kv_heads=2, dim=128, head_dim=32, dtype=jnp.float32
+    )
+    params = init_params(jax.random.key(0), cfg)
+    docs = [
+        [int(x) for x in jax.random.randint(jax.random.key(i), (n,), 1, 250)]
+        for i, n in enumerate([67, 45, 101, 30, 88, 120, 55, 33], start=20)
+    ]
+    rows, segs, poss = pack_tokens_segmented(docs, seq_len=128)
+    rows, segs, poss = rows[:4], segs[:4], poss[:4]
+    tokens = jnp.asarray(rows[:, :128])
+    targets = jnp.asarray(rows[:, 1:129])
+    seg = jnp.asarray(segs[:, :128])
+    pos = jnp.asarray(poss[:, :128])
+
+    with jax.default_matmul_precision("highest"):
+        logits = forward(params, tokens, cfg, positions=pos,
+                         segment_ids=seg)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        want = float(-jnp.mean(
+            jnp.take_along_axis(logp, targets[..., None], axis=-1)
+        ))
+
+        mesh = make_mesh(data=2, seq=2, model=2)
+        params_sh = shard_params(params, mesh, cfg)
+        step, opt = make_train_step(mesh, cfg, packed=True)
+        state = opt.init(params_sh)
+        _, _, loss = step(params_sh, state, tokens, targets, seg, pos)
+    np.testing.assert_allclose(float(loss), want, atol=2e-5, rtol=2e-5)
