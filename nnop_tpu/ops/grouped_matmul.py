@@ -265,7 +265,7 @@ def _gmm_q_kernel(g_ref, x_ref, w_ref, s_ref, o_ref, acc, *, n_k, block_k,
 
     @pl.when(ik == n_k - 1)
     def _():
-        o_ref[...] = (acc[...] * s_ref[0]).astype(o_ref.dtype)
+        o_ref[...] = (acc[...] * s_ref[0, 0]).astype(o_ref.dtype)
 
 
 def grouped_matmul_quantized(x, wq, block_groups, *, block_m: int = 128,
@@ -306,7 +306,11 @@ def grouped_matmul_quantized(x, wq, block_groups, *, block_m: int = 128,
         in_specs=[
             pl.BlockSpec((block_m, bk), lambda m, n, k, g: (m, k)),
             pl.BlockSpec((1, bk, bn), lambda m, n, k, g: (g[m], k, n)),
-            pl.BlockSpec((1, bn), lambda m, n, k, g: (g[m], n)),
+            # scale is (E, 1, N): the singleton middle axis keeps the
+            # block's second-to-last dim equal to the array dim (Mosaic
+            # tiling forbids a (1, bn) block over an (E, N) array when
+            # E is not the block's sublane count)
+            pl.BlockSpec((1, 1, bn), lambda m, n, k, g: (g[m], 0, n)),
         ],
         out_specs=pl.BlockSpec((block_m, bn), lambda m, n, k, g: (m, n)),
         scratch_shapes=[pltpu.VMEM((block_m, bn), jnp.float32)],
@@ -320,7 +324,7 @@ def grouped_matmul_quantized(x, wq, block_groups, *, block_m: int = 128,
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret_default(),
-    )(block_groups.astype(jnp.int32), x, wq.values, wq.scale)
+    )(block_groups.astype(jnp.int32), x, wq.values, wq.scale[:, None, :])
 
 
 # ---------------------------------------------------------------------------
