@@ -50,7 +50,8 @@ def cmd_train(args):
                         [int(x) for x in args.mesh.split(",")]))
         mesh = make_mesh(**dims)
         params = shard_params(params, mesh, cfg)
-        step, opt = make_train_step(mesh, cfg, optimizer=opt)
+        step, opt = make_train_step(mesh, cfg, optimizer=opt,
+                                    remat=args.remat)
         state = opt.init(params)
     else:
         @jax.jit
@@ -141,6 +142,8 @@ def main():
     t.add_argument("--lr", type=float, default=1e-3)
     t.add_argument("--seed", type=int, default=0)
     t.add_argument("--data", default=None, help="int32 token file")
+    t.add_argument("--remat", action="store_true",
+                   help="per-layer activation checkpointing (mesh mode)")
     t.add_argument("--checkpoint", default=None)
     t.set_defaults(fn=cmd_train)
 

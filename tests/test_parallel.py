@@ -97,6 +97,35 @@ def test_tp_train_step():
     assert float(loss2) < float(loss1), (loss1, loss2)
 
 
+def test_remat_grads_match():
+    """Per-layer activation checkpointing (remat=True) changes memory,
+    not math: one train step from identical init must produce identical
+    loss and parameters (jax.checkpoint recomputes the same primals)."""
+    mesh = make_mesh(data=2, model=4)
+    cfg = LlamaConfig.tiny(
+        n_heads=8, n_kv_heads=4, dim=256, head_dim=32, dtype=jnp.float32
+    )
+    tokens = jax.random.randint(jax.random.key(1), (4, 64), 0, cfg.vocab_size)
+    targets = jnp.roll(tokens, -1, axis=1)
+
+    outs = []
+    for remat in (False, True):
+        params = init_params(jax.random.key(0), cfg)
+        params = shard_params(params, mesh, cfg)
+        step, optimizer = make_train_step(mesh, cfg, remat=remat)
+        opt_state = optimizer.init(params)
+        p1, _, loss = step(params, opt_state, tokens, targets)
+        outs.append((p1, loss))
+
+    (p_plain, l_plain), (p_remat, l_remat) = outs
+    np.testing.assert_allclose(l_plain, l_remat, atol=1e-6, rtol=1e-6)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(a, b, atol=1e-6, rtol=1e-6),
+        p_plain,
+        p_remat,
+    )
+
+
 def test_tp_forward_matches_single_device():
     """TP-sharded forward == single-device forward (same params)."""
     from nnop_tpu.models.llama import forward
