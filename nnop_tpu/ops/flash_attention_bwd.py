@@ -600,7 +600,10 @@ def flash_attention_bwd(
         and softcap is None
         and QL == KL
         and QL % bq == 0
-        and 1 < QL // bq <= 8
+        # 16-call cap + widest-strip K/V VMEM bound mirror the forward
+        # (flash_attention._CAUSAL_STRIP_MAX_CALLS; measured at L=8192)
+        and 1 < QL // bq <= 16
+        and 4 * QL * E * jnp.dtype(q.dtype).itemsize <= 9 * 1024 * 1024
         and group * QL * E * jnp.dtype(q.dtype).itemsize <= 4 * 1024 * 1024
     ):
         dq, dk, dv = _bwd_causal_multicall(

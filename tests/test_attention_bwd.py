@@ -160,3 +160,37 @@ def test_bwd_segment_ids_grads():
     )(q, k, v)
     for g, w, name in zip(got, want, "qkv"):
         np.testing.assert_allclose(g, w, atol=ATOL, rtol=RTOL, err_msg=f"d{name}")
+
+
+def test_causal_strips_16call_fwd_block_q():
+    """The 16-call causal strip path (L/bq = 16; gate raised from 8 after
+    the L=8192 measurement — see flash_attention._CAUSAL_STRIP_MAX_CALLS)
+    exercised cheaply by forcing block_q=128 at L=2048."""
+    from nnop_tpu.ops.flash_attention import _fwd_impl
+
+    q, k, v, _, _ = _mk(2, 4, 2, 2048, 2048, 32)
+    got, _ = _fwd_impl(
+        q, k, v, None, None, True, 32 ** -0.5, block_q=128
+    )
+    want = naive_attention(q, k, v, causal=True)
+    np.testing.assert_allclose(got, want, atol=ATOL, rtol=RTOL)
+
+
+@pytest.mark.full
+def test_causal_strips_L8192_grads():
+    """Gradient parity at L=8192 — the real 16-strip geometry (fwd, dQ,
+    and dK/dV multicall paths all at strip widths up to 8192)."""
+    q, k, v, _, _ = _mk(1, 2, 1, 8192, 8192, 32)
+    got = flash_attention(q, k, v, causal=True)
+    want = naive_attention(q, k, v, causal=True)
+    np.testing.assert_allclose(got, want, atol=ATOL, rtol=RTOL)
+    gf = jax.grad(
+        lambda q, k, v: jnp.sum(flash_attention(q, k, v, causal=True)),
+        (0, 1, 2),
+    )(q, k, v)
+    gn = jax.grad(
+        lambda q, k, v: jnp.sum(naive_attention(q, k, v, causal=True)),
+        (0, 1, 2),
+    )(q, k, v)
+    for g, w, name in zip(gf, gn, "qkv"):
+        np.testing.assert_allclose(g, w, atol=ATOL, rtol=RTOL, err_msg=f"d{name}")
