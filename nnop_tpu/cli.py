@@ -49,9 +49,15 @@ def cmd_train(args):
         dims = dict(zip(("data", "model", "seq"),
                         [int(x) for x in args.mesh.split(",")]))
         mesh = make_mesh(**dims)
-        params = shard_params(params, mesh, cfg)
+        if args.fsdp:
+            from nnop_tpu.parallel.tp_llama import fsdp_param_specs
+
+            specs = fsdp_param_specs(cfg, dims.get("data", 1))
+            params = shard_params(params, mesh, cfg, specs=specs)
+        else:
+            params = shard_params(params, mesh, cfg)
         step, opt = make_train_step(mesh, cfg, optimizer=opt,
-                                    remat=args.remat)
+                                    remat=args.remat, fsdp=args.fsdp)
         state = opt.init(params)
     else:
         @jax.jit
@@ -144,6 +150,9 @@ def main():
     t.add_argument("--data", default=None, help="int32 token file")
     t.add_argument("--remat", action="store_true",
                    help="per-layer activation checkpointing (mesh mode)")
+    t.add_argument("--fsdp", action="store_true",
+                   help="ZeRO-3: shard params+optimizer over the data "
+                        "axis, gather-on-use (mesh mode)")
     t.add_argument("--checkpoint", default=None)
     t.set_defaults(fn=cmd_train)
 

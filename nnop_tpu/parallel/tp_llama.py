@@ -54,8 +54,8 @@ def param_specs(cfg: LlamaConfig):
     }
 
 
-def shard_params(params, mesh: Mesh, cfg: LlamaConfig):
-    specs = param_specs(cfg)
+def shard_params(params, mesh: Mesh, cfg: LlamaConfig, specs=None):
+    specs = param_specs(cfg) if specs is None else specs
     return jax.tree.map(
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
         params,
@@ -64,9 +64,47 @@ def shard_params(params, mesh: Mesh, cfg: LlamaConfig):
     )
 
 
+def fsdp_param_specs(cfg: LlamaConfig, data: int):
+    """ZeRO-3 specs: extend the TP layout by sharding every leaf over
+    "data" on its first free, divisible dimension.
+
+    Params (and therefore AdamW mu/nu, which mirror the tree) live
+    sharded at rest — per-device param+optimizer memory drops ~data-fold
+    — and are all-gathered transiently at their use site inside the
+    forward (see _fsdp_gather / _local_forward), the standard FSDP
+    gather-on-use discipline. The reference is single-device (SURVEY.md
+    §2.5); this is north-star scale-out scope.
+    """
+    from nnop_tpu.models.llama import init_params
+
+    specs = param_specs(cfg)
+    shapes = jax.eval_shape(lambda k: init_params(k, cfg), jax.random.key(0))
+
+    def extend(spec, shape):
+        entries = list(spec) + [None] * (len(shape.shape) - len(spec))
+        for i, (s, n) in enumerate(zip(entries, shape.shape)):
+            if s is None and n % data == 0:
+                entries[i] = "data"
+                break
+        return P(*entries)
+
+    return jax.tree.map(extend, specs, shapes,
+                        is_leaf=lambda x: isinstance(x, P))
+
+
+def _fsdp_gather(x, spec):
+    """all_gather a ZeRO-3-sharded leaf back to its TP-local shape at its
+    use site (inside shard_map). Identity for leaves fsdp left alone."""
+    for i, s in enumerate(spec):
+        if s == "data":
+            return jax.lax.all_gather(x, "data", axis=i, tiled=True)
+    return x
+
+
 def _local_forward(params, tokens, cfg: LlamaConfig, axis: str = "model",
                    seq_axis: str | None = None, zigzag: bool = False,
-                   segments=None, positions_in=None, remat: bool = False):
+                   segments=None, positions_in=None, remat: bool = False,
+                   fsdp_specs=None):
     """Per-shard forward: local head/feature shards + psum over `axis`.
 
     Runs inside shard_map; `params` leaves are LOCAL shards. When
@@ -111,9 +149,23 @@ def _local_forward(params, tokens, cfg: LlamaConfig, axis: str = "model",
             jnp.arange(L, dtype=jnp.int32)[None], (B, L)
         )
     cos, sin = RotaryEmbedding(cfg.head_dim, cfg.rope_base, scaling=cfg.rope_scaling)(positions)
-    x = params["embed"][tokens]
+
+    if fsdp_specs is not None:
+        # gather-on-use: each leaf is all-gathered right before its use
+        # site — per-layer leaves inside one_layer so (a) XLA frees each
+        # layer's full weights after their last use and (b) under remat
+        # the backward RE-gathers per layer — peak full-weight residency
+        # stays O(1 layer)
+        gather = lambda k: _fsdp_gather(params[k], fsdp_specs[k])
+        layer_spec = fsdp_specs["layers"][0]
+    else:
+        gather = lambda k: params[k]
+        layer_spec = None
+    x = gather("embed")[tokens]
 
     def one_layer(x, layer):
+        if layer_spec is not None:
+            layer = jax.tree.map(_fsdp_gather, layer, layer_spec)
         h = rms_norm(x, layer["attn_norm"], cfg.rms_eps)
         q = _split_heads(h @ layer["wq"], n_heads, cfg.head_dim)
         k = _split_heads(h @ layer["wk"], n_kv, cfg.head_dim)
@@ -155,8 +207,8 @@ def _local_forward(params, tokens, cfg: LlamaConfig, axis: str = "model",
     for layer in params["layers"]:
         x = one_layer(x, layer)
 
-    x = rms_norm(x, params["final_norm"], cfg.rms_eps)
-    logits_local = (x @ params["lm_head"]).astype(jnp.float32)  # (B, L, V/tp)
+    x = rms_norm(x, gather("final_norm"), cfg.rms_eps)
+    logits_local = (x @ gather("lm_head")).astype(jnp.float32)  # (B, L, V/tp)
     return logits_local
 
 
@@ -236,7 +288,7 @@ class AdamW:
 
 def make_train_step(mesh: Mesh, cfg: LlamaConfig, optimizer: AdamW | None = None,
                     zigzag: bool = True, packed: bool = False,
-                    remat: bool = False):
+                    remat: bool = False, fsdp: bool = False):
     """Returns (jitted train_step, optimizer) with dp over "data", tp
     over "model", and — when the mesh's "seq" axis is >1 — sp over "seq"
     (balanced ZIGZAG causal ring attention by default; zigzag=False
@@ -252,9 +304,19 @@ def make_train_step(mesh: Mesh, cfg: LlamaConfig, optimizer: AdamW | None = None
     the backward recomputes each layer's activations from its input,
     cutting peak activation HBM ~n_layers-fold for ~33% extra flops;
     gradients are bitwise-identical (asserted in
-    test_remat_grads_match)."""
+    test_remat_grads_match).
+
+    fsdp=True: ZeRO-3 — params AND optimizer state live sharded over
+    "data" (fsdp_param_specs; ~data-fold less param/opt HBM per device),
+    all-gathered transiently at each use site; the all_gather transposes
+    to reduce_scatter under jax.grad-outside-shard_map, so grads land
+    sharded and exact (test_fsdp_grads_match_single_device). Composes
+    with tp ("model" axis), sp ("seq"), packed, and remat (backward
+    re-gathers per layer)."""
     optimizer = optimizer or AdamW(1e-3)
-    pspecs = param_specs(cfg)
+    pspecs = (fsdp_param_specs(cfg, mesh.shape["data"]) if fsdp
+              else param_specs(cfg))
+    fsdp_specs = pspecs if fsdp else None
     use_seq = "seq" in mesh.shape and mesh.shape["seq"] > 1
     seq_axis = "seq" if use_seq else None
     zigzag = zigzag and use_seq
@@ -274,6 +336,7 @@ def make_train_step(mesh: Mesh, cfg: LlamaConfig, optimizer: AdamW | None = None
         logits = _local_forward(
             params, tokens, cfg, seq_axis=seq_axis, zigzag=zigzag,
             segments=segments, positions_in=positions, remat=remat,
+            fsdp_specs=fsdp_specs,
         )
         return jax.lax.pmean(_sharded_xent(logits, targets), rep_axes)
 

@@ -1131,3 +1131,98 @@ def test_packed_sp_loss_matches_single_device():
         state = opt.init(params_sh)
         _, _, loss = step(params_sh, state, tokens, targets, seg, pos)
     np.testing.assert_allclose(float(loss), want, atol=2e-5, rtol=2e-5)
+
+
+def test_fsdp_grads_match_single_device():
+    """ZeRO-3 (fsdp=True) train-step grads == single-device grads
+    exactly: params/opt state live sharded over "data", all_gather at
+    each use site transposes to reduce_scatter under
+    grad-outside-shard_map."""
+    from nnop_tpu.models.llama import loss_fn
+    from nnop_tpu.parallel.tp_llama import (
+        _local_forward, _sharded_xent, fsdp_param_specs,
+    )
+
+    cfg = LlamaConfig.tiny(
+        n_heads=8, n_kv_heads=4, dim=256, head_dim=32,
+        dtype=jnp.float32, n_layers=1,
+    )
+    params = init_params(jax.random.key(0), cfg)
+    tokens = jax.random.randint(jax.random.key(1), (8, 16), 0,
+                                cfg.vocab_size)
+    targets = jnp.roll(tokens, -1, axis=1)
+    mesh = make_mesh(data=8)
+    specs = fsdp_param_specs(cfg, 8)
+
+    # every leaf actually got a "data" axis (all tiny dims divide 8)
+    flat = jax.tree.leaves(specs, is_leaf=lambda x: isinstance(x, P))
+    assert all(any(s == "data" for s in sp) for sp in flat)
+
+    sp_params = shard_params(params, mesh, cfg, specs=specs)
+    # params live sharded at rest: local shard is 1/8 of the leaf
+    wq = sp_params["layers"][0]["wq"]
+    local = wq.sharding.shard_shape(wq.shape)
+    assert int(np.prod(local)) * 8 == wq.size
+
+    with jax.default_matmul_precision("highest"):
+        gw = jax.grad(loss_fn)(params, tokens, targets, cfg)
+
+        def local_loss(p, t, tg):
+            logits = _local_forward(p, t, cfg, fsdp_specs=specs)
+            return jax.lax.pmean(_sharded_xent(logits, tg), ("data",))
+
+        fwd = shard_map(
+            local_loss, mesh=mesh,
+            in_specs=(specs, P("data"), P("data")),
+            out_specs=P(), check_vma=False,
+        )
+        gg = jax.jit(jax.grad(lambda p: fwd(p, tokens, targets)))(sp_params)
+
+    # grads land with the params' (sharded) specs
+    gwq = gg["layers"][0]["wq"]
+    assert int(np.prod(gwq.sharding.shard_shape(gwq.shape))) * 8 == gwq.size
+    for path in (("layers", 0, "wq"), ("layers", 0, "wo"),
+                 ("layers", 0, "w_gate"), ("layers", 0, "attn_norm"),
+                 ("embed",), ("lm_head",)):
+        a, b = gw, gg
+        for k in path:
+            a, b = a[k], b[k]
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=5e-5, rtol=5e-3)
+
+
+@pytest.mark.parametrize("remat", [False, True])
+def test_fsdp_tp_train_step(remat):
+    """FSDP composes with TP (+ remat): one fsdp=True train step on a
+    data=4 x model=2 mesh matches the replicated-params TP step's loss
+    exactly, and updated params stay sharded."""
+    cfg = LlamaConfig.tiny(
+        n_heads=8, n_kv_heads=4, dim=256, head_dim=32,
+        dtype=jnp.float32,
+    )
+    from nnop_tpu.parallel.tp_llama import fsdp_param_specs
+
+    params = init_params(jax.random.key(0), cfg)
+    tokens = jax.random.randint(jax.random.key(1), (8, 32), 0,
+                                cfg.vocab_size)
+    targets = jnp.roll(tokens, -1, axis=1)
+
+    with jax.default_matmul_precision("highest"):
+        mesh = make_mesh(data=4, model=2)
+        base_step, base_opt = make_train_step(mesh, cfg)
+        bp = shard_params(params, mesh, cfg)
+        _, _, want = base_step(bp, base_opt.init(bp), tokens, targets)
+
+        specs = fsdp_param_specs(cfg, 4)
+        fp = shard_params(params, mesh, cfg, specs=specs)
+        step, opt = make_train_step(mesh, cfg, fsdp=True, remat=remat)
+        state = opt.init(fp)
+        new_p, state, loss = step(fp, state, tokens, targets)
+
+    np.testing.assert_allclose(float(loss), float(want), atol=2e-6,
+                               rtol=2e-6)
+    # updated params AND optimizer state keep the ZeRO shardings: wq is
+    # P("data", "model") -> local shard is 1/(4*2) of the leaf
+    for leaf in (new_p["layers"][0]["wq"], state["mu"]["layers"][0]["wq"]):
+        n_local = int(np.prod(leaf.sharding.shard_shape(leaf.shape)))
+        assert n_local * 8 == leaf.size
