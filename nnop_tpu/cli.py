@@ -127,6 +127,48 @@ def cmd_generate(args):
     print(f"{total} tokens in {dt:.2f}s = {total/dt:.1f} tok/s")
 
 
+def cmd_serve(args):
+    import jax
+    import jax.numpy as jnp
+
+    from nnop_tpu.models.llama import LlamaConfig, init_params
+    from nnop_tpu.models.weights import load_checkpoint, load_hf_llama
+    from nnop_tpu.runtime.engine import Engine
+    from nnop_tpu.runtime.server import EngineServer
+    from nnop_tpu.runtime.tokenizer import BPETokenizer, VocabBPETokenizer
+
+    cfg = {
+        "8b": LlamaConfig.llama3_8b,
+        "tiny": lambda: LlamaConfig.tiny(dtype=jnp.float32),
+        "tiny_moe": lambda: LlamaConfig.tiny_moe(dtype=jnp.float32),
+        "mixtral": LlamaConfig.mixtral_8x7b,
+    }[args.model]()
+    params = init_params(jax.random.key(args.seed), cfg)
+    if args.hf_path:
+        params = load_hf_llama(args.hf_path, cfg)
+    elif args.checkpoint:
+        params = load_checkpoint(args.checkpoint, params)
+    if args.wbits < 16:
+        from nnop_tpu.models.quantized import quantize_params
+
+        params = quantize_params(params, wbits=args.wbits)
+    tok = (VocabBPETokenizer.from_file(args.tokenizer)
+           if args.tokenizer else BPETokenizer([]))
+    eng = Engine(
+        params, cfg, max_batch=args.batch, max_seq=cfg.max_seq_len,
+        quantized_kv=args.int8_kv, tokenizer=tok,
+        temperature=args.temperature, top_k=args.top_k, top_p=args.top_p,
+    )
+    srv = EngineServer(eng, host=args.host, port=args.port).start()
+    print(f"serving {args.model} on http://{args.host}:{srv.port} "
+          f"(POST /v1/completions, GET /v1/stats)", flush=True)
+    try:
+        while True:
+            time.sleep(3600)
+    except KeyboardInterrupt:
+        srv.stop()
+
+
 def cmd_bench(args):
     import subprocess
 
@@ -169,6 +211,24 @@ def main():
     g.add_argument("--hf-path", default=None)
     g.add_argument("--checkpoint", default=None)
     g.set_defaults(fn=cmd_generate)
+
+    sv = sub.add_parser("serve")
+    sv.add_argument("--model", default="tiny",
+                    choices=["tiny", "tiny_moe", "8b", "mixtral"])
+    sv.add_argument("--host", default="127.0.0.1")
+    sv.add_argument("--port", type=int, default=8080)
+    sv.add_argument("--batch", type=int, default=8)
+    sv.add_argument("--seed", type=int, default=0)
+    sv.add_argument("--int8-kv", action="store_true")
+    sv.add_argument("--wbits", type=int, default=16, choices=(4, 8, 16))
+    sv.add_argument("--temperature", type=float, default=0.0)
+    sv.add_argument("--top-k", type=int, default=0)
+    sv.add_argument("--top-p", type=float, default=1.0)
+    sv.add_argument("--tokenizer", default=None,
+                    help="HF tokenizer.json path (default: raw bytes)")
+    sv.add_argument("--hf-path", default=None)
+    sv.add_argument("--checkpoint", default=None)
+    sv.set_defaults(fn=cmd_serve)
 
     b = sub.add_parser("bench")
     b.set_defaults(fn=cmd_bench)
