@@ -288,7 +288,8 @@ class AdamW:
 
 def make_train_step(mesh: Mesh, cfg: LlamaConfig, optimizer: AdamW | None = None,
                     zigzag: bool = True, packed: bool = False,
-                    remat: bool = False, fsdp: bool = False):
+                    remat: bool = False, fsdp: bool = False,
+                    grad_accum: int = 1):
     """Returns (jitted train_step, optimizer) with dp over "data", tp
     over "model", and — when the mesh's "seq" axis is >1 — sp over "seq"
     (balanced ZIGZAG causal ring attention by default; zigzag=False
@@ -312,7 +313,13 @@ def make_train_step(mesh: Mesh, cfg: LlamaConfig, optimizer: AdamW | None = None
     to reduce_scatter under jax.grad-outside-shard_map, so grads land
     sharded and exact (test_fsdp_grads_match_single_device). Composes
     with tp ("model" axis), sp ("seq"), packed, and remat (backward
-    re-gathers per layer)."""
+    re-gathers per layer).
+
+    grad_accum=k: the leading batch axis is split into k microbatches
+    scanned sequentially (activation memory of ONE microbatch), grads
+    accumulated in f32 and averaged before a single optimizer update —
+    numerically the same step as one large batch
+    (test_grad_accum_matches_full_batch)."""
     optimizer = optimizer or AdamW(1e-3)
     pspecs = (fsdp_param_specs(cfg, mesh.shape["data"]) if fsdp
               else param_specs(cfg))
@@ -357,6 +364,34 @@ def make_train_step(mesh: Mesh, cfg: LlamaConfig, optimizer: AdamW | None = None
         # permutation-invariant, params/grads are position-free
         return jnp.concatenate(zigzag_shard(x, n_seq, axis=1), axis=1)
 
+    def _grads(params, batch):
+        """(loss, grads) — microbatch-scanned when grad_accum > 1."""
+        if grad_accum == 1:
+            return jax.value_and_grad(lambda p: fwd(p, *batch))(params)
+        micro = tuple(
+            x.reshape(grad_accum, x.shape[0] // grad_accum, *x.shape[1:])
+            for x in batch
+        )
+
+        def body(carry, mb):
+            acc_l, acc_g = carry
+            l, g = jax.value_and_grad(lambda p: fwd(p, *mb))(params)
+            acc_g = jax.tree.map(
+                lambda a, b: a + b.astype(jnp.float32), acc_g, g
+            )
+            return (acc_l + l, acc_g), None
+
+        zeros = jax.tree.map(
+            lambda p: jnp.zeros(p.shape, jnp.float32), params
+        )
+        (loss, grads), _ = jax.lax.scan(
+            body, (jnp.float32(0.0), zeros), micro
+        )
+        grads = jax.tree.map(
+            lambda g, p: (g / grad_accum).astype(p.dtype), grads, params
+        )
+        return loss / grad_accum, grads
+
     if packed:
         @jax.jit
         def step(params, opt_state, tokens, targets, segments, positions):
@@ -364,9 +399,9 @@ def make_train_step(mesh: Mesh, cfg: LlamaConfig, optimizer: AdamW | None = None
                 tokens, targets, segments, positions = (
                     _zz(tokens), _zz(targets), _zz(segments), _zz(positions)
                 )
-            loss, grads = jax.value_and_grad(
-                lambda p: fwd(p, tokens, targets, segments, positions)
-            )(params)
+            loss, grads = _grads(
+                params, (tokens, targets, segments, positions)
+            )
             params, opt_state = optimizer.update(grads, opt_state, params)
             return params, opt_state, loss
     else:
@@ -374,9 +409,7 @@ def make_train_step(mesh: Mesh, cfg: LlamaConfig, optimizer: AdamW | None = None
         def step(params, opt_state, tokens, targets):
             if zigzag:
                 tokens, targets = _zz(tokens), _zz(targets)
-            loss, grads = jax.value_and_grad(
-                lambda p: fwd(p, tokens, targets)
-            )(params)
+            loss, grads = _grads(params, (tokens, targets))
             params, opt_state = optimizer.update(grads, opt_state, params)
             return params, opt_state, loss
 

@@ -1,0 +1,108 @@
+"""Training-throughput benchmark on one chip: tokens/s and MFU.
+
+Runs the REAL sharded train step (make_train_step on a 1x1x1 mesh —
+same shard_map path multi-chip uses) on a ~460M-param Llama config that
+fits one v5e with AdamW f32 moments, and reports tokens/s + model-flops
+utilization against the 197 TF/s bf16 MXU peak.
+
+Flops/token = 6P + 12 * n_layers * dim * L (the standard PaLM MFU
+accounting: fwd+bwd weight flops + attention) x3.5/3 is folded in by
+using 6P for fwd+bwd and adding the attention term with its own
+fwd+bwd factor; remat adds ~1 extra forward (recompute) which MFU
+convention EXCLUDES (it measures useful model flops).
+
+Usage: python scripts/bench_train.py [--batch 8] [--seq 2048] [--remat]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--seq", type=int, default=2048)
+    ap.add_argument("--remat", action="store_true", default=True)
+    ap.add_argument("--no-remat", dest="remat", action="store_false")
+    ap.add_argument("--dim", type=int, default=1536)
+    ap.add_argument("--layers", type=int, default=14)
+    args = ap.parse_args()
+
+    from nnop_tpu.models.llama import LlamaConfig, init_params
+    from nnop_tpu.parallel.mesh import make_mesh
+    from nnop_tpu.parallel.tp_llama import make_train_step, shard_params
+
+    cfg = LlamaConfig(
+        vocab_size=32000,
+        dim=args.dim,
+        n_layers=args.layers,
+        n_heads=args.dim // 128,
+        n_kv_heads=max(1, args.dim // 512),
+        head_dim=128,
+        hidden_dim=int(args.dim * 8 // 3 // 256) * 256,
+        rope_base=500000.0,
+        max_seq_len=args.seq,
+        dtype=jnp.bfloat16,
+    )
+    params = init_params(jax.random.key(0), cfg)
+    n_params = sum(x.size for x in jax.tree.leaves(params))
+    print(f"model: {n_params/1e6:.0f}M params, dim={cfg.dim} "
+          f"layers={cfg.n_layers} hidden={cfg.hidden_dim} "
+          f"B={args.batch} L={args.seq} remat={args.remat}",
+          file=sys.stderr, flush=True)
+
+    mesh = make_mesh(data=1, model=1, seq=1)
+    params = shard_params(params, mesh, cfg)
+    step, opt = make_train_step(mesh, cfg, remat=args.remat)
+    state = opt.init(params)
+
+    B, L = args.batch, args.seq
+    tokens = jax.random.randint(jax.random.key(1), (B, L), 0,
+                                cfg.vocab_size)
+    targets = jnp.roll(tokens, -1, axis=1)
+
+    @jax.jit
+    def chain(n, params, state, tokens, targets):
+        def body(i, carry):
+            p, s, acc = carry
+            p, s, loss = step(p, s, tokens, targets)
+            return p, s, acc + loss
+
+        return jax.lax.fori_loop(
+            0, n, body, (params, state, jnp.float32(0.0))
+        )
+
+    print("compiling train chain...", file=sys.stderr, flush=True)
+    t0 = time.time()
+    out = chain(1, params, state, tokens, targets)
+    jax.block_until_ready(out)
+    print(f"compiled in {time.time()-t0:.0f}s", file=sys.stderr, flush=True)
+
+    # marginal timing (NOTES.md methodology: ~40 ms host RTT)
+    n1, n2 = 10, 40
+    t = {}
+    for n in (n1, n2, n1, n2):
+        t0 = time.time()
+        out = chain(n, params, state, tokens, targets)
+        float(out[2])
+        t[n] = time.time() - t0
+    step_s = (t[n2] - t[n1]) / (n2 - n1)
+
+    tok_s = B * L / step_s
+    flops_tok = 6 * n_params + 12 * cfg.n_layers * cfg.dim * L
+    tf = tok_s * flops_tok / 1e12
+    mfu = tf / 197.0
+    print(f"train step {step_s*1e3:.1f} ms = {tok_s:,.0f} tokens/s "
+          f"-> {tf:.1f} TF/s model flops = {100*mfu:.1f}% MFU "
+          f"(v5e bf16 peak 197)")
+
+
+if __name__ == "__main__":
+    main()

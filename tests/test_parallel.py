@@ -1226,3 +1226,32 @@ def test_fsdp_tp_train_step(remat):
     for leaf in (new_p["layers"][0]["wq"], state["mu"]["layers"][0]["wq"]):
         n_local = int(np.prod(leaf.sharding.shard_shape(leaf.shape)))
         assert n_local * 8 == leaf.size
+
+
+def test_grad_accum_matches_full_batch():
+    """grad_accum=k scans k microbatches with one optimizer update at
+    the end — the resulting params/loss match the single-big-batch step
+    (grads averaged in f32)."""
+    cfg = LlamaConfig.tiny(dtype=jnp.float32)
+    params = init_params(jax.random.key(0), cfg)
+    tokens = jax.random.randint(jax.random.key(1), (8, 32), 0,
+                                cfg.vocab_size)
+    targets = jnp.roll(tokens, -1, axis=1)
+    mesh = make_mesh(data=2)
+
+    with jax.default_matmul_precision("highest"):
+        outs = []
+        for accum in (1, 4):
+            sp = shard_params(params, mesh, cfg)
+            step, opt = make_train_step(mesh, cfg, grad_accum=accum)
+            state = opt.init(sp)
+            new_p, _, loss = step(sp, state, tokens, targets)
+            outs.append((float(loss), new_p))
+
+    np.testing.assert_allclose(outs[0][0], outs[1][0], rtol=1e-6)
+    # Adam's 1/sqrt(nu) amplifies f32 summation-order rounding for
+    # near-zero grads — allow that jitter, nothing more
+    for a, b in zip(jax.tree.leaves(outs[0][1]),
+                    jax.tree.leaves(outs[1][1])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-4, rtol=1e-5)
