@@ -13,8 +13,12 @@ signaled per-request via threading.Event, so handlers block without
 polling and the step loop never blocks on the network.
 
 Endpoints:
-  POST /v1/completions   {"prompt": str | [int], "max_tokens": int}
-                         -> {"id", "tokens", "text"?, "logprobs"?}
+  POST /v1/completions   {"prompt": str | [int], "max_tokens": int,
+                          "stream": bool}
+                         -> {"id", "tokens", "text"?, "logprobs"?}, or
+                         with "stream": true, Server-Sent Events — one
+                         `data: {"tokens": [...]}` event per decode
+                         chunk as tokens land, then `data: [DONE]`
   GET  /v1/stats         engine/serving counters (queue depth, active
                          slots, tokens generated, prefix hits, uptime)
   GET  /health           {"status": "ok"}
@@ -23,6 +27,7 @@ Endpoints:
 from __future__ import annotations
 
 import json
+import queue
 import threading
 import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -46,6 +51,8 @@ class EngineServer:
         self._stop = threading.Event()
         self._events: dict[int, threading.Event] = {}
         self._requests: dict[int, object] = {}
+        # rid -> (queue of newly-landed token lists, n tokens sent)
+        self._streams: dict[int, tuple[queue.Queue, int]] = {}
         self._threads: list[threading.Thread] = []
         self._httpd = None
         self.stats = {
@@ -57,9 +64,12 @@ class EngineServer:
 
     # ---- request lifecycle -------------------------------------------------
 
-    def submit(self, prompt, max_new_tokens: int):
-        """Thread-safe submit; returns (request, completion_event)."""
+    def submit(self, prompt, max_new_tokens: int, stream: bool = False):
+        """Thread-safe submit; returns (request, completion_event,
+        stream_queue or None). The stream queue receives a list of new
+        tokens after each decode chunk and a None sentinel at the end."""
         ev = threading.Event()
+        sq = queue.Queue() if stream else None
         with self._lock:
             if isinstance(prompt, str):
                 req = self.engine.submit_text(prompt, max_new_tokens)
@@ -68,9 +78,11 @@ class EngineServer:
                                          max_new_tokens)
             self._events[req.rid] = ev
             self._requests[req.rid] = req
+            if stream:
+                self._streams[req.rid] = (sq, 0)
             self.stats["requests_submitted"] += 1
         self._wake.set()
-        return req, ev
+        return req, ev, sq
 
     def _loop(self):
         while not self._stop.is_set():
@@ -83,6 +95,7 @@ class EngineServer:
                 )
                 if busy:
                     eng.step()
+                    self._flush_streams()
                     done = [
                         rid for rid in self._events
                         if self._find_done(rid)
@@ -93,6 +106,21 @@ class EngineServer:
             if not busy:
                 self._wake.wait(timeout=0.05)
                 self._wake.clear()
+
+    def _flush_streams(self):
+        """Push tokens that landed this step to streaming clients
+        (called under self._lock)."""
+        for rid in list(self._streams):
+            req = self._requests.get(rid)
+            if req is None:
+                continue
+            sq, sent = self._streams[rid]
+            if len(req.out) > sent:
+                sq.put(list(req.out[sent:]))
+                self._streams[rid] = (sq, len(req.out))
+            if req.done:
+                sq.put(None)
+                del self._streams[rid]
 
     def _find_done(self, rid: int):
         req = self._requests.get(rid)
@@ -137,9 +165,30 @@ class EngineServer:
                         payload.get("max_tokens",
                                     server.default_max_tokens)
                     )
-                    req, ev = server.submit(prompt, max_tokens)
+                    stream = bool(payload.get("stream", False))
+                    req, ev, sq = server.submit(prompt, max_tokens,
+                                                stream=stream)
                 except (KeyError, ValueError, TypeError) as e:
                     return self._json(400, {"error": str(e)})
+                if stream:
+                    # Server-Sent Events; HTTP/1.0 close-delimited body
+                    self.send_response(200)
+                    self.send_header("Content-Type", "text/event-stream")
+                    self.send_header("Cache-Control", "no-cache")
+                    self.send_header("Connection", "close")
+                    self.end_headers()
+                    while True:
+                        item = sq.get()
+                        if item is None:
+                            break
+                        self.wfile.write(
+                            b"data: "
+                            + json.dumps({"tokens": item}).encode()
+                            + b"\n\n"
+                        )
+                        self.wfile.flush()
+                    self.wfile.write(b"data: [DONE]\n\n")
+                    return None
                 ev.wait()
                 out = {"id": req.rid, "tokens": req.out}
                 if server.engine.tokenizer is not None:

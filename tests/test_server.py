@@ -98,3 +98,49 @@ def test_server_rejects_bad_requests(params):
             raise AssertionError("expected 404")
         except urllib.error.HTTPError as e:
             assert e.code == 404
+
+
+def test_server_streams_tokens(params):
+    """stream=true: SSE events deliver tokens incrementally (>= 2 chunk
+    events for a 2-chunk generation) and concatenate to the oracle."""
+    import http.client
+
+    oracle = Engine(params, CFG, max_batch=2, max_seq=64, chunk_size=4)
+    want = oracle.submit([5, 17, 42, 7], max_new_tokens=10)
+    oracle.run()
+
+    eng = Engine(params, CFG, max_batch=2, max_seq=64, chunk_size=4)
+    with EngineServer(eng) as srv:
+        conn = http.client.HTTPConnection("127.0.0.1", srv.port,
+                                          timeout=120)
+        conn.request(
+            "POST", "/v1/completions",
+            body=json.dumps({"prompt": [5, 17, 42, 7], "max_tokens": 10,
+                             "stream": True}),
+            headers={"Content-Type": "application/json"},
+        )
+        resp = conn.getresponse()
+        assert resp.status == 200
+        assert resp.getheader("Content-Type") == "text/event-stream"
+        events = []
+        buf = b""
+        while True:
+            chunk = resp.read(1)
+            if not chunk:
+                break
+            buf += chunk
+            while b"\n\n" in buf:
+                raw, buf = buf.split(b"\n\n", 1)
+                assert raw.startswith(b"data: ")
+                payload = raw[len(b"data: "):]
+                if payload == b"[DONE]":
+                    events.append(None)
+                else:
+                    events.append(json.loads(payload)["tokens"])
+        conn.close()
+
+    assert events[-1] is None
+    token_events = [e for e in events if e is not None]
+    assert len(token_events) >= 2, token_events  # incremental delivery
+    got = [t for e in token_events for t in e]
+    assert got == want.out, (got, want.out)
