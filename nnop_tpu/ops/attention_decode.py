@@ -46,8 +46,8 @@ MASK_VALUE = -1e30
 
 def _decode_kernel(
     lengths_ref,  # scalar prefetch: (B,) int32
-    q_ref,        # (1, KH, G, E)
-    k_ref,        # (1, KH, bk, E) int8 or fp
+    q_ref,        # (NB, KH, G, E)
+    k_ref,        # (NB, KH, bk, E) int8 or fp
     v_ref,
     *rest,
     scale: float,
@@ -62,6 +62,7 @@ def _decode_kernel(
     window: int | None = None,
     softcap: float | None = None,
     n_draft: int = 1,
+    block_b: int = 1,
 ):
     rest = list(rest)
     ks_ref = vs_ref = kst_ref = vst_ref = stn_ref = None
@@ -69,16 +70,14 @@ def _decode_kernel(
         ks_ref = rest.pop(0)
         vs_ref = rest.pop(0)
     if staged:
-        # un-flushed recent tokens (bf16): (1, KH, W, E) + valid count
+        # un-flushed recent tokens (bf16): (NB, KH, W, E) + valid count
         kst_ref = rest.pop(0)
         vst_ref = rest.pop(0)
         stn_ref = rest.pop(0)
     o_ref, acc, m_scr, l_scr = rest
-    lead = (0, 0) if stacked else (0,)
 
     b = pl.program_id(0)
     ik = pl.program_id(1)
-    length = lengths_ref[b]
     # R rows per KV head: `group` query heads x n_draft query tokens
     # (row r = t * group + g). The n_draft query tokens are the LAST
     # n_draft staged entries; row t's global position is
@@ -86,6 +85,8 @@ def _decode_kernel(
     # position-uniform and only staging needs the intra-draft causal mask.
     G = group * n_draft
     n_st = stn_ref[0] if staged else 0
+    # per-sequence lengths of the block_b sequences riding this step
+    lens = [lengths_ref[b * block_b + bi] for bi in range(block_b)]
 
     @pl.when(ik == 0)
     def _init():
@@ -93,146 +94,190 @@ def _decode_kernel(
         l_scr[...] = jnp.zeros_like(l_scr)
         acc[...] = jnp.zeros_like(acc)
 
-    live = ik * block_k < length
+    len_max = lens[0]
+    len_min = lens[0]
+    for x in lens[1:]:
+        len_max = jnp.maximum(len_max, x)
+        len_min = jnp.minimum(len_min, x)
+    live_any = ik * block_k < len_max
     if window is not None:
-        live = jnp.logical_and(
-            live, ik * block_k + block_k - 1 >= length + n_st - window
+        # left edge from the group MIN: the shortest sequence's window
+        # reaches furthest left
+        live_any = jnp.logical_and(
+            live_any, ik * block_k + block_k - 1 >= len_min + n_st - window
         )
 
-    @pl.when(live)
+    @pl.when(live_any)
     def _step():
-        cols = ik * block_k + jax.lax.broadcasted_iota(
-            jnp.int32, (G, block_k), 1
-        )
-        mask = cols < length
-        if window is not None:
-            # row t (= r // group) sits at global position
-            # length + n_st - n_draft + t; its window starts one past
-            # position - window
-            row_t = (
-                jax.lax.broadcasted_iota(jnp.int32, (G, block_k), 0)
-                // group
+        for bi in range(block_b):
+            _decode_step_b(
+                bi, lens[bi], ik, q_ref, k_ref, v_ref, ks_ref, vs_ref,
+                acc, m_scr, l_scr, scale=scale, block_k=block_k,
+                n_kv_heads=n_kv_heads, group=group, quantized=quantized,
+                cache_len=cache_len, stacked=stacked, window=window,
+                softcap=softcap, n_draft=n_draft, n_st=n_st, G=G,
             )
-            mask = jnp.logical_and(
-                mask,
-                cols >= length + n_st - n_draft + row_t + 1 - window,
-            )
-        for kh in range(n_kv_heads):
-            sl = slice(kh * G, (kh + 1) * G)
-            q = q_ref[0, kh]
-            k = k_ref[(*lead, kh)]
-            s = jax.lax.dot_general(
-                q.astype(jnp.bfloat16) if quantized else q,
-                k.astype(jnp.bfloat16) if quantized else k,
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            s = s * scale
-            if quantized:
-                s = s * ks_ref[(*lead, kh)]  # (1, bk) per-token K scale
-            if softcap is not None:
-                s = softcap * jnp.tanh(s / softcap)
-            s = jnp.where(mask, s, MASK_VALUE)
-
-            m_prev = m_scr[sl, :1]
-            l_prev = l_scr[sl, :1]
-            m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
-            alpha = jnp.exp(m_prev - m_new)
-            p = jnp.where(mask, jnp.exp(s - m_new), 0.0)
-            l_scr[sl, :] = jnp.broadcast_to(
-                l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True), (G, 128)
-            )
-            m_scr[sl, :] = jnp.broadcast_to(m_new, (G, 128))
-
-            if quantized:
-                vs = vs_ref[(*lead, kh)]
-                if cache_len % block_k != 0:
-                    vcols = ik * block_k + jax.lax.broadcasted_iota(
-                        jnp.int32, vs.shape, 1
-                    )
-                    vs = jnp.where(vcols < cache_len, vs, 0.0)
-                p = p * vs  # fold per-token V scale into P
-                pv = jax.lax.dot_general(
-                    p.astype(jnp.bfloat16),
-                    v_ref[(*lead, kh)].astype(jnp.bfloat16),
-                    dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-            else:
-                v_blk = v_ref[(*lead, kh)]
-                if cache_len % block_k != 0:
-                    vrows = ik * block_k + jax.lax.broadcasted_iota(
-                        jnp.int32, (block_k, 1), 0
-                    )
-                    v_blk = jnp.where(
-                        vrows < cache_len, v_blk, jnp.zeros_like(v_blk)
-                    )
-                pv = jax.lax.dot_general(
-                    p.astype(v_blk.dtype),
-                    v_blk,
-                    dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-            acc[sl, :] = acc[sl, :] * alpha + pv
 
     if staged:
 
         @pl.when(ik == num_kv - 1)
         def _staging():
-            # attend the un-flushed staging tokens (bf16, no dequant):
-            # global positions [length, length + n_st)
-            W = kst_ref.shape[-2]
-            cols = jax.lax.broadcasted_iota(jnp.int32, (G, W), 1)
-            row_t = jax.lax.broadcasted_iota(jnp.int32, (G, W), 0) // group
-            # intra-draft causal: row t attends staged cols up to its own
-            # position (n_st - n_draft + t); degenerates to cols < n_st
-            # at n_draft = 1
-            mask = jnp.logical_and(
-                cols <= n_st - n_draft + row_t, length > 0
-            )
-            if window is not None:
-                # staging col j is global position length + j
-                mask = jnp.logical_and(
-                    mask, cols >= n_st - n_draft + row_t + 1 - window
+            for bi in range(block_b):
+                _staging_step_b(
+                    bi, lens[bi], q_ref, kst_ref, vst_ref, acc, m_scr,
+                    l_scr, scale=scale, n_kv_heads=n_kv_heads,
+                    group=group, stacked=stacked, window=window,
+                    softcap=softcap, n_draft=n_draft, n_st=n_st, G=G,
                 )
-            for kh in range(n_kv_heads):
-                sl = slice(kh * G, (kh + 1) * G)
-                q = q_ref[0, kh]
-                s = jax.lax.dot_general(
-                    q.astype(jnp.bfloat16),
-                    kst_ref[(*lead, kh)],
-                    dimension_numbers=(((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-                s = s * scale
-                if softcap is not None:
-                    s = softcap * jnp.tanh(s / softcap)
-                s = jnp.where(mask, s, MASK_VALUE)
-                m_prev = m_scr[sl, :1]
-                l_prev = l_scr[sl, :1]
-                m_new = jnp.maximum(
-                    m_prev, jnp.max(s, axis=-1, keepdims=True)
-                )
-                alpha = jnp.exp(m_prev - m_new)
-                p = jnp.where(mask, jnp.exp(s - m_new), 0.0)
-                l_scr[sl, :] = jnp.broadcast_to(
-                    l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True),
-                    (G, 128),
-                )
-                m_scr[sl, :] = jnp.broadcast_to(m_new, (G, 128))
-                pv = jax.lax.dot_general(
-                    p.astype(jnp.bfloat16),
-                    vst_ref[(*lead, kh)],
-                    dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-                acc[sl, :] = acc[sl, :] * alpha + pv
 
     @pl.when(ik == num_kv - 1)
     def _finish():
         l = l_scr[:, :1]
         l_safe = jnp.where(l == 0.0, 1.0, l)
-        o_ref[0] = (acc[...] / l_safe).astype(o_ref.dtype)
+        R = n_kv_heads * G
+        o_ref[...] = (acc[...] / l_safe).astype(o_ref.dtype).reshape(
+            block_b, R, o_ref.shape[-1]
+        )
+
+
+def _decode_step_b(
+    bi, length, ik, q_ref, k_ref, v_ref, ks_ref, vs_ref, acc, m_scr,
+    l_scr, *, scale, block_k, n_kv_heads, group, quantized, cache_len,
+    stacked, window, softcap, n_draft, n_st, G,
+):
+    """One sequence's online-softmax update for KV block ik (scratch
+    rows [bi][kh][r])."""
+    lead = (0, bi) if stacked else (bi,)
+    R = n_kv_heads * G
+    cols = ik * block_k + jax.lax.broadcasted_iota(
+        jnp.int32, (G, block_k), 1
+    )
+    mask = cols < length
+    if window is not None:
+        # row t (= r // group) sits at global position
+        # length + n_st - n_draft + t; its window starts one past
+        # position - window
+        row_t = (
+            jax.lax.broadcasted_iota(jnp.int32, (G, block_k), 0)
+            // group
+        )
+        mask = jnp.logical_and(
+            mask,
+            cols >= length + n_st - n_draft + row_t + 1 - window,
+        )
+    for kh in range(n_kv_heads):
+        sl = slice(bi * R + kh * G, bi * R + (kh + 1) * G)
+        q = q_ref[bi, kh]
+        k = k_ref[(*lead, kh)]
+        s = jax.lax.dot_general(
+            q.astype(jnp.bfloat16) if quantized else q,
+            k.astype(jnp.bfloat16) if quantized else k,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        s = s * scale
+        if quantized:
+            s = s * ks_ref[(*lead, kh)]  # (1, bk) per-token K scale
+        if softcap is not None:
+            s = softcap * jnp.tanh(s / softcap)
+        s = jnp.where(mask, s, MASK_VALUE)
+
+        m_prev = m_scr[sl, :1]
+        l_prev = l_scr[sl, :1]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.where(mask, jnp.exp(s - m_new), 0.0)
+        l_scr[sl, :] = jnp.broadcast_to(
+            l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True), (G, 128)
+        )
+        m_scr[sl, :] = jnp.broadcast_to(m_new, (G, 128))
+
+        if quantized:
+            vs = vs_ref[(*lead, kh)]
+            if cache_len % block_k != 0:
+                vcols = ik * block_k + jax.lax.broadcasted_iota(
+                    jnp.int32, vs.shape, 1
+                )
+                vs = jnp.where(vcols < cache_len, vs, 0.0)
+            p = p * vs  # fold per-token V scale into P
+            pv = jax.lax.dot_general(
+                p.astype(jnp.bfloat16),
+                v_ref[(*lead, kh)].astype(jnp.bfloat16),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        else:
+            v_blk = v_ref[(*lead, kh)]
+            if cache_len % block_k != 0:
+                vrows = ik * block_k + jax.lax.broadcasted_iota(
+                    jnp.int32, (block_k, 1), 0
+                )
+                v_blk = jnp.where(
+                    vrows < cache_len, v_blk, jnp.zeros_like(v_blk)
+                )
+            pv = jax.lax.dot_general(
+                p.astype(v_blk.dtype),
+                v_blk,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        acc[sl, :] = acc[sl, :] * alpha + pv
+
+
+def _staging_step_b(
+    bi, length, q_ref, kst_ref, vst_ref, acc, m_scr, l_scr, *, scale,
+    n_kv_heads, group, stacked, window, softcap, n_draft, n_st, G,
+):
+    """One sequence's update for the un-flushed staging tokens (bf16,
+    no dequant): global positions [length, length + n_st)."""
+    lead = (bi, 0) if stacked else (bi,)
+    R = n_kv_heads * G
+    W = kst_ref.shape[-2]
+    cols = jax.lax.broadcasted_iota(jnp.int32, (G, W), 1)
+    row_t = jax.lax.broadcasted_iota(jnp.int32, (G, W), 0) // group
+    # intra-draft causal: row t attends staged cols up to its own
+    # position (n_st - n_draft + t); degenerates to cols < n_st
+    # at n_draft = 1
+    mask = jnp.logical_and(
+        cols <= n_st - n_draft + row_t, length > 0
+    )
+    if window is not None:
+        # staging col j is global position length + j
+        mask = jnp.logical_and(
+            mask, cols >= n_st - n_draft + row_t + 1 - window
+        )
+    for kh in range(n_kv_heads):
+        sl = slice(bi * R + kh * G, bi * R + (kh + 1) * G)
+        q = q_ref[bi, kh]
+        s = jax.lax.dot_general(
+            q.astype(jnp.bfloat16),
+            kst_ref[(*lead, kh)],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        s = s * scale
+        if softcap is not None:
+            s = softcap * jnp.tanh(s / softcap)
+        s = jnp.where(mask, s, MASK_VALUE)
+        m_prev = m_scr[sl, :1]
+        l_prev = l_scr[sl, :1]
+        m_new = jnp.maximum(
+            m_prev, jnp.max(s, axis=-1, keepdims=True)
+        )
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.where(mask, jnp.exp(s - m_new), 0.0)
+        l_scr[sl, :] = jnp.broadcast_to(
+            l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True),
+            (G, 128),
+        )
+        m_scr[sl, :] = jnp.broadcast_to(m_new, (G, 128))
+        pv = jax.lax.dot_general(
+            p.astype(jnp.bfloat16),
+            vst_ref[(*lead, kh)],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc[sl, :] = acc[sl, :] * alpha + pv
 
 
 def decode_attention(
@@ -251,6 +296,7 @@ def decode_attention(
     layer: int | None = None,
     window: int | None = None,
     softcap: float | None = None,
+    block_b: int = 1,
 ):
     """Single-token decode attention over a (possibly INT8) KV cache.
 
@@ -282,9 +328,18 @@ def decode_attention(
     [lengths[b] + staged_n - T, lengths[b] + staged_n)); the kernel
     applies the intra-draft causal mask in the staging step while the
     cache part stays position-uniform.
+
+    block_b: sequences per grid step. At serving shapes (short caches:
+    one KV block per sequence) the (B, 1) grid pays its per-step fixed
+    cost B times for ~1.3 MB DMAs; block_b=8 cuts the step count 8x
+    with one bigger DMA per step (per-sequence lengths still masked
+    exactly; block skipping degrades to the group max). Requires
+    B % block_b == 0.
     """
     B, QH, T, E = q.shape
     stacked = layer is not None
+    if B % block_b != 0:
+        raise ValueError(f"B={B} not divisible by block_b={block_b}")
     _, KH, S, _ = k_cache.shape[-4:]
     G = QH // KH
     quantized = k_cache.dtype == jnp.int8
@@ -308,32 +363,43 @@ def decode_attention(
         .reshape(B, KH, T * G, E)
     )
 
+    def _group_len(b, lens, red):
+        # reduce the block_b lengths riding grid step b (index maps see
+        # the raw (B,) prefetch array)
+        out = lens[b * block_b]
+        for i in range(1, block_b):
+            out = red(out, lens[b * block_b + i])
+        return out
+
     def kv_last(b, lens):
         # clamp past the last live block: repeated index -> DMA skipped
-        return jnp.maximum((lens[b] + bk - 1) // bk - 1, 0)
+        gmax = _group_len(b, lens, jnp.maximum)
+        return jnp.maximum((gmax + bk - 1) // bk - 1, 0)
 
     def kv_clamp(b, ik, lens):
         hi = kv_last(b, lens)
         if window is None:
             return jnp.minimum(ik, hi)
         # conservative low clamp (ignores staging occupancy <= flush
-        # window): window-dead left blocks reuse the first live DMA
-        lo = jnp.minimum(jnp.maximum((lens[b] - window) // bk, 0), hi)
+        # window; group MIN so no live block is skipped for any member)
+        gmin = _group_len(b, lens, jnp.minimum)
+        lo = jnp.minimum(jnp.maximum((gmin - window) // bk, 0), hi)
         return jnp.clip(ik, lo, hi)
 
     if stacked:
         def kv_idx(b, ik, lens):
             return (layer, b, 0, kv_clamp(b, ik, lens), 0)
 
-        kv_block = (1, 1, KH, bk, E)
+        kv_block = (1, block_b, KH, bk, E)
     else:
         def kv_idx(b, ik, lens):
             return (b, 0, kv_clamp(b, ik, lens), 0)
 
-        kv_block = (1, KH, bk, E)
+        kv_block = (block_b, KH, bk, E)
 
     in_specs = [
-        pl.BlockSpec((1, KH, T * G, E), lambda b, ik, lens: (b, 0, 0, 0)),
+        pl.BlockSpec((block_b, KH, T * G, E),
+                     lambda b, ik, lens: (b, 0, 0, 0)),
         pl.BlockSpec(kv_block, kv_idx),
         pl.BlockSpec(kv_block, kv_idx),
     ]
@@ -341,7 +407,7 @@ def decode_attention(
     if quantized:
         if stacked:
             sc_spec = pl.BlockSpec(
-                (1, 1, KH, 1, bk),
+                (1, block_b, KH, 1, bk),
                 lambda b, ik, lens: (
                     layer, b, 0, 0, kv_clamp(b, ik, lens)
                 ),
@@ -352,7 +418,7 @@ def decode_attention(
             ]
         else:
             sc_spec = pl.BlockSpec(
-                (1, KH, 1, bk),
+                (block_b, KH, 1, bk),
                 lambda b, ik, lens: (
                     b, 0, 0, kv_clamp(b, ik, lens)
                 ),
@@ -363,11 +429,12 @@ def decode_attention(
         W = k_stage.shape[-2]
         if stacked:
             st_spec = pl.BlockSpec(
-                (1, 1, KH, W, E), lambda b, ik, lens: (b, layer, 0, 0, 0)
+                (block_b, 1, KH, W, E),
+                lambda b, ik, lens: (b, layer, 0, 0, 0),
             )
         else:
             st_spec = pl.BlockSpec(
-                (1, KH, W, E), lambda b, ik, lens: (b, 0, 0, 0)
+                (block_b, KH, W, E), lambda b, ik, lens: (b, 0, 0, 0)
             )
         in_specs += [
             st_spec,
@@ -394,19 +461,20 @@ def decode_attention(
         window=window,
         softcap=softcap,
         n_draft=T,
+        block_b=block_b,
     )
     R = KH * T * G
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(B, num_kv),
+        grid=(B // block_b, num_kv),
         in_specs=in_specs,
         out_specs=pl.BlockSpec(
-            (1, R, E), lambda b, ik, lens: (b, 0, 0)
+            (block_b, R, E), lambda b, ik, lens: (b, 0, 0)
         ),
         scratch_shapes=[
-            pltpu.VMEM((R, E), jnp.float32),
-            pltpu.VMEM((R, 128), jnp.float32),
-            pltpu.VMEM((R, 128), jnp.float32),
+            pltpu.VMEM((block_b * R, E), jnp.float32),
+            pltpu.VMEM((block_b * R, 128), jnp.float32),
+            pltpu.VMEM((block_b * R, 128), jnp.float32),
         ],
     )
     o = pl.pallas_call(

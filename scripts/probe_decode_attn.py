@@ -76,21 +76,8 @@ def main():
     t = marginal(one_layer, (q, lengths, stn), 40, 240)
     gbps = bytes_layer / t / 1e9
     print(f"B={B} S={S} ctx={args.ctx}: per-layer decode_attention "
-          f"{t*1e6:.1f} us, {bytes_layer/1e6:.1f} MB -> {gbps:.0f} GB/s")
-
-    # all 32 layers back-to-back (what a decode step pays)
-    def all_layers(q, lengths, stn):
-        o = q
-        for li in range(nl):
-            o = decode_attention(
-                o, kc, vc, lengths, ksc, vsc,
-                k_stage=kst, v_stage=vst, staged_n=stn, layer=li,
-            )
-        return o
-
-    t32 = marginal(all_layers, (q, lengths, stn), 4, 24)
-    print(f"32 layers: {t32*1e3:.3f} ms ({t32/nl*1e6:.1f} us/layer, "
-          f"{bytes_layer*nl/t32/1e9:.0f} GB/s)")
+          f"{t*1e6:.1f} us, {bytes_layer/1e6:.1f} MB -> {gbps:.0f} GB/s "
+          f"(decode step pays 32x this)", flush=True)
 
 
 if __name__ == "__main__":

@@ -67,3 +67,57 @@ def test_decode_int8(S):
     ref = _naive_decode(q, k, v, lengths)
     rel = jnp.linalg.norm(got - ref) / jnp.linalg.norm(ref)
     assert rel < 0.05, rel
+
+
+@pytest.mark.parametrize("block_b", [2, 4])
+def test_decode_block_b_matches(block_b):
+    """block_b > 1 (multiple sequences per grid step) is exactly the
+    per-sequence kernel: ragged lengths still masked per sequence."""
+    q, k, v, lengths = _mk(4, 8, 2, 256, 64, seed=3)
+    want = decode_attention(q, k, v, lengths)
+    got = decode_attention(q, k, v, lengths, block_b=block_b)
+    np.testing.assert_allclose(got, want, atol=1e-6, rtol=1e-6)
+    np.testing.assert_allclose(
+        got, _naive_decode(q, k, v, lengths), atol=1e-3, rtol=1e-3
+    )
+
+
+def test_decode_block_b_int8_staged_stacked():
+    """Engine-layout path (stacked int8 caches + bf16 staging) with
+    block_b=4 equals block_b=1."""
+    B, QH, KH, S, E, W, nl = 4, 8, 2, 96, 64, 8, 3
+    ks = jax.random.split(jax.random.key(5), 7)
+    q = jax.random.normal(ks[0], (B, QH, 1, E), jnp.bfloat16)
+    kc = jax.random.randint(ks[1], (nl, B, KH, S, E), -127, 128, jnp.int8)
+    vc = jax.random.randint(ks[2], (nl, B, KH, S, E), -127, 128, jnp.int8)
+    ksc = jnp.abs(jax.random.normal(ks[3], (nl, B, KH, S))) * 0.05
+    vsc = jnp.abs(jax.random.normal(ks[4], (nl, B, KH, S))) * 0.05
+    kst = jax.random.normal(ks[5], (B, nl, KH, W, E), jnp.bfloat16)
+    vst = jax.random.normal(ks[6], (B, nl, KH, W, E), jnp.bfloat16)
+    lengths = jnp.asarray([5, 96, 31, 64], jnp.int32)
+    stn = jnp.asarray(4, jnp.int32)
+
+    for layer in range(nl):
+        want = decode_attention(
+            q, kc, vc, lengths, ksc, vsc,
+            k_stage=kst, v_stage=vst, staged_n=stn, layer=layer,
+        )
+        got = decode_attention(
+            q, kc, vc, lengths, ksc, vsc,
+            k_stage=kst, v_stage=vst, staged_n=stn, layer=layer,
+            block_b=4,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32), np.asarray(want, np.float32),
+            atol=1e-6, rtol=1e-6,
+        )
+
+
+def test_decode_block_b_window():
+    """Sliding window + block_b: per-sequence window masking intact
+    (the group-min low clamp may read more blocks, never fewer)."""
+    q, k, v, lengths = _mk(4, 4, 2, 512, 64, seed=7)
+    want = decode_attention(q, k, v, lengths, window=128, block_k=128)
+    got = decode_attention(q, k, v, lengths, window=128, block_k=128,
+                           block_b=2)
+    np.testing.assert_allclose(got, want, atol=1e-6, rtol=1e-6)
