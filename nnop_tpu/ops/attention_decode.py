@@ -280,6 +280,16 @@ def _staging_step_b(
         acc[sl, :] = acc[sl, :] * alpha + pv
 
 
+def pick_block_b(B, KH, bk, E, itemsize, budget=32 * 1024 * 1024):
+    """Largest block_b in (8, 4, 2, 1) dividing B whose K+V block DMA
+    fits the VMEM budget (the block is double-buffered by the pipeline;
+    32 MB leaves room for staging/scales/scratch under the 100 MB cap)."""
+    for nb in (8, 4, 2):
+        if B % nb == 0 and nb * KH * bk * E * 2 * itemsize <= budget:
+            return nb
+    return 1
+
+
 def decode_attention(
     q,
     k_cache,
@@ -338,6 +348,12 @@ def decode_attention(
     """
     B, QH, T, E = q.shape
     stacked = layer is not None
+    if block_b == 0:  # auto: batch sequences up to the VMEM budget
+        sub0 = 32 if k_cache.dtype == jnp.int8 else 8
+        bk0 = min(block_k, ((S0 := k_cache.shape[-2]) + sub0 - 1)
+                  // sub0 * sub0)
+        block_b = pick_block_b(B, k_cache.shape[-3], bk0, E,
+                               k_cache.dtype.itemsize)
     if B % block_b != 0:
         raise ValueError(f"B={B} not divisible by block_b={block_b}")
     _, KH, S, _ = k_cache.shape[-4:]

@@ -486,6 +486,7 @@ def make_decode_chunk(cfg: LlamaConfig, quantized: bool, chunk: int,
                         k_stage=k_stage, v_stage=v_stage, staged_n=i + 1,
                         layer=li, window=cfg.layer_window(li),
                         softcap=cfg.attn_softcap, scale=cfg.attn_scale,
+                        block_b=0,
                     )
                 x = _attn_out(layer, o, x, cfg)
                 x = _layer_mlp(layer, x, cfg)
@@ -640,6 +641,7 @@ def make_spec_chunk(cfg: LlamaConfig, quantized: bool, n_steps: int,
                     k_stage=k_stage, v_stage=v_stage, staged_n=T,
                     layer=li, window=cfg.layer_window(li),
                     softcap=cfg.attn_softcap, scale=cfg.attn_scale,
+                    block_b=0,
                 )
                 x = _attn_out(layer, o, x, cfg)
                 x = _layer_mlp(layer, x, cfg)
