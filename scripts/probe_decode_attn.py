@@ -23,7 +23,9 @@ def marginal(fn, args, n1, n2):
     @jax.jit
     def chain(n, *a):
         def body(i, c):
-            r = fn(*a)
+            # thread the carry into the first (float) arg so XLA cannot
+            # hoist the loop-invariant call out of the fori_loop
+            r = fn(a[0] + (c * 1e-30).astype(a[0].dtype), *a[1:])
             return c + r.astype(jnp.float32).sum()
 
         return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
@@ -49,7 +51,9 @@ def main():
 
     B, KH, QH, E, S = args.batch, 8, 32, 128, args.max_seq
     W = 32
-    nl = 32  # stacked like the engine
+    nl = 2  # stacked like the engine (2 layers keeps the cache args
+    # small; per-layer cost is what we measure — layer index 0 vs 1
+    # compiles the same kernel shape)
     ks = jax.random.split(jax.random.key(0), 8)
     q = jax.random.normal(ks[0], (B, QH, 1, E), jnp.bfloat16)
     kc = jax.random.randint(ks[1], (nl, B, KH, S, E), -127, 128, jnp.int8)
@@ -67,17 +71,50 @@ def main():
         + 2 * 2 * B * KH * W * E  # staging bf16
     )
 
-    def one_layer(q, lengths, stn):
-        return decode_attention(
-            q, kc, vc, lengths, ksc, vsc,
-            k_stage=kst, v_stage=vst, staged_n=stn, layer=0,
-        )
+    # caches are jit ARGUMENTS (closure capture bakes them in as
+    # program constants and re-uploads GBs per compile — NOTES.md)
+    base_bytes = 2 * B * KH * S * E  # int8 k+v only
 
-    t = marginal(one_layer, (q, lengths, stn), 40, 240)
-    gbps = bytes_layer / t / 1e9
-    print(f"B={B} S={S} ctx={args.ctx}: per-layer decode_attention "
-          f"{t*1e6:.1f} us, {bytes_layer/1e6:.1f} MB -> {gbps:.0f} GB/s "
-          f"(decode step pays 32x this)", flush=True)
+    for nb in (1, 8):
+        def one_layer(q, kc, vc, ksc, vsc, kst, vst, lengths, stn,
+                      _nb=nb):
+            return decode_attention(
+                q, kc, vc, lengths, ksc, vsc,
+                k_stage=kst, v_stage=vst, staged_n=stn, layer=0,
+                block_b=_nb,
+            )
+
+        t = marginal(one_layer,
+                     (q, kc, vc, ksc, vsc, kst, vst, lengths, stn),
+                     40, 240)
+        gbps = bytes_layer / t / 1e9
+        print(f"B={B} S={S} ctx={args.ctx} block_b={nb}: per-layer "
+              f"decode_attention {t*1e6:.1f} us, "
+              f"{bytes_layer/1e6:.1f} MB -> {gbps:.0f} GB/s "
+              f"(a decode step pays 32x this)", flush=True)
+
+    # variants to locate the slow stream
+    for nb in (1, 8):
+        def no_stage(q, kc, vc, ksc, vsc, lengths, _nb=nb):
+            return decode_attention(q, kc, vc, lengths, ksc, vsc,
+                                    layer=0, block_b=_nb)
+
+        t = marginal(no_stage, (q, kc, vc, ksc, vsc, lengths), 40, 240)
+        bts = base_bytes + 2 * 4 * B * KH * S
+        print(f"  no-staging block_b={nb}: {t*1e6:.1f} us -> "
+              f"{bts/t/1e9:.0f} GB/s", flush=True)
+
+    kf = kc[:, :, :, :, :].astype(jnp.bfloat16) * 0.01
+    vf = vc.astype(jnp.bfloat16) * 0.01
+    for nb in (1, 8):
+        def fp_plain(q, kf, vf, lengths, _nb=nb):
+            return decode_attention(q, kf, vf, lengths, layer=0,
+                                    block_b=_nb)
+
+        t = marginal(fp_plain, (q, kf, vf, lengths), 40, 240)
+        bts = 2 * base_bytes  # bf16 k+v
+        print(f"  bf16 no-scales no-staging block_b={nb}: "
+              f"{t*1e6:.1f} us -> {bts/t/1e9:.0f} GB/s", flush=True)
 
 
 if __name__ == "__main__":
