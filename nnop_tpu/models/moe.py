@@ -203,7 +203,16 @@ def moe_mlp_grouped(layer, h, cfg, *, act, block_m: int | None = None):
     k = cfg.n_experts_per_token
     if block_m is None:
         per_expert = (T * k) // E
-        block_m = max(128, min(512, (per_expert // 128) * 128))
+        if per_expert <= 64:
+            # decode-scale: tiny per-expert counts. At block_m=128 the
+            # padded (128, bk)@(bk, bn) dot (+ the weight cast) costs
+            # ~2.5x the weight block's DMA, strangling the stream the
+            # layer is bound by (measured 268 GB/s vs the 630 ceiling);
+            # 32 rows keep the MXU work under the DMA time. Re-streaming
+            # is bounded: <= ceil(per_expert*skew/32) blocks per expert.
+            block_m = 32
+        else:
+            block_m = max(128, min(512, (per_expert // 128) * 128))
 
     w, idx, probs = router_topk(h, layer["w_router"], k)
     src, dest, block_groups, Tp, order = sort_tokens_by_expert(idx, E,

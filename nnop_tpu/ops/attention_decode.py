@@ -63,12 +63,15 @@ def _decode_kernel(
     softcap: float | None = None,
     n_draft: int = 1,
     block_b: int = 1,
+    int8_dots: bool = False,
 ):
     rest = list(rest)
-    ks_ref = vs_ref = kst_ref = vst_ref = stn_ref = None
+    ks_ref = vs_ref = kst_ref = vst_ref = stn_ref = qs_ref = None
     if quantized:
         ks_ref = rest.pop(0)
         vs_ref = rest.pop(0)
+    if int8_dots:
+        qs_ref = rest.pop(0)  # SMEM (B, KH) f32 per-(seq, head) q scale
     if staged:
         # un-flushed recent tokens (bf16): (NB, KH, W, E) + valid count
         kst_ref = rest.pop(0)
@@ -116,6 +119,7 @@ def _decode_kernel(
                 n_kv_heads=n_kv_heads, group=group, quantized=quantized,
                 cache_len=cache_len, stacked=stacked, window=window,
                 softcap=softcap, n_draft=n_draft, n_st=n_st, G=G,
+                qs_ref=qs_ref, b=b, block_b=block_b,
             )
 
     if staged:
@@ -128,6 +132,7 @@ def _decode_kernel(
                     l_scr, scale=scale, n_kv_heads=n_kv_heads,
                     group=group, stacked=stacked, window=window,
                     softcap=softcap, n_draft=n_draft, n_st=n_st, G=G,
+                    qs_ref=qs_ref, b=b, block_b=block_b,
                 )
 
     @pl.when(ik == num_kv - 1)
@@ -143,7 +148,8 @@ def _decode_kernel(
 def _decode_step_b(
     bi, length, ik, q_ref, k_ref, v_ref, ks_ref, vs_ref, acc, m_scr,
     l_scr, *, scale, block_k, n_kv_heads, group, quantized, cache_len,
-    stacked, window, softcap, n_draft, n_st, G,
+    stacked, window, softcap, n_draft, n_st, G, qs_ref=None, b=None,
+    block_b=1,
 ):
     """One sequence's online-softmax update for KV block ik (scratch
     rows [bi][kh][r])."""
@@ -165,17 +171,28 @@ def _decode_step_b(
             mask,
             cols >= length + n_st - n_draft + row_t + 1 - window,
         )
+    int8_dots = qs_ref is not None
     for kh in range(n_kv_heads):
         sl = slice(bi * R + kh * G, bi * R + (kh + 1) * G)
         q = q_ref[bi, kh]
         k = k_ref[(*lead, kh)]
-        s = jax.lax.dot_general(
-            q.astype(jnp.bfloat16) if quantized else q,
-            k.astype(jnp.bfloat16) if quantized else k,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        s = s * scale
+        if int8_dots:
+            # native int8 MXU dot: no per-element K cast (the cast is
+            # what makes the dequant path compute-bound at short
+            # windows — measured 4x cheaper, scripts/probe_int8_dot.py)
+            s = jax.lax.dot_general(
+                q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.float32)
+            s = s * (scale * qs_ref[b * block_b + bi, kh])
+        else:
+            s = jax.lax.dot_general(
+                q.astype(jnp.bfloat16) if quantized else q,
+                k.astype(jnp.bfloat16) if quantized else k,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            s = s * scale
         if quantized:
             s = s * ks_ref[(*lead, kh)]  # (1, bk) per-token K scale
         if softcap is not None:
@@ -200,12 +217,25 @@ def _decode_step_b(
                 )
                 vs = jnp.where(vcols < cache_len, vs, 0.0)
             p = p * vs  # fold per-token V scale into P
-            pv = jax.lax.dot_general(
-                p.astype(jnp.bfloat16),
-                v_ref[(*lead, kh)].astype(jnp.bfloat16),
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
+            if int8_dots:
+                # quantize P per row (p >= 0) and keep V int8: the V
+                # cast is replaced by O(G*bk) quantization VPU work
+                pmax = jnp.maximum(
+                    jnp.max(p, axis=-1, keepdims=True), 1e-20
+                )
+                pi = jnp.round(p * (127.0 / pmax)).astype(jnp.int8)
+                pv = jax.lax.dot_general(
+                    pi, v_ref[(*lead, kh)],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                ).astype(jnp.float32) * (pmax * (1.0 / 127.0))
+            else:
+                pv = jax.lax.dot_general(
+                    p.astype(jnp.bfloat16),
+                    v_ref[(*lead, kh)].astype(jnp.bfloat16),
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
         else:
             v_blk = v_ref[(*lead, kh)]
             if cache_len % block_k != 0:
@@ -227,57 +257,81 @@ def _decode_step_b(
 def _staging_step_b(
     bi, length, q_ref, kst_ref, vst_ref, acc, m_scr, l_scr, *, scale,
     n_kv_heads, group, stacked, window, softcap, n_draft, n_st, G,
+    qs_ref=None, b=None, block_b=1,
 ):
     """One sequence's update for the un-flushed staging tokens (bf16,
-    no dequant): global positions [length, length + n_st)."""
+    no dequant): global positions [length, length + n_st).
+
+    Single flattened block-diagonal dot pair per sequence: all heads'
+    rows (R = KH*G) score against all heads' staged keys (KH*W columns)
+    in ONE MXU call, with cross-head terms masked out, then one state
+    update and one PV dot. The per-head loop this replaces issued
+    2*KH tiny dots + KH scratch RMW rounds per sequence per grid step —
+    ~30 us/layer at engine shapes, ~30% of decode-attention time. The
+    masked cross-head MACs are free (the (R, KH*W) score block is tiny
+    next to the KV stream)."""
     lead = (bi, 0) if stacked else (bi,)
     R = n_kv_heads * G
     W = kst_ref.shape[-2]
-    cols = jax.lax.broadcasted_iota(jnp.int32, (G, W), 1)
-    row_t = jax.lax.broadcasted_iota(jnp.int32, (G, W), 0) // group
+    C = n_kv_heads * W
+    sl = slice(bi * R, (bi + 1) * R)
+    # rows: [head][draft t][group g]; cols: [head][staged w]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (R, C), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (R, C), 1)
+    row_t = (rows % G) // group
+    w_col = cols % W
+    same_head = (rows // G) == (cols // W)
     # intra-draft causal: row t attends staged cols up to its own
     # position (n_st - n_draft + t); degenerates to cols < n_st
     # at n_draft = 1
     mask = jnp.logical_and(
-        cols <= n_st - n_draft + row_t, length > 0
+        same_head,
+        jnp.logical_and(w_col <= n_st - n_draft + row_t, length > 0),
     )
     if window is not None:
         # staging col j is global position length + j
         mask = jnp.logical_and(
-            mask, cols >= n_st - n_draft + row_t + 1 - window
+            mask, w_col >= n_st - n_draft + row_t + 1 - window
         )
-    for kh in range(n_kv_heads):
-        sl = slice(bi * R + kh * G, bi * R + (kh + 1) * G)
-        q = q_ref[bi, kh]
-        s = jax.lax.dot_general(
-            q.astype(jnp.bfloat16),
-            kst_ref[(*lead, kh)],
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
+    if qs_ref is not None:
+        # int8_dots mode: dequantize the int8 q for the bf16 staging K
+        # (R*E elements — negligible); scales are per (seq, head)
+        q = jnp.concatenate(
+            [
+                (q_ref[bi, kh].astype(jnp.float32)
+                 * qs_ref[b * block_b + bi, kh]).astype(jnp.bfloat16)
+                for kh in range(n_kv_heads)
+            ],
+            axis=0,
         )
-        s = s * scale
-        if softcap is not None:
-            s = softcap * jnp.tanh(s / softcap)
-        s = jnp.where(mask, s, MASK_VALUE)
-        m_prev = m_scr[sl, :1]
-        l_prev = l_scr[sl, :1]
-        m_new = jnp.maximum(
-            m_prev, jnp.max(s, axis=-1, keepdims=True)
-        )
-        alpha = jnp.exp(m_prev - m_new)
-        p = jnp.where(mask, jnp.exp(s - m_new), 0.0)
-        l_scr[sl, :] = jnp.broadcast_to(
-            l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True),
-            (G, 128),
-        )
-        m_scr[sl, :] = jnp.broadcast_to(m_new, (G, 128))
-        pv = jax.lax.dot_general(
-            p.astype(jnp.bfloat16),
-            vst_ref[(*lead, kh)],
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        acc[sl, :] = acc[sl, :] * alpha + pv
+    else:
+        q = q_ref[bi].reshape(R, q_ref.shape[-1]).astype(jnp.bfloat16)
+    kst = kst_ref[(*lead,)].reshape(C, kst_ref.shape[-1])
+    s = jax.lax.dot_general(
+        q, kst,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    s = s * scale
+    if softcap is not None:
+        s = softcap * jnp.tanh(s / softcap)
+    s = jnp.where(mask, s, MASK_VALUE)
+    m_prev = m_scr[sl, :1]
+    l_prev = l_scr[sl, :1]
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+    alpha = jnp.exp(m_prev - m_new)
+    p = jnp.where(mask, jnp.exp(s - m_new), 0.0)
+    l_scr[sl, :] = jnp.broadcast_to(
+        l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True), (R, 128)
+    )
+    m_scr[sl, :] = jnp.broadcast_to(m_new, (R, 128))
+    pv = jax.lax.dot_general(
+        p.astype(jnp.bfloat16),
+        vst_ref[(*lead,)].reshape(C, vst_ref.shape[-1]),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    acc[sl, :] = acc[sl, :] * alpha + pv
 
 
 def pick_block_b(B, KH, bk, E, itemsize, budget=32 * 1024 * 1024):
@@ -307,6 +361,7 @@ def decode_attention(
     window: int | None = None,
     softcap: float | None = None,
     block_b: int = 1,
+    int8_dots: bool = False,
 ):
     """Single-token decode attention over a (possibly INT8) KV cache.
 
@@ -345,6 +400,16 @@ def decode_attention(
     with one bigger DMA per step (per-sequence lengths still masked
     exactly; block skipping degrades to the group max). Requires
     B % block_b == 0.
+
+    int8_dots (int8 caches only): run both MXU contractions natively in
+    int8 instead of casting K/V to bf16. q is quantized per (seq, head)
+    on the host (scalar scales ride SMEM); P is re-quantized per row
+    in-kernel against its own max (P >= 0). The per-element K/V casts
+    are what make the dequant path compute-bound at short windows
+    (measured 453 vs 722 GB/s at S=640; the cast-free QK dot is 4x
+    cheaper — scripts/probe_int8_dot.py). Adds ~0.4% relative noise to
+    logits and output rows — below the int8 cache quantization noise
+    itself; the staging (bf16) side is computed from the dequantized q.
     """
     B, QH, T, E = q.shape
     stacked = layer is not None
@@ -378,6 +443,17 @@ def decode_attention(
         .transpose(0, 1, 3, 2, 4)
         .reshape(B, KH, T * G, E)
     )
+    q_scales = None
+    if int8_dots:
+        if not quantized:
+            raise ValueError("int8_dots requires an int8 KV cache")
+        qf = q_r.astype(jnp.float32)
+        q_scales = jnp.maximum(
+            jnp.max(jnp.abs(qf), axis=(2, 3)), 1e-8
+        ) / 127.0  # (B, KH): per-(seq, head-group) symmetric scale
+        q_r = jnp.clip(
+            jnp.round(qf / q_scales[:, :, None, None]), -127, 127
+        ).astype(jnp.int8)
 
     def _group_len(b, lens, red):
         # reduce the block_b lengths riding grid step b (index maps see
@@ -441,6 +517,9 @@ def decode_attention(
             )
             operands += [k_scale[:, :, None, :], v_scale[:, :, None, :]]
         in_specs += [sc_spec, sc_spec]
+    if int8_dots:
+        in_specs += [pl.BlockSpec(memory_space=pltpu.SMEM)]
+        operands += [q_scales]
     if staged:
         W = k_stage.shape[-2]
         if stacked:
@@ -478,6 +557,7 @@ def decode_attention(
         softcap=softcap,
         n_draft=T,
         block_b=block_b,
+        int8_dots=int8_dots,
     )
     R = KH * T * G
     grid_spec = pltpu.PrefetchScalarGridSpec(

@@ -93,6 +93,23 @@ def main():
               f"{bytes_layer/1e6:.1f} MB -> {gbps:.0f} GB/s "
               f"(a decode step pays 32x this)", flush=True)
 
+    # native int8 MXU dots (no K/V casts): staging + scales, engine mode
+    for nb in (1, 8):
+        def i8dots(q, kc, vc, ksc, vsc, kst, vst, lengths, stn,
+                   _nb=nb):
+            return decode_attention(
+                q, kc, vc, lengths, ksc, vsc,
+                k_stage=kst, v_stage=vst, staged_n=stn, layer=0,
+                block_b=_nb, int8_dots=True,
+            )
+
+        t = marginal(i8dots,
+                     (q, kc, vc, ksc, vsc, kst, vst, lengths, stn),
+                     40, 240)
+        gbps = bytes_layer / t / 1e9
+        print(f"  int8_dots block_b={nb}: {t*1e6:.1f} us -> "
+              f"{gbps:.0f} GB/s", flush=True)
+
     # variants to locate the slow stream
     for nb in (1, 8):
         def no_stage(q, kc, vc, ksc, vsc, lengths, _nb=nb):

@@ -69,6 +69,67 @@ def test_decode_int8(S):
     assert rel < 0.05, rel
 
 
+@pytest.mark.parametrize("S", [64, 96])
+def test_decode_int8_dots(S):
+    """Native int8 MXU dots (q quantized per (seq, head), P per row)
+    track the dequant path within the int8 noise floor."""
+    q, k, v, lengths = _mk(2, 8, 2, S, 64, seed=1)
+
+    def quant(x):
+        amax = jnp.max(jnp.abs(x), axis=-1)
+        scale = jnp.maximum(amax, 1e-8) / 127.0
+        vals = jnp.clip(jnp.round(x / scale[..., None]), -127,
+                        127).astype(jnp.int8)
+        return vals, scale
+
+    kq, ks = quant(k)
+    vq, vs = quant(v)
+    got = decode_attention(q, kq, vq, lengths, ks, vs, int8_dots=True)
+    want = _naive_decode(
+        q, kq.astype(jnp.float32) * ks[..., None],
+        vq.astype(jnp.float32) * vs[..., None], lengths,
+    )
+    # q/P quantization adds ~0.4% on top of bf16-level error
+    np.testing.assert_allclose(got, want, atol=4e-2, rtol=4e-2)
+    ref = decode_attention(q, kq, vq, lengths, ks, vs)
+    rel = jnp.linalg.norm(
+        got.astype(jnp.float32) - ref.astype(jnp.float32)
+    ) / jnp.linalg.norm(ref.astype(jnp.float32))
+    # ~1.2% vs the dequant path (q per-head-group + P per-row requant),
+    # well under the ~5% the int8 cache itself costs vs fp attention
+    assert rel < 0.02, rel
+
+
+def test_decode_int8_dots_staged_stacked():
+    """int8_dots composes with the engine layout (stacked caches, bf16
+    staging, block_b, multi-token spec verify)."""
+    B, QH, KH, S, E, W, nl = 4, 8, 2, 96, 64, 8, 2
+    ks = jax.random.split(jax.random.key(5), 7)
+    T = 2
+    q = jax.random.normal(ks[0], (B, QH, T, E), jnp.bfloat16)
+    kc = jax.random.randint(ks[1], (nl, B, KH, S, E), -127, 128, jnp.int8)
+    vc = jax.random.randint(ks[2], (nl, B, KH, S, E), -127, 128, jnp.int8)
+    ksc = jnp.abs(jax.random.normal(ks[3], (nl, B, KH, S))) * 0.05
+    vsc = jnp.abs(jax.random.normal(ks[4], (nl, B, KH, S))) * 0.05
+    kst = jax.random.normal(ks[5], (B, nl, KH, W, E), jnp.bfloat16)
+    vst = jax.random.normal(ks[6], (B, nl, KH, W, E), jnp.bfloat16)
+    lengths = jnp.asarray([5, 96, 31, 64], jnp.int32)
+    stn = jnp.asarray(4, jnp.int32)
+    want = decode_attention(
+        q, kc, vc, lengths, ksc, vsc,
+        k_stage=kst, v_stage=vst, staged_n=stn, layer=1, block_b=2,
+    )
+    got = decode_attention(
+        q, kc, vc, lengths, ksc, vsc,
+        k_stage=kst, v_stage=vst, staged_n=stn, layer=1, block_b=2,
+        int8_dots=True,
+    )
+    rel = jnp.linalg.norm(
+        got.astype(jnp.float32) - want.astype(jnp.float32)
+    ) / jnp.linalg.norm(want.astype(jnp.float32))
+    assert rel < 0.015, rel
+
+
 @pytest.mark.parametrize("block_b", [2, 4])
 def test_decode_block_b_matches(block_b):
     """block_b > 1 (multiple sequences per grid step) is exactly the
