@@ -250,6 +250,14 @@ def main():
         "decode_window_staged", o_staged_w[:2], o_flushed_w[:2], 4e-2, 4e-2
     )
 
+    # native int8 MXU dots (q + P quantized in/around the kernel): must
+    # track the dequant path within the requant noise (~1.2%)
+    o_i8 = decode_attention(
+        qd, kc2, vc2, base, ksc2, vsc2,
+        k_stage=kst, v_stage=vst, staged_n=W, layer=0, int8_dots=True,
+    )
+    ok &= check("decode_int8_dots", o_i8[:2], o_staged[:2], 4e-2, 4e-2)
+
     # multi-token (speculative verify) decode: row t must equal a
     # single-token decode whose staging is truncated to the same visible
     # prefix (staged cols <= staged_n - T + t) — CPU oracle coverage is in
