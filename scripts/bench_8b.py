@@ -42,6 +42,10 @@ def main():
     ap.add_argument("--layers", type=int, default=0,
                     help="override n_layers (mixtral 8x7b int8 needs "
                     "<=6 layers to fit one v5e; tokens/s scales ~1/layers)")
+    ap.add_argument("--prefill", type=int, default=0,
+                    help="measure PREFILL instead: time the engine's "
+                    "prefill program (make_prefill_unrolled) at this "
+                    "prompt length, batch --batch")
     args = ap.parse_args()
 
     from nnop_tpu.models.llama import LlamaConfig, init_quantized_params
@@ -61,6 +65,10 @@ def main():
         init_quantized_params(jax.random.key(0), cfg, wbits=args.wbits)
     )
     jax.block_until_ready(jax.tree.leaves(params)[0])
+
+    if args.prefill:
+        _bench_prefill(args, cfg, params)
+        return
 
     B, ctx, chunk = args.batch, args.context, args.chunk
     alloc = -(-(args.max_seq + STAGE_W + 32) // 32) * 32
@@ -134,6 +142,65 @@ def main():
             f"({wbytes/1e9:.1f} GB packed weights -> {wbytes/step/1e9:.0f} GB/s)",
             flush=True,
         )
+
+
+def _bench_prefill(args, cfg, params):
+    """Engine prefill program (make_prefill_unrolled) at (B, L):
+    tokens/s and TFLOP/s. The TTFT a request sees is this time plus one
+    host round-trip (~40 ms on this tunnel)."""
+    from nnop_tpu.runtime.engine import make_prefill_unrolled
+
+    B, L = args.batch, args.prefill
+    prefill = make_prefill_unrolled(cfg)
+    tokens0 = jax.random.randint(
+        jax.random.key(2), (B, L), 0, cfg.vocab_size, jnp.int32
+    )
+
+    @jax.jit
+    def chain(params, tokens0, n):
+        def body(i, carry):
+            tokens, acc = carry
+            logits, k, v = prefill(params, tokens)
+            # thread a data dependence so XLA can't hoist the call
+            bump = (logits[0, -1, 0] * 0.0).astype(jnp.int32)
+            return ((tokens + bump) % cfg.vocab_size,
+                    acc + logits[0, -1, 0].astype(jnp.float32))
+
+        _, acc = jax.lax.fori_loop(0, n, body, (tokens0, jnp.float32(0)))
+        return acc
+
+    print("compiling prefill chain...", file=sys.stderr, flush=True)
+    t0 = time.time()
+    float(chain(params, tokens0, jnp.int32(1)))
+    print(f"compiled in {time.time()-t0:.0f}s", file=sys.stderr, flush=True)
+
+    vals = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(chain(params, tokens0, jnp.int32(1)))
+        t1 = time.perf_counter()
+        float(chain(params, tokens0, jnp.int32(4)))
+        t2 = time.perf_counter()
+        vals.append(((t2 - t1) - (t1 - t0)) / 3)
+    vals.sort()
+    t = vals[1]
+
+    # matmul weight flops: 2 * tokens * (one MAC per int8 weight byte);
+    # attention: QK + PV = 2 * 2 * L^2 * E * QH per layer (causal halves
+    # the realized work but the MACs visited are what we count for MFU)
+    wbytes = sum(
+        v.size for v in jax.tree.leaves(params)
+        if hasattr(v, "dtype") and v.dtype == jnp.int8
+    )
+    flops = 2 * B * L * wbytes + (
+        2 * 2 * B * L * L * cfg.head_dim * cfg.n_heads * cfg.n_layers
+    )
+    print(
+        f"{args.model} INT{args.wbits} PREFILL ({cfg.n_layers} layers, "
+        f"engine unrolled path): B={B} L={L}: {t*1e3:.2f} ms = "
+        f"{B*L/t:.0f} tokens/s/chip, {flops/t/1e12:.1f} TFLOP/s",
+        flush=True,
+    )
 
 
 if __name__ == "__main__":
