@@ -326,6 +326,22 @@ def bench_qmm(results):
     log(f"qmm int8 32x4096x28672: {t8*1e3:.3f} ms ({gb8/t8:.0f} GB/s); "
         f"int4 {t4*1e3:.3f} ms ({gb4/t4:.0f} GB/s) = {t8/t4:.2f}x")
 
+    # W8A8 at a PREFILL shape (M=2048): native int8-MXU dots vs the
+    # cast->bf16 weight-only path — prefill is compute-bound, and the
+    # int8 MXU runs at ~2x the bf16 rate
+    from nnop_tpu.ops.quantized_matmul import quantized_matmul_w8a8
+
+    Mp = 2048
+    xp = jax.random.normal(jax.random.key(3), (Mp, K), jnp.bfloat16)
+    tw = marginal_time(mk(quantized_matmul, w8), xp)
+    ta = marginal_time(mk(quantized_matmul_w8a8, w8), xp)
+    fl = 2 * Mp * K * N / 1e12
+    results["qmm_w8a8"] = dict(
+        time_s=ta, tflops=fl / ta, speedup_vs_weight_only=tw / ta
+    )
+    log(f"qmm w8a8 2048x4096x28672: {ta*1e3:.3f} ms ({fl/ta:.0f} TF/s) "
+        f"vs weight-only {tw*1e3:.3f} ms ({fl/tw:.0f} TF/s) = {tw/ta:.2f}x")
+
 
 def bench_moe(results):
     """Grouped (Pallas, int8 experts) MoE layer at Mixtral-8x7B geometry,

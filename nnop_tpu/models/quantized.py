@@ -10,9 +10,14 @@ the forward pass routes them through the fused-dequant Pallas matmul
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 from nnop_tpu.ops.quantization import QTensor, QTensor4, quantize, quantize4
-from nnop_tpu.ops.quantized_matmul import quantized_matmul, quantized_matmul4
+from nnop_tpu.ops.quantized_matmul import (
+    quantized_matmul,
+    quantized_matmul4,
+    quantized_matmul_w8a8,
+)
 
 _QUANT_KEYS = {"wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down", "lm_head"}
 
@@ -62,3 +67,18 @@ def qmatmul(x, w):
     if isinstance(w, QTensor4):
         return quantized_matmul4(x, w)
     return jnp.einsum("bld,do->blo", x, w)
+
+
+def qmatmul_w8a8(x, w):
+    """Like qmatmul, but large-M int8 matmuls run W8A8 on the native int8
+    MXU (per-token activation quant; ~1.8x the cast->bf16 rate at prefill
+    shapes on v5e — quantized_matmul.py rationale). Small-M (decode) and
+    int4/fp8 weights keep the weight-only path, whose activations are
+    exact."""
+    if (
+        isinstance(w, QTensor)
+        and w.values.dtype == jnp.int8
+        and int(np.prod(x.shape[:-1])) >= 256
+    ):
+        return quantized_matmul_w8a8(x, w)
+    return qmatmul(x, w)

@@ -126,6 +126,145 @@ def quantized_matmul(
 
 
 # ---------------------------------------------------------------------------
+# W8A8: native int8 MXU dots (activation quantization)
+#
+# The weight-only kernel above casts the int8 weight block to bf16 and
+# runs the MXU at the bf16 rate — right for decode (HBM-bound on the
+# weight stream) but leaves half the MXU on the table for prefill, where
+# M is large and the matmul is compute-bound. v5e's MXU runs
+# int8 x int8 -> int32 at ~2x the bf16 rate; quantizing activations
+# per-row (per-token symmetric, the standard W8A8 recipe) keeps the dot
+# in int8 end-to-end. Measured (scripts/probe_w8a8.py, M=2048 K=4096
+# N=14336, one v5e): 280.7 TF/s vs 157.2 for cast->bf16 (1.79x, past the
+# ~200 TF/s bf16 peak); the rowwise activation quant costs 3.6% of the
+# matmul at M=2048. Both per-row and per-channel scales factor out of the
+# K contraction, so the fp32 fixup is one O(M*N) multiply on the final
+# K step.
+
+
+def _w8a8_kernel(
+    x_ref,
+    w_ref,
+    xs_ref,
+    ws_ref,
+    o_ref,
+    acc,
+    *,
+    n_k: int,
+    block_k: int,
+    k_dim: int,
+):
+    ik = pl.program_id(2)
+
+    @pl.when(ik == 0)
+    def _():
+        acc[...] = jnp.zeros_like(acc)
+
+    x = x_ref[...]
+    w = w_ref[...]
+    if k_dim % block_k != 0:
+        rows = ik * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, (block_k, 1), 0
+        )
+        valid = rows < k_dim
+        x = jnp.where(valid.reshape(1, block_k), x, jnp.zeros_like(x))
+        w = jnp.where(valid, w, jnp.zeros_like(w))
+    acc[...] += jax.lax.dot_general(
+        x,
+        w,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+
+    @pl.when(ik == n_k - 1)
+    def _():
+        o_ref[...] = (
+            acc[...].astype(jnp.float32) * xs_ref[...] * ws_ref[...]
+        ).astype(o_ref.dtype)
+
+
+def quantize_act(x: jax.Array):
+    """Per-row symmetric int8 activation quantization.
+
+    x: (..., K) -> (values int8 same shape, scale (..., 1) f32). One XLA
+    pass over x; cheap relative to the matmuls it feeds (probe: 3.6% of
+    one N=14336 matmul at M=2048, and one quant feeds qkv OR gate+up)."""
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
+    scale = jnp.maximum(amax, 1e-8) / 127.0
+    values = jnp.clip(
+        jnp.round(x.astype(jnp.float32) / scale), -127.0, 127.0
+    ).astype(jnp.int8)
+    return values, scale
+
+
+def quantized_matmul_w8a8(
+    x,
+    w: QTensor,
+    *,
+    block_m: int | None = None,
+    block_n: int = 512,
+    block_k: int = 1024,
+    out_dtype=None,
+) -> jax.Array:
+    """W8A8 matmul: int8 activations x int8 weights on the int8 MXU.
+
+    `x` is either a float array (quantized per-row here) or a pre-
+    quantized `(values, scale)` pair from quantize_act — pass the pair
+    when one activation tensor feeds several projections. Accumulation is
+    exact int32; the per-row and per-channel scales apply once to the
+    final accumulator, so the only approximation over the weight-only
+    path is the activation rounding itself."""
+    if w.axis != 0:
+        raise ValueError("quantized_matmul_w8a8 expects scale over axis 0")
+    if w.values.dtype != jnp.int8:
+        raise ValueError("quantized_matmul_w8a8 requires int8 weights")
+    if isinstance(x, tuple):
+        xv, xs = x
+        out_dtype = out_dtype or jnp.bfloat16
+    else:
+        xv, xs = quantize_act(x)
+        out_dtype = out_dtype or x.dtype
+    lead = xv.shape[:-1]
+    K = xv.shape[-1]
+    N = w.values.shape[1]
+    if w.values.shape[0] != K:
+        raise ValueError(f"K mismatch: x {K} vs w {w.values.shape[0]}")
+    x2 = xv.reshape(-1, K)
+    s2 = xs.reshape(-1, 1)
+    M = x2.shape[0]
+
+    bm = block_m or min(512, round_up(M, 32))
+    bn = min(block_n, round_up(N, 128))
+    bk = min(block_k, round_up(K, 128))
+
+    kernel = functools.partial(
+        _w8a8_kernel,
+        n_k=cdiv(K, bk),
+        block_k=bk,
+        k_dim=K,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(cdiv(N, bn), cdiv(M, bm), cdiv(K, bk)),
+        in_specs=[
+            pl.BlockSpec((bm, bk), lambda n, m, k: (m, k)),
+            pl.BlockSpec((bk, bn), lambda n, m, k: (k, n)),
+            pl.BlockSpec((bm, 1), lambda n, m, k: (m, 0)),
+            pl.BlockSpec((1, bn), lambda n, m, k: (0, n)),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda n, m, k: (m, n)),
+        out_shape=jax.ShapeDtypeStruct((M, N), out_dtype),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret_default(),
+    )(x2, w.values, s2, w.scale.reshape(1, N))
+    return out.reshape(*lead, N)
+
+
+# ---------------------------------------------------------------------------
 # INT4: packed nibbles unpacked on the VPU inside the K loop
 #
 # Layout contract with ops/quantization.quantize4: the packed (P/2, bn)

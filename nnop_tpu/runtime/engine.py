@@ -29,7 +29,9 @@ kernel library with no runtime). TPU-first design (round 2):
 
 from __future__ import annotations
 
+import contextvars
 import dataclasses
+import math
 from typing import Optional
 
 import jax
@@ -39,14 +41,33 @@ from nnop_tpu.models.llama import LlamaConfig, _merge_heads, _split_heads
 from nnop_tpu.ops.attention_decode import decode_attention
 from nnop_tpu.ops.flash_attention import flash_attention
 from nnop_tpu.ops.quantization import QTensor, QTensor4
-from nnop_tpu.ops.quantized_matmul import quantized_matmul, quantized_matmul4
+from nnop_tpu.ops.quantized_matmul import (
+    quantized_matmul,
+    quantized_matmul4,
+    quantized_matmul_w8a8,
+)
 from nnop_tpu.ops.rms_norm import rms_norm
 from nnop_tpu.ops.rope import RotaryEmbedding, llama_rope
 
 
+_W8A8 = contextvars.ContextVar("nnop_w8a8", default=False)
+
+
 def _mm(x, w):
-    """Matmul dispatch: QTensor/QTensor4 weights -> fused-dequant kernel."""
+    """Matmul dispatch: QTensor/QTensor4 weights -> fused-dequant kernel.
+
+    Under the _W8A8 trace-time flag (set by the prefill builders when
+    Engine(w8a8=True)), large-M int8 matmuls route to the native int8-MXU
+    W8A8 kernel (quantized_matmul_w8a8: 1.8x the cast->bf16 rate at
+    prefill shapes). Decode stays weight-only: M<=batch is HBM-bound and
+    activation rounding buys nothing there."""
     if isinstance(w, QTensor):
+        if (
+            _W8A8.get()
+            and w.values.dtype == jnp.int8
+            and math.prod(x.shape[:-1]) >= 256
+        ):
+            return quantized_matmul_w8a8(x, w)
         return quantized_matmul(x, w)
     if isinstance(w, QTensor4):
         return quantized_matmul4(x, w)
@@ -694,13 +715,23 @@ def make_spec_chunk(cfg: LlamaConfig, quantized: bool, n_steps: int,
     return chunk_fn
 
 
-def make_prefill_unrolled(cfg: LlamaConfig):
+def make_prefill_unrolled(cfg: LlamaConfig, *, w8a8: bool = False):
     """Prefill over UNROLLED (optionally weight-fused) params — the same
     param set the chunked decode uses, so the engine holds one copy of the
     weights. Returns prefill(params, tokens (B, L)) ->
-    (logits (B, L, V), k (nl, B, KH, L, E), v)."""
+    (logits (B, L, V), k (nl, B, KH, L, E), v).
+
+    w8a8=True routes large-M int8 matmuls to the native int8-MXU kernel
+    (per-token activation quantization; see _mm)."""
 
     def prefill(params, tokens):
+        tok = _W8A8.set(w8a8)
+        try:
+            return _prefill(params, tokens)
+        finally:
+            _W8A8.reset(tok)
+
+    def _prefill(params, tokens):
         B, L = tokens.shape
         positions = jnp.broadcast_to(
             jnp.arange(L, dtype=jnp.int32)[None], (B, L)
@@ -729,7 +760,7 @@ def make_prefill_unrolled(cfg: LlamaConfig):
     return prefill
 
 
-def make_prefill_chunk_step(cfg: LlamaConfig):
+def make_prefill_chunk_step(cfg: LlamaConfig, *, w8a8: bool = False):
     """CHUNKED prefill into a live K/V buffer: processes one chunk of the
     prompt whose rows start at `offset` (traced), attending the fp K/V of
     all PREVIOUS chunks through the offset-aware causal kernel
@@ -743,6 +774,13 @@ def make_prefill_chunk_step(cfg: LlamaConfig):
     from nnop_tpu.ops.flash_attention import flash_attention_chunked
 
     def step(params, tokens_c, ks_buf, vs_buf, offset):
+        tok = _W8A8.set(w8a8)
+        try:
+            return _step(params, tokens_c, ks_buf, vs_buf, offset)
+        finally:
+            _W8A8.reset(tok)
+
+    def _step(params, tokens_c, ks_buf, vs_buf, offset):
         B, C = tokens_c.shape
         S = ks_buf.shape[3]
         positions = offset + jnp.broadcast_to(
@@ -852,7 +890,7 @@ class Engine:
                  paged: bool = False, page_size: int = 512,
                  n_pages: Optional[int] = None, prefill_chunk: int = 512,
                  pipeline_depth: int = 2, spec_k: int = 0,
-                 prefix_cache: bool = False):
+                 prefix_cache: bool = False, w8a8: bool = False):
         self.cfg = cfg
         self.tokenizer = tokenizer
         self.max_batch = max_batch
@@ -950,9 +988,12 @@ class Engine:
                                   page_size=page_size if paged else 0),
                 donate_argnums=(1,),
             )
-        self._prefill = jax.jit(make_prefill_unrolled(cfg))
+        self.w8a8 = w8a8
+        self._prefill = jax.jit(make_prefill_unrolled(cfg, w8a8=w8a8))
         self.prefill_chunk = prefill_chunk
-        self._prefill_chunk_fn = jax.jit(make_prefill_chunk_step(cfg))
+        self._prefill_chunk_fn = jax.jit(
+            make_prefill_chunk_step(cfg, w8a8=w8a8)
+        )
         self.slots: list[Optional[Request]] = [None] * max_batch
         self.queue: list[Request] = []
         self._rid = 0

@@ -46,6 +46,9 @@ def main():
                     help="measure PREFILL instead: time the engine's "
                     "prefill program (make_prefill_unrolled) at this "
                     "prompt length, batch --batch")
+    ap.add_argument("--w8a8", action="store_true",
+                    help="prefill mode: activation-quantized int8-MXU "
+                    "matmuls (quantized_matmul_w8a8)")
     args = ap.parse_args()
 
     from nnop_tpu.models.llama import LlamaConfig, init_quantized_params
@@ -151,7 +154,7 @@ def _bench_prefill(args, cfg, params):
     from nnop_tpu.runtime.engine import make_prefill_unrolled
 
     B, L = args.batch, args.prefill
-    prefill = make_prefill_unrolled(cfg)
+    prefill = make_prefill_unrolled(cfg, w8a8=args.w8a8)
     tokens0 = jax.random.randint(
         jax.random.key(2), (B, L), 0, cfg.vocab_size, jnp.int32
     )

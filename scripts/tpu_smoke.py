@@ -334,6 +334,27 @@ def main():
     )
     ok &= check("grouped_matmul_q4", got_q4, want_q4, 1e-3, 1e-3)
 
+    # W8A8: native int8-MXU matmul must match the exact integer reference
+    from nnop_tpu.ops.quantized_matmul import (
+        quantize_act, quantized_matmul_w8a8,
+    )
+
+    xw = jax.random.normal(jax.random.key(30), (512, 1024), jnp.bfloat16)
+    ww = quantize(
+        jax.random.normal(jax.random.key(31), (1024, 768), jnp.float32),
+        axis=0,
+    )
+    got_w8 = quantized_matmul_w8a8(xw, ww, out_dtype=jnp.float32)
+    xq, xs = quantize_act(xw)
+    want_w8 = (
+        (xq.astype(jnp.int32) @ ww.values.astype(jnp.int32)).astype(
+            jnp.float32
+        )
+        * xs
+        * ww.scale[None, :]
+    )
+    ok &= check("qmm_w8a8", got_w8, want_w8, 1e-5, 1e-5)
+
     print(f"total {time.time()-t0:.1f}s")
     sys.exit(0 if ok else 1)
 

@@ -156,3 +156,89 @@ def layer_k_dim(key, cfg):
         "wo": cfg.n_heads * cfg.head_dim,
         "w_gate": cfg.dim, "w_up": cfg.dim, "w_down": cfg.hidden_dim,
     }[key]
+
+
+# ---------------------------------------------------------------------------
+# W8A8: native int8-MXU matmul with per-token activation quantization
+
+
+@pytest.mark.parametrize("M,K,N", [(256, 256, 512), (300, 300, 200), (512, 1000, 384)])
+def test_qmm_w8a8_exact_vs_integer_reference(M, K, N):
+    # int32 accumulation is exact: the kernel must match the integer
+    # reference to f32 rounding
+    from nnop_tpu.ops.quantized_matmul import quantize_act, quantized_matmul_w8a8
+
+    x = jax.random.normal(jax.random.key(6), (M, K), jnp.float32)
+    w = jax.random.normal(jax.random.key(7), (K, N), jnp.float32)
+    wq = quantize(w, axis=0)
+    got = quantized_matmul_w8a8(x, wq, block_m=128, block_n=128, block_k=256)
+    xq, xs = quantize_act(x)
+    acc = xq.astype(jnp.int32) @ wq.values.astype(jnp.int32)
+    want = acc.astype(jnp.float32) * xs * wq.scale[None, :]
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+    # and the activation rounding keeps the result close to full precision
+    rel = jnp.linalg.norm(got - x @ w) / jnp.linalg.norm(x @ w)
+    assert rel < 0.02
+
+
+def test_qmm_w8a8_prequantized_tuple_and_batched():
+    from nnop_tpu.ops.quantized_matmul import quantize_act, quantized_matmul_w8a8
+
+    x = jax.random.normal(jax.random.key(8), (2, 160, 256), jnp.bfloat16)
+    w = jax.random.normal(jax.random.key(9), (256, 512), jnp.float32)
+    wq = quantize(w, axis=0)
+    got = quantized_matmul_w8a8(x, wq, block_m=128, block_n=256, block_k=128)
+    assert got.shape == (2, 160, 512)
+    assert got.dtype == jnp.bfloat16
+    pair = quantize_act(x)
+    got2 = quantized_matmul_w8a8(pair, wq, block_m=128, block_n=256, block_k=128)
+    np.testing.assert_allclose(
+        got.astype(jnp.float32), got2.astype(jnp.float32), rtol=1e-2, atol=1e-2
+    )
+    want = (
+        x.astype(jnp.float32).reshape(-1, 256) @ dequantize(wq)
+    ).reshape(2, 160, 512)
+    rel = jnp.linalg.norm(got.astype(jnp.float32) - want) / jnp.linalg.norm(want)
+    assert rel < 0.02
+
+
+def test_qmatmul_w8a8_dispatch():
+    # large M + int8 -> w8a8 path; small M and int4 fall back to weight-only
+    from nnop_tpu.models.quantized import qmatmul, qmatmul_w8a8
+
+    w = jax.random.normal(jax.random.key(10), (256, 512), jnp.float32)
+    wq = quantize(w, axis=0)
+    big = jax.random.normal(jax.random.key(11), (1, 512, 256), jnp.bfloat16)
+    small = big[:, :8]
+    out_big = qmatmul_w8a8(big, wq)
+    want_big = qmatmul(big, wq)
+    rel = jnp.linalg.norm(
+        out_big.astype(jnp.float32) - want_big.astype(jnp.float32)
+    ) / jnp.linalg.norm(want_big.astype(jnp.float32))
+    assert rel < 0.02  # act-quant noise only
+    out_small = qmatmul_w8a8(small, wq)
+    np.testing.assert_array_equal(
+        np.asarray(out_small), np.asarray(qmatmul(small, wq))
+    )  # fell back: bitwise identical
+
+
+def test_engine_prefill_w8a8_matches():
+    # the w8a8 engine produces the same greedy tokens as weight-only on a
+    # tiny model (activation rounding must not flip argmaxes on this input)
+    from nnop_tpu.models.llama import LlamaConfig, init_params
+    from nnop_tpu.models.quantized import quantize_params
+    from nnop_tpu.runtime.engine import Engine
+
+    cfg = LlamaConfig(
+        vocab_size=64, dim=64, n_layers=2, n_heads=2, n_kv_heads=2,
+        head_dim=32, hidden_dim=128, max_seq_len=128, dtype=jnp.float32,
+    )
+    params = quantize_params(init_params(jax.random.key(12), cfg))
+    prompts = [list(range(1, 34)), [5, 9, 2, 7] * 8]
+    outs = []
+    for w8a8 in (False, True):
+        eng = Engine(params, cfg, max_batch=2, max_seq=128, w8a8=w8a8)
+        reqs = [eng.submit(p, max_new_tokens=8) for p in prompts]
+        eng.run()
+        outs.append([r.out for r in reqs])
+    assert outs[0] == outs[1]
