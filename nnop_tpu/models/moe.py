@@ -108,7 +108,8 @@ def make_dispatch(idx, weights, n_experts: int, capacity: int):
     return dispatch, combine
 
 
-def moe_mlp(layer, h, cfg, *, act, impl: str | None = None):
+def moe_mlp(layer, h, cfg, *, act, impl: str | None = None,
+            w8a8: bool = False):
     """MoE SwiGLU over flattened tokens h (T, d) -> (T, d), plus the
     router aux loss. layer holds w_router (d, E) and stacked expert
     weights w_gate/w_up (E, d, hidden), w_down (E, hidden, d).
@@ -123,7 +124,7 @@ def moe_mlp(layer, h, cfg, *, act, impl: str | None = None):
             or isinstance(layer.get("w_gate"), (QTensor, QTensor4))):
         # quantized and engine-fused experts are always served by the
         # grouped path (the dispatch einsums below need plain arrays)
-        return moe_mlp_grouped(layer, h, cfg, act=act)
+        return moe_mlp_grouped(layer, h, cfg, act=act, w8a8=w8a8)
     T, d = h.shape
     E = cfg.n_experts
     k = cfg.n_experts_per_token
@@ -180,7 +181,8 @@ def sort_tokens_by_expert(idx, n_experts: int, block_m: int):
     return src, dest, block_groups, Tp, order
 
 
-def moe_mlp_grouped(layer, h, cfg, *, act, block_m: int | None = None):
+def moe_mlp_grouped(layer, h, cfg, *, act, block_m: int | None = None,
+                    w8a8: bool = False):
     """Exact-work MoE via ops/grouped_matmul (megablox-style): tokens
     sorted by expert, three grouped matmuls, weighted scatter-add back.
     Dropless always (capacity_factor is ignored); differentiable —
@@ -195,6 +197,7 @@ def moe_mlp_grouped(layer, h, cfg, *, act, block_m: int | None = None):
         _grouped_matmul_q4,
         grouped_matmul,
         grouped_matmul_quantized,
+        grouped_matmul_w8a8,
     )
     from nnop_tpu.ops.quantization import QTensor, QTensor4
 
@@ -221,6 +224,12 @@ def moe_mlp_grouped(layer, h, cfg, *, act, block_m: int | None = None):
 
     def gmm(x, wts):
         if isinstance(wts, QTensor):
+            # w8a8 (opt-in, prefill-scale only): native int8 dots beat
+            # cast->bf16 where the layer is MXU-bound, i.e. large Tp;
+            # decode-scale stays weight-only (HBM-bound, exact acts)
+            if w8a8 and wts.values.dtype == jnp.int8 and Tp >= 1024:
+                return grouped_matmul_w8a8(x, wts, block_groups,
+                                           block_m=block_m)
             return grouped_matmul_quantized(x, wts, block_groups,
                                             block_m=block_m)
         if isinstance(wts, QTensor4):
@@ -294,6 +303,7 @@ def moe_mlp_local_experts(layer, h, cfg, *, act, lo: int, n_local: int,
         _grouped_matmul_q4,
         grouped_matmul,
         grouped_matmul_quantized,
+        grouped_matmul_w8a8,
     )
     from nnop_tpu.ops.quantization import QTensor, QTensor4
 
@@ -312,6 +322,12 @@ def moe_mlp_local_experts(layer, h, cfg, *, act, lo: int, n_local: int,
 
     def gmm(x, wts):
         if isinstance(wts, QTensor):
+            # w8a8 (opt-in, prefill-scale only): native int8 dots beat
+            # cast->bf16 where the layer is MXU-bound, i.e. large Tp;
+            # decode-scale stays weight-only (HBM-bound, exact acts)
+            if w8a8 and wts.values.dtype == jnp.int8 and Tp >= 1024:
+                return grouped_matmul_w8a8(x, wts, block_groups,
+                                           block_m=block_m)
             return grouped_matmul_quantized(x, wts, block_groups,
                                             block_m=block_m)
         if isinstance(wts, QTensor4):

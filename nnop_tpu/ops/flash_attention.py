@@ -447,6 +447,7 @@ def _fwd_rect_static(q, k, v, scale, precision, bq):
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel"),
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret_default(),
     )(q, k, v)
@@ -494,6 +495,7 @@ def _fwd_causal_multicall(q, k, v, scale, precision, bq):
             ],
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("parallel", "parallel"),
+                vmem_limit_bytes=100 * 1024 * 1024,
             ),
             interpret=interpret_default(),
         )(q, k, v)
@@ -676,6 +678,7 @@ def _fwd_impl(q, k, v, pair, kpad, causal, scale, block_q=None, block_k=None, pr
         scratch_shapes=scratch_shapes,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret_default(),
     )(*operands)

@@ -468,6 +468,7 @@ def _bwd_causal_multicall(q, k, v, lse, delta, do, scale, precision, bq):
             out_shape=jax.ShapeDtypeStruct((B, QH, bq, E), q.dtype),
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("parallel", "parallel"),
+                vmem_limit_bytes=100 * 1024 * 1024,
             ),
             interpret=interpret_default(),
         )(q, k, v, do, lse, delta)
@@ -501,6 +502,7 @@ def _bwd_causal_multicall(q, k, v, lse, delta, do, scale, precision, bq):
             ],
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("parallel", "parallel"),
+                vmem_limit_bytes=100 * 1024 * 1024,
             ),
             interpret=interpret_default(),
         )(q, k, v, do, lse, delta)
@@ -538,6 +540,7 @@ def _bwd_rect_static(q, k, v, lse, delta, do, scale, precision, bq):
         out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel"),
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret_default(),
     )(q, k, v, do, lse, delta)
@@ -567,6 +570,7 @@ def _bwd_rect_static(q, k, v, lse, delta, do, scale, precision, bq):
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel"),
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret_default(),
     )(q, k, v, do, lse, delta)
@@ -719,6 +723,7 @@ def flash_attention_bwd(
         scratch_shapes=[pltpu.VMEM((bq, E), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret_default(),
     )(*dq_operands)
@@ -838,6 +843,7 @@ def flash_attention_bwd(
                 "arbitrary",
                 "arbitrary",
             ),
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret_default(),
     )(*dkv_operands)

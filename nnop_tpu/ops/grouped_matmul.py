@@ -333,6 +333,109 @@ def grouped_matmul_quantized(x, wq, block_groups, *, block_m: int = 128,
 
 
 # ---------------------------------------------------------------------------
+# W8A8 variant: native int8 x int8 -> int32 MXU dots (activation
+# quantization; see ops/quantized_matmul.py quantized_matmul_w8a8 for the
+# measured 1.66-1.8x over cast->bf16 at compute-bound shapes). MoE
+# PREFILL is the consumer: at T>=2048 the grouped int8 kernel is
+# MXU-bound (104 TF/s at T=8192), so int8 dots raise the ceiling; decode
+# (T~=2*B) stays on the weight-only kernel.
+
+
+def _gmm_w8a8_kernel(g_ref, x_ref, w_ref, xs_ref, s_ref, o_ref, acc, *,
+                     n_k, block_k, k_dim):
+    del g_ref
+    ik = pl.program_id(2)
+
+    @pl.when(ik == 0)
+    def _():
+        acc[...] = jnp.zeros_like(acc)
+
+    x = x_ref[...]
+    w = w_ref[0]
+    if k_dim % block_k != 0:
+        rows = ik * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, (block_k, 1), 0
+        )
+        valid = rows < k_dim
+        x = jnp.where(valid.reshape(1, block_k), x, jnp.zeros_like(x))
+        w = jnp.where(valid, w, jnp.zeros_like(w))
+    acc[...] += jax.lax.dot_general(
+        x, w,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+
+    @pl.when(ik == n_k - 1)
+    def _():
+        o_ref[...] = (
+            acc[...].astype(jnp.float32) * xs_ref[...] * s_ref[0, 0]
+        ).astype(o_ref.dtype)
+
+
+def grouped_matmul_w8a8(x, wq, block_groups, *, block_m: int = 128,
+                        block_n: int = 2048, block_k: int = 1024,
+                        out_dtype=None):
+    """Grouped W8A8 matmul: int8 tokens x int8 stacked experts.
+
+    x: (Tp, K) float (quantized per-row here) or a pre-quantized
+    (values int8, scale (Tp, 1) f32) pair; wq: QTensor(values (E, K, N)
+    int8, scale (E, N), axis=1); block_groups as in grouped_matmul.
+    int32 accumulation is exact; the per-row x per-(expert, channel)
+    scale fixup applies once on the final K step. Forward-only."""
+    from nnop_tpu.ops.quantization import QTensor
+    from nnop_tpu.ops.quantized_matmul import quantize_act
+
+    if not isinstance(wq, QTensor) or wq.axis != 1:
+        raise ValueError("expected QTensor with scale over axis 1 (per-E,N)")
+    if wq.values.dtype != jnp.int8:
+        raise ValueError("grouped_matmul_w8a8 requires int8 weights")
+    if isinstance(x, tuple):
+        xv, xs = x
+        out_dtype = out_dtype or jnp.bfloat16
+    else:
+        xv, xs = quantize_act(x)
+        out_dtype = out_dtype or x.dtype
+    Tp, K = xv.shape
+    E, Kw, N = wq.values.shape
+    if Kw != K:
+        raise ValueError(f"K mismatch: x {K} vs w {Kw}")
+    if Tp % block_m != 0:
+        raise ValueError(f"rows {Tp} not a multiple of block_m {block_m}")
+    bn = min(block_n, round_up(N, 128))
+    bk = min(block_k, round_up(K, 128))
+
+    kernel = functools.partial(
+        _gmm_w8a8_kernel,
+        n_k=cdiv(K, bk),
+        block_k=bk,
+        k_dim=K,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(Tp // block_m, cdiv(N, bn), cdiv(K, bk)),
+        in_specs=[
+            pl.BlockSpec((block_m, bk), lambda m, n, k, g: (m, k)),
+            pl.BlockSpec((1, bk, bn), lambda m, n, k, g: (g[m], k, n)),
+            pl.BlockSpec((block_m, 1), lambda m, n, k, g: (m, 0)),
+            pl.BlockSpec((1, 1, bn), lambda m, n, k, g: (g[m], 0, n)),
+        ],
+        out_specs=pl.BlockSpec((block_m, bn), lambda m, n, k, g: (m, n)),
+        scratch_shapes=[pltpu.VMEM((block_m, bn), jnp.int32)],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((Tp, N), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret_default(),
+    )(block_groups.astype(jnp.int32), xv, wq.values, xs,
+      wq.scale[:, None, :])
+
+
+# ---------------------------------------------------------------------------
 # INT4 variant: packed-nibble stacked experts (see ops/quantized_matmul.py
 # _qmm4_kernel for the unpack strategy — i32 shifts, group scales folded
 # into the weight planes in VMEM, no sublane concat). Halves the expert

@@ -148,6 +148,7 @@ def _layer_mlp(layer, x, cfg: LlamaConfig):
         out, _ = moe_mlp(
             layer, h.reshape(B * L, d), cfg,
             act=lambda v: _act(cfg, v), impl="grouped",
+            w8a8=_W8A8.get(),
         )
         out = out.reshape(B, L, d).astype(x.dtype)
         return x + _post_norm(layer, out, cfg, "mlp_post_norm")
@@ -292,17 +293,22 @@ def _write_tokens(cache, new, positions):
 
 
 def sample_tokens(logits, key, temperature: float = 0.0, top_k: int = 0,
-                  top_p: float = 1.0):
-    """Greedy (temperature 0) or temperature/top-k/top-p sampling.
+                  top_p: float = 1.0, min_p: float = 0.0):
+    """Greedy (temperature 0) or temperature/top-k/top-p/min-p sampling.
     logits (B, V). top_p masks to the smallest prefix of the
     descending-prob distribution with cumulative mass >= top_p (the
-    top-1 token always survives)."""
+    top-1 token always survives); min_p drops tokens whose probability
+    is below min_p * max-probability (scale-adaptive tail cut)."""
     if temperature <= 0.0:
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
     scaled = logits / temperature
     if top_k > 0:
         kth = jnp.sort(scaled, axis=-1)[:, -top_k][:, None]
         scaled = jnp.where(scaled >= kth, scaled, -jnp.inf)
+    if min_p > 0.0:
+        # p >= min_p * pmax  <=>  logit >= max_logit + log(min_p)
+        cut = jnp.max(scaled, axis=-1, keepdims=True) + jnp.log(min_p)
+        scaled = jnp.where(scaled >= cut, scaled, -jnp.inf)
     if top_p < 1.0:
         desc = jnp.sort(scaled, axis=-1)[:, ::-1]
         probs = jax.nn.softmax(desc, axis=-1)
@@ -445,7 +451,7 @@ def fuse_decode_weights(params):
 
 def make_decode_chunk(cfg: LlamaConfig, quantized: bool, chunk: int,
                       temperature: float = 0.0, top_k: int = 0,
-                      top_p: float = 1.0,
+                      top_p: float = 1.0, min_p: float = 0.0,
                       paged: bool = False, page_size: int = 0,
                       logprobs: bool = False):
     """The engine fast path: W(=chunk) decode steps in ONE dispatch.
@@ -515,7 +521,8 @@ def make_decode_chunk(cfg: LlamaConfig, quantized: bool, chunk: int,
             x = rms_norm(x, params["final_norm"], cfg.rms_eps,
                          offset=cfg.rms_offset)
             logits = _lm_logits(params, cfg, x)[:, 0]
-            nxt = sample_tokens(logits, sub, temperature, top_k, top_p)
+            nxt = sample_tokens(logits, sub, temperature, top_k, top_p,
+                                min_p)
             toks = jax.lax.dynamic_update_slice(toks, nxt[None], (i, 0))
             if logprobs:
                 logp = jax.nn.log_softmax(logits, axis=-1)
@@ -869,6 +876,9 @@ class Request:
     out: list[int] = dataclasses.field(default_factory=list)
     logprobs: list[float] = dataclasses.field(default_factory=list)
     done: bool = False
+    # stop sequences (token-id lists): generation ends when the output
+    # tail matches one; the matched tokens are removed from `out`
+    stop: list[list[int]] = dataclasses.field(default_factory=list)
 
 
 class Engine:
@@ -884,7 +894,7 @@ class Engine:
     def __init__(self, params, cfg: LlamaConfig, *, max_batch=8,
                  max_seq=2048, quantized_kv=False, eos_id=None,
                  tokenizer=None, temperature: float = 0.0, top_k: int = 0,
-                 top_p: float = 1.0,
+                 top_p: float = 1.0, min_p: float = 0.0,
                  seed: int = 0, chunk_size: int = 8, fuse_weights=True,
                  logprobs: bool = False,
                  paged: bool = False, page_size: int = 512,
@@ -900,6 +910,7 @@ class Engine:
         self.temperature = temperature
         self.top_k = top_k
         self.top_p = top_p
+        self.min_p = min_p
         self.logprobs = logprobs
         if not 1 <= chunk_size <= STAGE_W:
             raise ValueError(f"chunk_size must be in [1, {STAGE_W}]")
@@ -983,7 +994,7 @@ class Engine:
         else:
             self._chunk = jax.jit(
                 make_decode_chunk(cfg, quantized_kv, chunk_size, temperature,
-                                  top_k, top_p, logprobs=logprobs,
+                                  top_k, top_p, min_p, logprobs=logprobs,
                                   paged=paged,
                                   page_size=page_size if paged else 0),
                 donate_argnums=(1,),
@@ -1033,21 +1044,26 @@ class Engine:
                 if self._page_refs[pid] <= 0:
                     self._free_pages.append(pid)
 
-    def submit(self, prompt: list[int], max_new_tokens: int = 32) -> Request:
+    def submit(self, prompt: list[int], max_new_tokens: int = 32,
+               stop: Optional[list[list[int]]] = None) -> Request:
         if len(prompt) + max_new_tokens > self.max_seq:
             raise ValueError(
                 f"prompt ({len(prompt)}) + max_new_tokens ({max_new_tokens}) "
                 f"exceeds max_seq {self.max_seq}"
             )
-        req = Request(self._rid, prompt, max_new_tokens)
+        req = Request(self._rid, prompt, max_new_tokens,
+                      stop=[list(s) for s in (stop or []) if s])
         self._rid += 1
         self.queue.append(req)
         return req
 
-    def submit_text(self, text: str, max_new_tokens: int = 32) -> Request:
+    def submit_text(self, text: str, max_new_tokens: int = 32,
+                    stop: Optional[list[str]] = None) -> Request:
         if self.tokenizer is None:
             raise ValueError("Engine was built without a tokenizer")
-        return self.submit(self.tokenizer.encode(text), max_new_tokens)
+        stop_ids = [self.tokenizer.encode(s) for s in (stop or [])]
+        return self.submit(self.tokenizer.encode(text), max_new_tokens,
+                           stop=stop_ids)
 
     def decode_text(self, req: Request) -> str:
         if self.tokenizer is None:
@@ -1253,15 +1269,17 @@ class Engine:
             self._key, sub = jax.random.split(self._key)
             first = int(
                 sample_tokens(logits, sub, self.temperature, self.top_k,
-                              self.top_p)[0]
+                              self.top_p, self.min_p)[0]
             )
             self.state.last_token = self.state.last_token.at[slot].set(first)
             req.out.append(first)
             if self.logprobs:
                 lp0 = jax.nn.log_softmax(logits[0])[first]
                 req.logprobs.append(float(lp0))
-            if (self.eos_id is not None and first == self.eos_id) or (
-                req.max_new_tokens <= 1
+            if (
+                (self.eos_id is not None and first == self.eos_id)
+                or req.max_new_tokens <= 1
+                or self._hit_stop(req)
             ):
                 req.done = True
                 self.slots[slot] = None
@@ -1312,6 +1330,17 @@ class Engine:
             self._collect(*self._inflight.pop(0))
         return dispatched or bool(self._inflight)
 
+    def _hit_stop(self, req) -> bool:
+        """True if req.out now ends with one of its stop sequences; the
+        matched tokens are removed from the output (and logprobs)."""
+        for seq in req.stop:
+            n = len(seq)
+            if len(req.out) >= n and req.out[-n:] == seq:
+                del req.out[-n:]
+                del req.logprobs[len(req.out):]
+                return True
+        return False
+
     def _collect(self, toks_dev, counts_dev, live, lps_dev=None):
         toks = jax.device_get(toks_dev)  # (chunk, B) or (steps, B, T)
         counts = (
@@ -1344,6 +1373,7 @@ class Engine:
                 if (
                     len(req.out) >= req.max_new_tokens
                     or (self.eos_id is not None and tok == self.eos_id)
+                    or self._hit_stop(req)
                     or full
                 ):
                     # mid-chunk finish: the slot kept decoding to chunk

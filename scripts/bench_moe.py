@@ -61,7 +61,8 @@ def main():
     ap.add_argument("--t", type=int, default=0,
                     help="single token count (0 = sweep)")
     ap.add_argument("--impl", type=str, default="",
-                    help="single impl: grouped|einsum|grouped_q ('' = both)")
+                    help="single impl: grouped|einsum|grouped_q|"
+                    "grouped_q_w8a8 ('' = both)")
     args = ap.parse_args()
 
     from nnop_tpu.models.llama import LlamaConfig
@@ -76,7 +77,7 @@ def main():
         return jax.random.normal(key, shape, jnp.bfloat16) * 0.02
 
     layer = init_moe_layer(jax.random.key(0), cfg, dense)
-    if args.impl == "grouped_q":
+    if args.impl.startswith("grouped_q"):
         from nnop_tpu.ops.quantization import quantize
 
         qlayer = {
@@ -102,7 +103,7 @@ def main():
                 dataclasses.replace(cfg, capacity_factor=1.25))
         row = [f"T={T:5d}"]
         for impl in impls:
-            lyr = qlayer if impl == "grouped_q" else layer
+            lyr = qlayer if impl.startswith("grouped_q") else layer
             # einsum at large T pays O(T*E*C*d) dispatch-mask FLOPs --
             # ~0.9 s/iter at T=2048, ~7 s/iter at T=8192; shrink spreads
             n1, n2 = (32, 288) if T <= 256 else (4, 40)
@@ -110,8 +111,9 @@ def main():
                 n1, n2 = 2, 12
             def f(h, layer, _impl=impl, _cfg=ecfg):
                 c = cfg if _impl != "einsum" else _cfg
-                return moe_mlp(layer, h, c, act=jax.nn.silu,
-                               impl=_impl.replace("_q", ""))
+                base = "grouped" if _impl.startswith("grouped") else _impl
+                return moe_mlp(layer, h, c, act=jax.nn.silu, impl=base,
+                               w8a8=_impl.endswith("w8a8"))
 
             try:
                 t = marginal(f, h, lyr, n1, n2)

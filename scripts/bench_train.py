@@ -15,6 +15,7 @@ Usage: python scripts/bench_train.py [--batch 8] [--seq 2048] [--remat]
 """
 
 import argparse
+import functools
 import os
 import sys
 import time
@@ -68,7 +69,9 @@ def main():
                                 cfg.vocab_size)
     targets = jnp.roll(tokens, -1, axis=1)
 
-    @jax.jit
+    # donate params/opt state: without donation the chain holds TWO
+    # copies of params + AdamW moments (~9 GB at 445M) and OOMs the chip
+    @functools.partial(jax.jit, donate_argnums=(1, 2))
     def chain(n, params, state, tokens, targets):
         def body(i, carry):
             p, s, acc = carry
@@ -81,8 +84,8 @@ def main():
 
     print("compiling train chain...", file=sys.stderr, flush=True)
     t0 = time.time()
-    out = chain(1, params, state, tokens, targets)
-    jax.block_until_ready(out)
+    params, state, _ = chain(1, params, state, tokens, targets)
+    jax.block_until_ready(params)
     print(f"compiled in {time.time()-t0:.0f}s", file=sys.stderr, flush=True)
 
     # marginal timing (NOTES.md methodology: ~40 ms host RTT)
@@ -90,8 +93,8 @@ def main():
     t = {}
     for n in (n1, n2, n1, n2):
         t0 = time.time()
-        out = chain(n, params, state, tokens, targets)
-        float(out[2])
+        params, state, loss = chain(n, params, state, tokens, targets)
+        float(loss)
         t[n] = time.time() - t0
     step_s = (t[n2] - t[n1]) / (n2 - n1)
 

@@ -325,3 +325,42 @@ def test_engine_logprobs(params):
         # f32 full-forward oracle; rankings match (same greedy tokens)
         assert abs(lp - want) < 2e-2, (lp, want)
         toks.append(tok)
+
+
+def test_min_p_masks_tail():
+    """min_p keeps exactly the tokens with p >= min_p * pmax."""
+    from nnop_tpu.runtime.engine import sample_tokens
+
+    logits = jnp.log(jnp.asarray([[0.5, 0.30, 0.15, 0.05]], jnp.float32))
+    # min_p=0.4: only p=0.5 survives (0.3 < 0.2? no — 0.3 >= 0.2 stays).
+    # thresholds: 0.4*0.5=0.2 -> {0.5, 0.3} survive
+    hits = set()
+    for seed in range(30):
+        t = int(sample_tokens(logits, jax.random.key(seed),
+                              temperature=1.0, min_p=0.4)[0])
+        hits.add(t)
+    assert hits <= {0, 1}
+    # min_p=0.9 -> greedy-like: only token 0
+    for seed in range(10):
+        assert int(sample_tokens(logits, jax.random.key(seed),
+                                 temperature=1.0, min_p=0.9)[0]) == 0
+
+
+def test_engine_stop_sequences(params):
+    """Generation halts when the output tail matches a stop sequence and
+    the matched tokens are stripped from the output."""
+    prompt = [5, 17, 42, 7, 99, 3, 12, 8]
+    want = greedy_reference(params, prompt, 8)
+
+    eng = Engine(params, CFG, max_batch=1, max_seq=64)
+    stop = [want[3:5]]  # tokens 4-5 of the greedy stream
+    r = eng.submit(prompt, max_new_tokens=8, stop=stop)
+    eng.run()
+    assert r.done
+    assert r.out == want[:3]
+
+    # single-token stop on the FIRST (prefill-sampled) token
+    eng2 = Engine(params, CFG, max_batch=1, max_seq=64)
+    r2 = eng2.submit(prompt, max_new_tokens=8, stop=[[want[0]]])
+    eng2.run()
+    assert r2.done and r2.out == []

@@ -276,6 +276,38 @@ def test_grouped_matmul_quantized():
                                atol=1e-4, rtol=1e-3)
 
 
+def test_grouped_matmul_w8a8_exact():
+    """W8A8 grouped matmul == exact integer reference (int32 accum)."""
+    from nnop_tpu.ops.grouped_matmul import grouped_matmul_w8a8
+    from nnop_tpu.ops.quantization import quantize
+    from nnop_tpu.ops.quantized_matmul import quantize_act
+
+    E, K, N, bm = 3, 200, 256, 8
+    Tp = 4 * bm
+    keys = jax.random.split(jax.random.key(6), 2)
+    x = jax.random.normal(keys[0], (Tp, K), jnp.float32)
+    w = jax.random.normal(keys[1], (E, K, N), jnp.float32) * 0.1
+    wq = quantize(w, axis=1)
+    bg = jnp.array([0, 1, 1, 2], jnp.int32)
+    got = grouped_matmul_w8a8(x, wq, bg, block_m=bm, block_k=128)
+    xq, xs = quantize_act(x)
+    expert_of_row = np.repeat(np.asarray(bg), bm)
+    want = np.stack([
+        (np.asarray(xq[i], np.int64) @
+         np.asarray(wq.values[expert_of_row[i]], np.int64)).astype(np.float64)
+        * float(xs[i, 0]) * np.asarray(wq.scale[expert_of_row[i]], np.float64)
+        for i in range(Tp)
+    ])
+    np.testing.assert_allclose(np.asarray(got, np.float64), want,
+                               rtol=1e-5, atol=1e-5)
+    # close to the fp reference too (act rounding only)
+    from nnop_tpu.ops.grouped_matmul import grouped_matmul
+    ref = grouped_matmul(x, w, bg, block_m=bm)
+    rel = np.linalg.norm(np.asarray(got) - np.asarray(ref)) / np.linalg.norm(
+        np.asarray(ref))
+    assert rel < 0.02
+
+
 # ---------------------------------------------------------------------------
 # quantized MoE (int8 stacked experts) + engine serving
 
