@@ -59,6 +59,13 @@ from nnop_tpu.utils.platform import (
 MASK_VALUE = -1e30  # large-negative instead of -inf: avoids inf-inf=NaN
 
 
+def _ref2d(ref):
+    """Load a whole block whose leading dims are all 1 as a 2-D value —
+    lets the same strip kernel serve 4-D and 5-D (chunk-folded) specs."""
+    x = ref[...]
+    return x.reshape(x.shape[-2], x.shape[-1])
+
+
 def _attn_step(
     q_ref,
     k_ref,
@@ -281,40 +288,107 @@ def _fwd_kernel_rect(
         _attn_finish(o_ref, lse_ref, acc, m_scr, l_scr)
 
 
+def _strip_subtile_mask(
+    j, sk, block_q, row0, col0, causal, window, kpad_j, qseg_blk, kseg_j
+):
+    """Combined mask for one static sub-tile of a strip kernel, or None.
+
+    All offsets are Python ints, so the causal/window components are
+    compile-time patterns; kpad/segment components are cheap VPU compares.
+    `kpad_j`/`kseg_j` are the sub-tile's own (1, sk) rows — callers keep
+    the mask operands laid out (n_sub, sk) so per-sub-tile selection is a
+    SUBLANE slice (a lane slice of a (1, kw) row produces an offset
+    vector layout Mosaic cannot re-broadcast). Masking only p (not s) is
+    exact: an unmasked (too-large) running max rescales p and l
+    identically, so the normalized o and the m+log(l) residual are
+    unchanged.
+    """
+    c0 = col0 + j * sk  # global column of the sub-tile's first key
+    mask = None
+    rows = cols = None
+
+    def iotas():
+        nonlocal rows, cols
+        if rows is None:
+            rows = jax.lax.broadcasted_iota(jnp.int32, (block_q, sk), 0)
+            cols = jax.lax.broadcasted_iota(jnp.int32, (block_q, sk), 1)
+        return rows, cols
+
+    if causal and row0 < c0 + sk - 1:  # sub-tile touches the diagonal
+        r, c = iotas()
+        mask = r + (row0 - c0) >= c
+    if window is not None and row0 + block_q - 1 - c0 >= window:
+        r, c = iotas()
+        wm = (r + (row0 - c0)) - c < window
+        mask = wm if mask is None else jnp.logical_and(mask, wm)
+    if kpad_j is not None:
+        kp = kpad_j != 0
+        mask = kp if mask is None else jnp.logical_and(mask, kp)
+    if qseg_blk is not None:
+        sm = qseg_blk == kseg_j
+        mask = sm if mask is None else jnp.logical_and(mask, sm)
+    return mask
+
+
 def _causal_strip_kernel(
-    q_ref,
-    k_ref,
-    v_ref,
-    o_ref,
-    lse_ref,
-    *,
+    *refs,
     scale,
     row0,
+    col0,
     block_q,
     sk,
     precision,
+    causal=True,
+    has_kpad=False,
+    has_seg=False,
+    window=None,
+    softcap=None,
 ):
     """One q-block strip of causal attention, FULLY STATIC.
 
-    Processes q rows [row0, row0+block_q) against K cols [0, row0+block_q)
+    Processes q rows [row0, row0+block_q) against K cols [col0, col0+kw)
     as a Python-unrolled sequence of sk-wide sub-tiles: sub-tiles wholly
     below the diagonal run with zero masking passes; the diagonal
-    sub-tile(s) use a compile-time triangular mask (row0 and j are Python
-    ints, so the row/col iota offset is a constant). Softmax state (m, l,
-    acc) lives in VALUES — no scratch buffers, no pl.when, no dynamic
-    addressing — so Mosaic gets straight-line vector code per grid step.
-    The 2x causal flop saving is realized by the CALLER launching one such
-    call per q block with a static KV width (the below-diagonal prefix).
+    sub-tile(s) use a compile-time triangular mask (row0/col0 and j are
+    Python ints, so the row/col iota offset is a constant). Softmax state
+    (m, l, acc) lives in VALUES — no scratch buffers, no pl.when, no
+    dynamic addressing — so Mosaic gets straight-line vector code per grid
+    step. The 2x causal flop saving is realized by the CALLER launching
+    one such call per q block with a static KV width (the below-diagonal
+    prefix).
+
+    Round 3: optional kpad / segment masks (one extra VPU compare per
+    sub-tile), Gemma-2 softcap, and a static `window` mask + `col0` KV
+    offset — these only ADD masking passes to otherwise identical
+    straight-line code, keeping packed-document / Mistral / Gemma-2
+    training on the fast path (VERDICT r2 item 3).
     """
-    q = (q_ref[0, 0].astype(jnp.float32) * scale).astype(q_ref.dtype)
-    kw = k_ref.shape[2]
+    idx = 0
+    q_ref = refs[idx]; idx += 1
+    k_ref = refs[idx]; idx += 1
+    v_ref = refs[idx]; idx += 1
+    kpad_ref = qseg_ref = kseg_ref = None
+    if has_kpad:
+        kpad_ref = refs[idx]; idx += 1
+    if has_seg:
+        qseg_ref = refs[idx]; idx += 1
+        kseg_ref = refs[idx]; idx += 1
+    o_ref, lse_ref = refs[idx : idx + 2]
+
+    q = (_ref2d(q_ref).astype(jnp.float32) * scale).astype(q_ref.dtype)
+    qseg = _ref2d(qseg_ref) if has_seg else None  # (bq, 1)
+    kpad = _ref2d(kpad_ref) if has_kpad else None  # (n_sub, sk)
+    kseg = _ref2d(kseg_ref) if has_seg else None  # (n_sub, sk)
+    k_all = _ref2d(k_ref)
+    v_all = _ref2d(v_ref)
+    kw = k_all.shape[0]
     n_sub = kw // sk
     m = None
     l = None
     acc = None
     for j in range(n_sub):
-        k = k_ref[0, 0, j * sk : (j + 1) * sk, :]
-        v = v_ref[0, 0, j * sk : (j + 1) * sk, :]
+        k = k_all[j * sk : (j + 1) * sk, :]
+        v = v_all[j * sk : (j + 1) * sk, :]
         s = jax.lax.dot_general(
             q,
             k,
@@ -322,19 +396,18 @@ def _causal_strip_kernel(
             preferred_element_type=jnp.float32,
             precision=precision,
         )
-        offset = row0 - j * sk  # static
-        masked = offset < block_q - 1  # sub-tile touches the diagonal
-        if masked:
-            rows = jax.lax.broadcasted_iota(jnp.int32, (block_q, sk), 0)
-            cols = jax.lax.broadcasted_iota(jnp.int32, (block_q, sk), 1)
-            mask = rows + offset >= cols  # static pattern
-            # mask only p, not s: an unmasked (too-large) running max just
-            # rescales p and l identically — the normalized o and the
-            # m+log(l) residual are exact either way.
+        if softcap is not None:
+            s = softcap * jnp.tanh(s / softcap)
+        mask = _strip_subtile_mask(
+            j, sk, block_q, row0, col0, causal, window,
+            kpad[j : j + 1, :] if has_kpad else None,
+            qseg,
+            kseg[j : j + 1, :] if has_seg else None,
+        )
         if m is None:
             m_new = jnp.max(s, axis=-1, keepdims=True)
             p = jnp.exp(s - m_new)
-            if masked:
+            if mask is not None:
                 p = jnp.where(mask, p, 0.0)
             l = jnp.sum(p, axis=-1, keepdims=True)
             acc = jax.lax.dot_general(
@@ -347,7 +420,7 @@ def _causal_strip_kernel(
         else:
             m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
             p = jnp.exp(s - m_new)
-            if masked:
+            if mask is not None:
                 p = jnp.where(mask, p, 0.0)
             alpha = jnp.exp(m - m_new)
             l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
@@ -360,8 +433,10 @@ def _causal_strip_kernel(
             )
         m = m_new
     l_safe = jnp.where(l == 0.0, 1.0, l)
-    o_ref[0, 0] = (acc / l_safe).astype(o_ref.dtype)
-    lse_ref[0, 0] = m + jnp.log(l_safe)
+    o_ref[...] = (acc / l_safe).astype(o_ref.dtype).reshape(o_ref.shape)
+    lse_ref[...] = (m + jnp.log(l_safe)).astype(lse_ref.dtype).reshape(
+        lse_ref.shape
+    )
 
 
 _CAUSAL_STRIP_SK = 512
@@ -377,23 +452,30 @@ _CAUSAL_STRIP_KV_BYTES = 9 * 1024 * 1024
 
 
 def _rect_static_kernel(
-    q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, sk, precision
+    q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, sk, precision,
+    softcap=None,
 ):
     """Non-causal forward with the whole KV range per grid step, statically
     unrolled over sk-wide sub-tiles with value-carried softmax state —
     same straight-line structure as _causal_strip_kernel (measured ~2x
     faster than the scratch+pl.when rectangular pipeline at E=64, where
-    per-grid-step fixed machinery dominates)."""
-    q = (q_ref[0, 0].astype(jnp.float32) * scale).astype(q_ref.dtype)
-    kw = k_ref.shape[2]
+    per-grid-step fixed machinery dominates). Also serves the mask-free
+    off-diagonal pieces of the chunked long-context causal decomposition
+    (_fwd_causal_chunked)."""
+    q = (_ref2d(q_ref).astype(jnp.float32) * scale).astype(q_ref.dtype)
+    k_all = _ref2d(k_ref)
+    v_all = _ref2d(v_ref)
+    kw = k_all.shape[0]
     m = None
     for j in range(kw // sk):
-        k = k_ref[0, 0, j * sk : (j + 1) * sk, :]
-        v = v_ref[0, 0, j * sk : (j + 1) * sk, :]
+        k = k_all[j * sk : (j + 1) * sk, :]
+        v = v_all[j * sk : (j + 1) * sk, :]
         s = jax.lax.dot_general(
             q, k, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32, precision=precision,
         )
+        if softcap is not None:
+            s = softcap * jnp.tanh(s / softcap)
         if m is None:
             m = jnp.max(s, axis=-1, keepdims=True)
             p = jnp.exp(s - m)
@@ -415,8 +497,8 @@ def _rect_static_kernel(
             )
             m = m_new
     l_safe = jnp.where(l == 0.0, 1.0, l)
-    o_ref[0, 0] = (acc / l_safe).astype(o_ref.dtype)
-    lse_ref[0, 0] = m + jnp.log(l_safe)
+    o_ref[...] = (acc / l_safe).astype(o_ref.dtype).reshape(o_ref.shape)
+    lse_ref[...] = (m + jnp.log(l_safe)).reshape(lse_ref.shape)
 
 
 def _fwd_rect_static(q, k, v, scale, precision, bq):
@@ -454,37 +536,67 @@ def _fwd_rect_static(q, k, v, scale, precision, bq):
     return o, lse
 
 
-def _fwd_causal_multicall(q, k, v, scale, precision, bq):
+def _fwd_causal_multicall(
+    q, k, v, scale, precision, bq, kpad=None, segment_ids=None, softcap=None
+):
     """Causal self-attention as num_q strip calls with static KV widths."""
     B, QH, QL, E = q.shape
     _, KH, KL, _ = k.shape
     group = QH // KH
     num_q = QL // bq
+    has_kpad = kpad is not None
+    has_seg = segment_ids is not None
+    sk = min(_CAUSAL_STRIP_SK, bq)
+    # mask rows laid out (n_sub, sk): per-sub-tile selection inside the
+    # kernel is then a sublane slice (see _strip_subtile_mask)
+    kpad_arr = (
+        kpad.astype(jnp.int32).reshape(B, KL // sk, sk) if has_kpad else None
+    )
+    if has_seg:
+        qseg_arr = segment_ids[0].astype(jnp.int32)[:, :, None]
+        kseg_arr = segment_ids[1].astype(jnp.int32).reshape(B, KL // sk, sk)
     os, lses = [], []
     for ci in range(num_q):
         kw = (ci + 1) * bq
+        n_sub = kw // sk
         kernel = functools.partial(
             _causal_strip_kernel,
             scale=scale,
             row0=ci * bq,
+            col0=0,
             block_q=bq,
-            sk=min(_CAUSAL_STRIP_SK, bq),
+            sk=sk,
             precision=precision,
+            has_kpad=has_kpad,
+            has_seg=has_seg,
+            softcap=softcap,
         )
+        in_specs = [
+            pl.BlockSpec((1, 1, bq, E), lambda b, h, ci=ci: (b, h, ci, 0)),
+            pl.BlockSpec((1, 1, kw, E), lambda b, h: (b, h // group, 0, 0)),
+            pl.BlockSpec((1, 1, kw, E), lambda b, h: (b, h // group, 0, 0)),
+        ]
+        operands = [q, k, v]
+        if has_kpad:
+            # full-rows block: a (1, n_sub, sk) block with n_sub < 8 hits
+            # the TPU (8, 128)-divisibility rule; the whole mask is tiny
+            in_specs.append(
+                pl.BlockSpec((1, KL // sk, sk), lambda b, h: (b, 0, 0))
+            )
+            operands.append(kpad_arr)
+        if has_seg:
+            in_specs.append(
+                pl.BlockSpec((1, bq, 1), lambda b, h, ci=ci: (b, ci, 0))
+            )
+            operands.append(qseg_arr)
+            in_specs.append(
+                pl.BlockSpec((1, KL // sk, sk), lambda b, h: (b, 0, 0))
+            )
+            operands.append(kseg_arr)
         o_i, lse_i = pl.pallas_call(
             kernel,
             grid=(B, QH),
-            in_specs=[
-                pl.BlockSpec(
-                    (1, 1, bq, E), lambda b, h, ci=ci: (b, h, ci, 0)
-                ),
-                pl.BlockSpec(
-                    (1, 1, kw, E), lambda b, h: (b, h // group, 0, 0)
-                ),
-                pl.BlockSpec(
-                    (1, 1, kw, E), lambda b, h: (b, h // group, 0, 0)
-                ),
-            ],
+            in_specs=in_specs,
             out_specs=[
                 pl.BlockSpec((1, 1, bq, E), lambda b, h: (b, h, 0, 0)),
                 pl.BlockSpec((1, 1, bq, 1), lambda b, h: (b, h, 0, 0)),
@@ -498,10 +610,255 @@ def _fwd_causal_multicall(q, k, v, scale, precision, bq):
                 vmem_limit_bytes=100 * 1024 * 1024,
             ),
             interpret=interpret_default(),
-        )(q, k, v)
+        )(*operands)
         os.append(o_i)
         lses.append(lse_i)
     return jnp.concatenate(os, axis=2), jnp.concatenate(lses, axis=2)
+
+
+def lse_merge(o1, lse1, o2, lse2):
+    """Combine two normalized attention partials over disjoint KV ranges
+    (the ring-attention (o, lse) monoid — the build's generalization of
+    the reference's md_reduce, softmax.jl:6-16)."""
+    m = jnp.maximum(lse1, lse2)
+    w1 = jnp.exp(lse1 - m)
+    w2 = jnp.exp(lse2 - m)
+    den = w1 + w2
+    o = (o1.astype(jnp.float32) * w1 + o2.astype(jnp.float32) * w2) / den
+    return o.astype(o1.dtype), m + jnp.log(den)
+
+
+def _strip_call(
+    kernel, grid, in_specs, out_specs, out_shape, operands, parallel_dims
+):
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",) * parallel_dims,
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret_default(),
+    )(*operands)
+
+
+def _fwd_causal_window(q, k, v, scale, precision, bq, window, softcap=None):
+    """Sliding-window causal attention in O(L*window), all-static.
+
+    Fixed KV width kw = round_up(window-1+bq, bq) makes every q block's
+    live KV range a stride-bq sliding slice. The first kw/bq - 1 q blocks
+    (whose window still reaches position 0) run as plain causal strips
+    with a static window mask; the rest run in ONE pallas_call over
+    pre-stacked KV windows (built from bq-frame slices — pure XLA concat,
+    ~kw/bq x KV read amplification, no gather). Inside that call the
+    row-vs-col offset is the CONSTANT kw - bq, so the causal + window
+    masks are compile-time patterns identical across grid steps."""
+    B, QH, QL, E = q.shape
+    _, KH, KL, _ = k.shape
+    group = QH // KH
+    sk = min(_CAUSAL_STRIP_SK, bq)
+    num_q = QL // bq
+    kw = round_up(window - 1 + bq, bq)
+    m_fr = kw // bq
+    ci0 = min(m_fr - 1, num_q)
+
+    os, lses = [], []
+    for ci in range(ci0):  # head blocks: window reaches position 0
+        kwi = (ci + 1) * bq
+        kernel = functools.partial(
+            _causal_strip_kernel, scale=scale, row0=ci * bq, col0=0,
+            block_q=bq, sk=sk, precision=precision, window=window,
+            softcap=softcap,
+        )
+        o_i, lse_i = _strip_call(
+            kernel,
+            (B, QH),
+            [
+                pl.BlockSpec((1, 1, bq, E), lambda b, h, ci=ci: (b, h, ci, 0)),
+                pl.BlockSpec((1, 1, kwi, E), lambda b, h: (b, h // group, 0, 0)),
+                pl.BlockSpec((1, 1, kwi, E), lambda b, h: (b, h // group, 0, 0)),
+            ],
+            [
+                pl.BlockSpec((1, 1, bq, E), lambda b, h: (b, h, 0, 0)),
+                pl.BlockSpec((1, 1, bq, 1), lambda b, h: (b, h, 0, 0)),
+            ],
+            [
+                jax.ShapeDtypeStruct((B, QH, bq, E), q.dtype),
+                jax.ShapeDtypeStruct((B, QH, bq, 1), jnp.float32),
+            ],
+            [q, k, v],
+            2,
+        )
+        os.append(o_i)
+        lses.append(lse_i)
+
+    if ci0 < num_q:
+        n_i = num_q - ci0
+        # stacked windows: wnd[i] = kv[(ci0+i+1)*bq - kw : (ci0+i+1)*bq),
+        # all in-bounds because ci0+i >= m_fr - 1
+        kf = k.reshape(B, KH, num_q, bq, E)
+        vf = v.reshape(B, KH, num_q, bq, E)
+        kwnd = jnp.concatenate(
+            [kf[:, :, j : j + n_i] for j in range(m_fr)], axis=3
+        ).reshape(B, KH * n_i, kw, E)
+        vwnd = jnp.concatenate(
+            [vf[:, :, j : j + n_i] for j in range(m_fr)], axis=3
+        ).reshape(B, KH * n_i, kw, E)
+        kernel = functools.partial(
+            _causal_strip_kernel, scale=scale, row0=kw - bq, col0=0,
+            block_q=bq, sk=sk, precision=precision, window=window,
+            softcap=softcap,
+        )
+        o_t, lse_t = _strip_call(
+            kernel,
+            (B, QH, n_i),
+            [
+                pl.BlockSpec(
+                    (1, 1, bq, E), lambda b, h, i: (b, h, i + ci0, 0)
+                ),
+                pl.BlockSpec(
+                    (1, 1, kw, E),
+                    lambda b, h, i: (b, (h // group) * n_i + i, 0, 0),
+                ),
+                pl.BlockSpec(
+                    (1, 1, kw, E),
+                    lambda b, h, i: (b, (h // group) * n_i + i, 0, 0),
+                ),
+            ],
+            [
+                pl.BlockSpec((1, 1, bq, E), lambda b, h, i: (b, h, i, 0)),
+                pl.BlockSpec((1, 1, bq, 1), lambda b, h, i: (b, h, i, 0)),
+            ],
+            [
+                jax.ShapeDtypeStruct((B, QH, n_i * bq, E), q.dtype),
+                jax.ShapeDtypeStruct((B, QH, n_i * bq, 1), jnp.float32),
+            ],
+            [q, kwnd, vwnd],
+            3,
+        )
+        os.append(o_t)
+        lses.append(lse_t)
+    return jnp.concatenate(os, axis=2), jnp.concatenate(lses, axis=2)
+
+
+def _pick_chunk(q_len, bq, head_dim, itemsize):
+    """Largest chunk width whose widest diagonal strip fits the strip KV
+    budget, divides q_len, and is a multiple of bq."""
+    c = _CAUSAL_STRIP_MAX_CALLS * bq
+    while c >= 2 * bq:
+        if (
+            q_len % c == 0
+            and 4 * c * head_dim * itemsize <= _CAUSAL_STRIP_KV_BYTES
+        ):
+            return c
+        c //= 2
+    return None
+
+
+def _fwd_causal_chunked(q, k, v, scale, precision, bq, chunk, softcap=None):
+    """Long-context causal forward: chunk-diagonal strips + mask-free
+    off-diagonal rectangles, merged with the (o, lse) monoid.
+
+    causal(L) decomposes into causal(chunk) on each diagonal chunk (the
+    existing static strips, batched across chunks via a grid axis) plus,
+    for chunk i >= 1, a mask-free rectangle q_chunk_i x kv[0 : i*chunk)
+    (the static rect kernel with a full-prefix KV block). This lifts the
+    strip path's L <= _CAUSAL_STRIP_MAX_CALLS*bq cap (VERDICT r2 item 4)
+    while keeping every kernel fully static; call count is
+    chunk/bq + n_chunks - 1 regardless of L."""
+    B, QH, QL, E = q.shape
+    _, KH, _, _ = k.shape
+    group = QH // KH
+    sk = min(_CAUSAL_STRIP_SK, bq)
+    n_c = QL // chunk
+    npc = chunk // bq
+    k5 = k.reshape(B, KH, n_c, chunk, E)
+    v5 = v.reshape(B, KH, n_c, chunk, E)
+
+    # 1) diagonal: strips per in-chunk q block, batched over chunks
+    d_os, d_lses = [], []
+    for ci in range(npc):
+        kw = (ci + 1) * bq
+        kernel = functools.partial(
+            _causal_strip_kernel, scale=scale, row0=ci * bq, col0=0,
+            block_q=bq, sk=sk, precision=precision, softcap=softcap,
+        )
+        o_i, lse_i = _strip_call(
+            kernel,
+            (B, QH, n_c),
+            [
+                pl.BlockSpec(
+                    (1, 1, bq, E),
+                    lambda b, h, c, ci=ci: (b, h, c * npc + ci, 0),
+                ),
+                pl.BlockSpec(
+                    (1, 1, 1, kw, E), lambda b, h, c: (b, h // group, c, 0, 0)
+                ),
+                pl.BlockSpec(
+                    (1, 1, 1, kw, E), lambda b, h, c: (b, h // group, c, 0, 0)
+                ),
+            ],
+            [
+                pl.BlockSpec((1, 1, 1, bq, E), lambda b, h, c: (b, h, c, 0, 0)),
+                pl.BlockSpec((1, 1, 1, bq, 1), lambda b, h, c: (b, h, c, 0, 0)),
+            ],
+            [
+                jax.ShapeDtypeStruct((B, QH, n_c, bq, E), q.dtype),
+                jax.ShapeDtypeStruct((B, QH, n_c, bq, 1), jnp.float32),
+            ],
+            [q, k5, v5],
+            3,
+        )
+        d_os.append(o_i)
+        d_lses.append(lse_i)
+    o_d = jnp.concatenate(d_os, axis=3).reshape(B, QH, QL, E)
+    lse_d = jnp.concatenate(d_lses, axis=3).reshape(B, QH, QL, 1)
+
+    # 2) off-diagonal: chunk c attends kv[0 : c*chunk) mask-free
+    r_os, r_lses = [], []
+    for c in range(1, n_c):
+        cw = c * chunk
+        kernel = functools.partial(
+            _rect_static_kernel, scale=scale, sk=sk, precision=precision,
+            softcap=softcap,
+        )
+        o_r, lse_r = _strip_call(
+            kernel,
+            (B, QH, npc),
+            [
+                pl.BlockSpec(
+                    (1, 1, bq, E),
+                    lambda b, h, iq, c=c: (b, h, c * npc + iq, 0),
+                ),
+                pl.BlockSpec((1, 1, cw, E), lambda b, h, iq: (b, h // group, 0, 0)),
+                pl.BlockSpec((1, 1, cw, E), lambda b, h, iq: (b, h // group, 0, 0)),
+            ],
+            [
+                pl.BlockSpec((1, 1, bq, E), lambda b, h, iq: (b, h, iq, 0)),
+                pl.BlockSpec((1, 1, bq, 1), lambda b, h, iq: (b, h, iq, 0)),
+            ],
+            [
+                jax.ShapeDtypeStruct((B, QH, chunk, E), q.dtype),
+                jax.ShapeDtypeStruct((B, QH, chunk, 1), jnp.float32),
+            ],
+            [q, k, v],
+            3,
+        )
+        r_os.append(o_r)
+        r_lses.append(lse_r)
+    o_off = jnp.concatenate(r_os, axis=2)
+    lse_off = jnp.concatenate(r_lses, axis=2)
+
+    # 3) merge the off-diagonal partials into chunks 1..n_c-1
+    o_m, lse_m = lse_merge(
+        o_d[:, :, chunk:], lse_d[:, :, chunk:], o_off, lse_off
+    )
+    o = jnp.concatenate([o_d[:, :, :chunk], o_m], axis=2)
+    lse = jnp.concatenate([lse_d[:, :, :chunk], lse_m], axis=2)
+    return o, lse
 
 
 def default_blocks(
@@ -568,27 +925,54 @@ def _fwd_impl(q, k, v, pair, kpad, causal, scale, block_q=None, block_k=None, pr
     ]
 
     has_offset = causal_offset is not None
+    itemsize = jnp.dtype(q.dtype).itemsize
+    # Static-strip eligibility (round 3): kpad / segments / softcap ride
+    # the strip kernels as extra per-sub-tile mask passes (VERDICT r2
+    # item 3 — the packed-document / Gemma-2 training paths); `window`
+    # gets its own all-static stacked-KV path; pair bias and dynamic
+    # chunked-prefill offsets stay on the general rect pipeline.
+    strips_ok = (
+        causal
+        and not has_pair
+        and not has_offset
+        and QL == KL
+        and QL % bq == 0
+        and QL // bq > 1
+    )
+    if strips_ok and window is not None and not (has_kpad or has_seg):
+        kw = round_up(window - 1 + bq, bq)
+        if (
+            4 * kw * E * itemsize <= _CAUSAL_STRIP_KV_BYTES
+            and kw // bq <= _CAUSAL_STRIP_MAX_CALLS
+        ):
+            return _fwd_causal_window(
+                q, k, v, scale, precision, bq, int(window), softcap
+            )
+    if strips_ok and window is None:
+        if (
+            QL // bq <= _CAUSAL_STRIP_MAX_CALLS
+            and 4 * QL * E * itemsize <= _CAUSAL_STRIP_KV_BYTES
+        ):
+            return _fwd_causal_multicall(
+                q, k, v, scale, precision, bq,
+                kpad=kpad, segment_ids=segment_ids, softcap=softcap,
+            )
+        if not (has_kpad or has_seg):
+            chunk = _pick_chunk(QL, bq, E, itemsize)
+            if chunk is not None:
+                return _fwd_causal_chunked(
+                    q, k, v, scale, precision, bq, chunk, softcap
+                )
     featureless = not (
         has_pair or has_kpad or has_seg or has_offset
         or window is not None or softcap is not None
     )
     if (
-        causal
-        and featureless
-        and QL == KL
-        and QL % bq == 0
-        and QL // bq <= _CAUSAL_STRIP_MAX_CALLS
-        and QL // bq > 1
-        and 4 * QL * E * jnp.dtype(q.dtype).itemsize
-        <= _CAUSAL_STRIP_KV_BYTES
-    ):
-        return _fwd_causal_multicall(q, k, v, scale, precision, bq)
-    if (
         not causal
         and featureless
         and QL % bq == 0
         and KL % min(_CAUSAL_STRIP_SK, KL) == 0
-        and KL * E * jnp.dtype(k.dtype).itemsize <= 2 * 1024 * 1024
+        and KL * E * itemsize <= 2 * 1024 * 1024
     ):
         return _fwd_rect_static(q, k, v, scale, precision, bq)
 
@@ -817,6 +1201,8 @@ def flash_attention(
         if window < 1:
             raise ValueError(f"window must be >= 1, got {window}")
         window = int(window)
+        if window >= k.shape[2]:
+            window = None  # never binds: plain causal (faster dispatch)
     if softcap is not None:
         if pair is not None:
             raise ValueError("softcap is incompatible with pair bias")

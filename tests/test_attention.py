@@ -155,3 +155,61 @@ def test_attention_nonpow2_head_dim(E):
         gn = jax.grad(loss(naive_attention), argnums=(0, 1, 2))(q, k, v)
     for a, b in zip(gf, gn):
         np.testing.assert_allclose(a, b, atol=1e-4, rtol=1e-3)
+
+
+# ---- round 3: static fast-path coverage (chunked / windowed / featureful
+# strips) — these shapes force the new dispatch paths explicitly ----
+
+
+def test_causal_chunked_long_context():
+    """QL/bq > strip-call cap -> chunk-diagonal strips + off-diagonal
+    rectangles merged via the (o, lse) monoid (_fwd_causal_chunked)."""
+    from nnop_tpu.ops import flash_attention as fa
+
+    q, k, v, _, _ = _mk(2, 4, 2, 2048, 2048, 64)
+    # bq=64 -> 32 q blocks > _CAUSAL_STRIP_MAX_CALLS; chunk = 1024
+    o_c, lse_c = fa._fwd_causal_chunked(q, k, v, 64 ** -0.5, None, 64, 1024)
+    want = naive_attention(q, k, v, causal=True)
+    np.testing.assert_allclose(o_c, want, atol=ATOL, rtol=RTOL)
+    # lse matches the rect pipeline's residual
+    _, lse_r = fa._fwd_impl(
+        q, k, v, None, None, True, 64 ** -0.5, block_q=256, block_k=512
+    )
+    np.testing.assert_allclose(lse_c, lse_r, atol=1e-3, rtol=1e-4)
+
+
+def test_window_stacked_path():
+    """num_q > kw/bq - 1 -> head strips + ONE stacked-KV pallas_call
+    (_fwd_causal_window); parity incl. GQA and the dq grad."""
+    q, k, v, _, _ = _mk(2, 4, 2, 2048, 2048, 64)
+    for w in (300, 512, 1000):
+        got = flash_attention(q, k, v, causal=True, window=w)
+        want = naive_attention(q, k, v, causal=True, window=w)
+        np.testing.assert_allclose(got, want, atol=ATOL, rtol=RTOL)
+    gf = jax.grad(
+        lambda a: jnp.sum(flash_attention(a, k, v, causal=True, window=700))
+    )(q)
+    gn = jax.grad(
+        lambda a: jnp.sum(naive_attention(a, k, v, causal=True, window=700))
+    )(q)
+    np.testing.assert_allclose(gf, gn, atol=ATOL, rtol=RTOL)
+
+
+def test_featureful_strips():
+    """kpad + segments + softcap now ride the static strip kernels
+    (L=2048, bq=512 -> 4 strip calls with mask passes)."""
+    q, k, v, _, kpad = _mk(2, 4, 2, 2048, 2048, 64, kpad=True)
+    seg = jnp.repeat(jnp.arange(4, dtype=jnp.int32), 512)[None, :].repeat(2, 0)
+    # keep every segment's first key valid: a fully-masked row is 0 by
+    # policy in the fused kernels but uniform-softmax garbage in naive
+    kpad = kpad.at[:, ::512].set(True)
+    got = flash_attention(
+        q, k, v, causal=True, segment_ids=(seg, seg), kpad_mask=kpad
+    )
+    want = naive_attention(
+        q, k, v, causal=True, segment_ids=(seg, seg), kpad_mask=kpad
+    )
+    np.testing.assert_allclose(got, want, atol=ATOL, rtol=RTOL)
+    got = flash_attention(q, k, v, causal=True, softcap=30.0)
+    want = naive_attention(q, k, v, causal=True, softcap=30.0)
+    np.testing.assert_allclose(got, want, atol=ATOL, rtol=RTOL)
