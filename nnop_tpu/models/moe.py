@@ -186,8 +186,11 @@ def moe_mlp_grouped(layer, h, cfg, *, act, block_m: int | None = None,
     """Exact-work MoE via ops/grouped_matmul (megablox-style): tokens
     sorted by expert, three grouped matmuls, weighted scatter-add back.
     Dropless always (capacity_factor is ignored); differentiable —
-    grads match moe_mlp. Only experts with tokens stream any weights,
-    which is the decode-path win at small T.
+    grads match moe_mlp — EXCEPT under w8a8=True, whose
+    grouped_matmul_w8a8 path is forward-only (no VJP): w8a8 is a
+    serving-prefill optimization and raises under differentiation rather
+    than silently mis-training (ADVICE r2). Only experts with tokens
+    stream any weights, which is the decode-path win at small T.
 
     block_m trades padding waste (E*(block_m-1) dead rows, hurts small
     T) against weight re-streaming (each expert's slabs stream once per

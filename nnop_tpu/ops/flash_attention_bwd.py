@@ -343,60 +343,115 @@ def _dkv_kernel(
 
 
 def _dq_strip_kernel(
-    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
-    *, scale, row0, block_q, sk, precision, causal=True,
+    *refs, scale, row0, block_q, sk, precision, causal=True,
+    has_kpad=False, has_seg=False, softcap=None,
 ):
     """dQ for one q-block strip, FULLY STATIC (see _causal_strip_kernel).
 
     K width = row0 + block_q (the causal prefix); sub-tiles below the
     diagonal run with no masking passes, diagonal sub-tiles get a
     compile-time triangular mask on dS only (p's unmasked extra columns
-    are annihilated by the dS mask before touching dq)."""
-    q = (q_ref[0, 0].astype(jnp.float32) * scale).astype(q_ref.dtype)
-    do = do_ref[0, 0]
-    lse = lse_ref[0, 0]
-    delta = delta_ref[0, 0]
-    kw = k_ref.shape[2]
+    are annihilated by the dS mask before touching dq). Round 3: optional
+    kpad / segment masks (applied to dS — p only feeds dS here) and the
+    Gemma-2 softcap chain factor, mirroring the forward strips."""
+    from nnop_tpu.ops.flash_attention import _ref2d, _strip_subtile_mask
+
+    idx = 0
+    q_ref = refs[idx]; idx += 1
+    k_ref = refs[idx]; idx += 1
+    v_ref = refs[idx]; idx += 1
+    do_ref = refs[idx]; idx += 1
+    lse_ref = refs[idx]; idx += 1
+    delta_ref = refs[idx]; idx += 1
+    kpad_ref = qseg_ref = kseg_ref = None
+    if has_kpad:
+        kpad_ref = refs[idx]; idx += 1
+    if has_seg:
+        qseg_ref = refs[idx]; idx += 1
+        kseg_ref = refs[idx]; idx += 1
+    dq_ref = refs[idx]
+
+    q = (_ref2d(q_ref).astype(jnp.float32) * scale).astype(q_ref.dtype)
+    do = _ref2d(do_ref)
+    lse = _ref2d(lse_ref)
+    delta = _ref2d(delta_ref)
+    k_all = _ref2d(k_ref)
+    v_all = _ref2d(v_ref)
+    qseg = _ref2d(qseg_ref) if has_seg else None  # (bq, 1)
+    kpad = _ref2d(kpad_ref) if has_kpad else None  # (n_sub, sk)
+    kseg = _ref2d(kseg_ref) if has_seg else None  # (n_sub, sk)
+    kw = k_all.shape[0]
     dq_acc = None
     for j in range(kw // sk):
-        k = k_ref[0, 0, j * sk : (j + 1) * sk, :]
-        v = v_ref[0, 0, j * sk : (j + 1) * sk, :]
+        k = k_all[j * sk : (j + 1) * sk, :]
+        v = v_all[j * sk : (j + 1) * sk, :]
         s = jax.lax.dot_general(
             q, k, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32, precision=precision,
         )
+        cap_t = None
+        if softcap is not None:
+            cap_t = jnp.tanh(s / softcap)
+            s = softcap * cap_t
         p = jnp.exp(s - lse)
         dp = jax.lax.dot_general(
             do, v, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32, precision=precision,
         )
         ds = p * (dp - delta)
-        offset = row0 - j * sk  # static
-        if causal and offset < block_q - 1:  # diagonal sub-tile
-            rows = jax.lax.broadcasted_iota(jnp.int32, (block_q, sk), 0)
-            cols = jax.lax.broadcasted_iota(jnp.int32, (block_q, sk), 1)
-            ds = jnp.where(rows + offset >= cols, ds, 0.0)
+        if cap_t is not None:
+            ds = ds * (1.0 - cap_t * cap_t)
+        mask = _strip_subtile_mask(
+            j, sk, block_q, row0, 0, causal, None,
+            kpad[j : j + 1, :] if has_kpad else None,
+            qseg,
+            kseg[j : j + 1, :] if has_seg else None,
+        )
+        if mask is not None:
+            ds = jnp.where(mask, ds, 0.0)
         contrib = jax.lax.dot_general(
             ds.astype(k.dtype), k,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32, precision=precision,
         )
         dq_acc = contrib if dq_acc is None else dq_acc + contrib
-    dq_ref[0, 0] = (dq_acc * scale).astype(dq_ref.dtype)
+    dq_ref[...] = (dq_acc * scale).astype(dq_ref.dtype).reshape(dq_ref.shape)
 
 
 def _dkv_strip_kernel(
-    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref,
-    *, scale, col0, block_k, sk, q_len, group, precision, causal=True,
+    *refs, scale, col0, block_k, sk, q_len, group, precision, causal=True,
+    has_kpad=False, has_seg=False, softcap=None,
 ):
     """dK/dV for one KV-block strip, FULLY STATIC.
 
     The KV block at cols [col0, col0+block_k) receives gradients from q
     rows [col0, q_len) only (causal); the strip loops statically over
     those q sub-tiles AND the GQA group axis, accumulating dk/dv in
-    values — no scratch, no atomics, no grid-level accumulation phases."""
+    values — no scratch, no atomics, no grid-level accumulation phases.
+    Round 3: optional kpad / segment masks (applied to p AND dS — p feeds
+    dv directly here) and the softcap chain factor."""
+    from nnop_tpu.ops.flash_attention import _strip_subtile_mask
+
+    idx = 0
+    q_ref = refs[idx]; idx += 1
+    k_ref = refs[idx]; idx += 1
+    v_ref = refs[idx]; idx += 1
+    do_ref = refs[idx]; idx += 1
+    lse_ref = refs[idx]; idx += 1
+    delta_ref = refs[idx]; idx += 1
+    kpad_ref = qseg_ref = kseg_ref = None
+    if has_kpad:
+        kpad_ref = refs[idx]; idx += 1
+    if has_seg:
+        qseg_ref = refs[idx]; idx += 1
+        kseg_ref = refs[idx]; idx += 1
+    dk_ref, dv_ref = refs[idx : idx + 2]
+
     k = k_ref[0, 0]
     v = v_ref[0, 0]
+    kpad_row = kpad_ref[0] if has_kpad else None  # (1, block_k)
+    kseg_row = kseg_ref[0] if has_seg else None  # (1, block_k)
+    qseg_all = qseg_ref[0] if has_seg else None  # (q_len, 1)
     dk_acc = None
     dv_acc = None
     j0 = col0 // sk if causal else 0
@@ -411,17 +466,27 @@ def _dkv_strip_kernel(
                 q_s, k, dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32, precision=precision,
             )
+            cap_t = None
+            if softcap is not None:
+                cap_t = jnp.tanh(s / softcap)
+                s = softcap * cap_t
             p = jnp.exp(s - lse)
-            offset = j * sk - col0  # static; 0 on the diagonal sub-tile
-            if causal and offset < block_k - 1:
-                rows = jax.lax.broadcasted_iota(jnp.int32, (sk, block_k), 0)
-                cols = jax.lax.broadcasted_iota(jnp.int32, (sk, block_k), 1)
-                p = jnp.where(rows + offset >= cols, p, 0.0)
+            # transposed-geometry reuse of the fwd mask helper: sub-tile
+            # has sk q rows starting at j*sk vs block_k cols at col0
+            mask = _strip_subtile_mask(
+                0, block_k, sk, j * sk, col0, causal, None,
+                kpad_row, qseg_all[j * sk : (j + 1) * sk] if has_seg else None,
+                kseg_row,
+            )
+            if mask is not None:
+                p = jnp.where(mask, p, 0.0)
             dp = jax.lax.dot_general(
                 do, v, dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32, precision=precision,
             )
             ds = p * (dp - delta)
+            if cap_t is not None:
+                ds = ds * (1.0 - cap_t * cap_t)
             dv_c = jax.lax.dot_general(
                 p.astype(do.dtype), do,
                 dimension_numbers=(((0,), (0,)), ((), ())),
@@ -438,32 +503,67 @@ def _dkv_strip_kernel(
     dv_ref[0, 0] = dv_acc.astype(dv_ref.dtype)
 
 
-def _bwd_causal_multicall(q, k, v, lse, delta, do, scale, precision, bq):
+def _bwd_causal_multicall(
+    q, k, v, lse, delta, do, scale, precision, bq,
+    kpad_mask=None, segment_ids=None, softcap=None,
+):
     """Causal backward as static strip calls (fwd analogue in
     flash_attention._fwd_causal_multicall)."""
     B, QH, QL, E = q.shape
     _, KH, KL, _ = k.shape
     group = QH // KH
     num_q = QL // bq
+    sk = min(512, bq)
+    has_kpad = kpad_mask is not None
+    has_seg = segment_ids is not None
+    # dq masks: kv-side rows laid out (n_sub, sk) for sublane sub-tile
+    # selection; dkv masks: kv block is lane-oriented (1, bq), q segments
+    # sublane-oriented (QL, 1) — see _strip_subtile_mask
+    kpad_sub = (
+        kpad_mask.astype(jnp.int32).reshape(B, KL // sk, sk)
+        if has_kpad else None
+    )
+    kpad_lane = kpad_mask.astype(jnp.int32)[:, None, :] if has_kpad else None
+    if has_seg:
+        qseg_arr = segment_ids[0].astype(jnp.int32)[:, :, None]
+        kseg_sub = segment_ids[1].astype(jnp.int32).reshape(B, KL // sk, sk)
+        kseg_lane = segment_ids[1].astype(jnp.int32)[:, None, :]
 
     dqs = []
     for ci in range(num_q):
         kw = (ci + 1) * bq
         kernel = functools.partial(
             _dq_strip_kernel, scale=scale, row0=ci * bq, block_q=bq,
-            sk=min(512, bq), precision=precision,
+            sk=sk, precision=precision, has_kpad=has_kpad, has_seg=has_seg,
+            softcap=softcap,
         )
+        in_specs = [
+            pl.BlockSpec((1, 1, bq, E), lambda b, h, ci=ci: (b, h, ci, 0)),
+            pl.BlockSpec((1, 1, kw, E), lambda b, h: (b, h // group, 0, 0)),
+            pl.BlockSpec((1, 1, kw, E), lambda b, h: (b, h // group, 0, 0)),
+            pl.BlockSpec((1, 1, bq, E), lambda b, h, ci=ci: (b, h, ci, 0)),
+            pl.BlockSpec((1, 1, bq, 1), lambda b, h, ci=ci: (b, h, ci, 0)),
+            pl.BlockSpec((1, 1, bq, 1), lambda b, h, ci=ci: (b, h, ci, 0)),
+        ]
+        operands = [q, k, v, do, lse, delta]
+        if has_kpad:
+            in_specs.append(
+                pl.BlockSpec((1, KL // sk, sk), lambda b, h: (b, 0, 0))
+            )
+            operands.append(kpad_sub)
+        if has_seg:
+            in_specs.append(
+                pl.BlockSpec((1, bq, 1), lambda b, h, ci=ci: (b, ci, 0))
+            )
+            operands.append(qseg_arr)
+            in_specs.append(
+                pl.BlockSpec((1, KL // sk, sk), lambda b, h: (b, 0, 0))
+            )
+            operands.append(kseg_sub)
         dq_i = pl.pallas_call(
             kernel,
             grid=(B, QH),
-            in_specs=[
-                pl.BlockSpec((1, 1, bq, E), lambda b, h, ci=ci: (b, h, ci, 0)),
-                pl.BlockSpec((1, 1, kw, E), lambda b, h: (b, h // group, 0, 0)),
-                pl.BlockSpec((1, 1, kw, E), lambda b, h: (b, h // group, 0, 0)),
-                pl.BlockSpec((1, 1, bq, E), lambda b, h, ci=ci: (b, h, ci, 0)),
-                pl.BlockSpec((1, 1, bq, 1), lambda b, h, ci=ci: (b, h, ci, 0)),
-                pl.BlockSpec((1, 1, bq, 1), lambda b, h, ci=ci: (b, h, ci, 0)),
-            ],
+            in_specs=in_specs,
             out_specs=pl.BlockSpec((1, 1, bq, E), lambda b, h: (b, h, 0, 0)),
             out_shape=jax.ShapeDtypeStruct((B, QH, bq, E), q.dtype),
             compiler_params=pltpu.CompilerParams(
@@ -471,7 +571,7 @@ def _bwd_causal_multicall(q, k, v, lse, delta, do, scale, precision, bq):
                 vmem_limit_bytes=100 * 1024 * 1024,
             ),
             interpret=interpret_default(),
-        )(q, k, v, do, lse, delta)
+        )(*operands)
         dqs.append(dq_i)
     dq = jnp.concatenate(dqs, axis=2)
 
@@ -479,19 +579,36 @@ def _bwd_causal_multicall(q, k, v, lse, delta, do, scale, precision, bq):
     for cj in range(num_q):
         kernel = functools.partial(
             _dkv_strip_kernel, scale=scale, col0=cj * bq, block_k=bq,
-            sk=min(512, bq), q_len=QL, group=group, precision=precision,
+            sk=sk, q_len=QL, group=group, precision=precision,
+            has_kpad=has_kpad, has_seg=has_seg, softcap=softcap,
         )
+        in_specs = [
+            pl.BlockSpec((1, group, QL, E), lambda b, kh: (b, kh, 0, 0)),
+            pl.BlockSpec((1, 1, bq, E), lambda b, kh, cj=cj: (b, kh, cj, 0)),
+            pl.BlockSpec((1, 1, bq, E), lambda b, kh, cj=cj: (b, kh, cj, 0)),
+            pl.BlockSpec((1, group, QL, E), lambda b, kh: (b, kh, 0, 0)),
+            pl.BlockSpec((1, group, QL, 1), lambda b, kh: (b, kh, 0, 0)),
+            pl.BlockSpec((1, group, QL, 1), lambda b, kh: (b, kh, 0, 0)),
+        ]
+        operands = [q, k, v, do, lse, delta]
+        if has_kpad:
+            in_specs.append(
+                pl.BlockSpec((1, 1, bq), lambda b, kh, cj=cj: (b, 0, cj))
+            )
+            operands.append(kpad_lane)
+        if has_seg:
+            in_specs.append(
+                pl.BlockSpec((1, QL, 1), lambda b, kh: (b, 0, 0))
+            )
+            operands.append(qseg_arr)
+            in_specs.append(
+                pl.BlockSpec((1, 1, bq), lambda b, kh, cj=cj: (b, 0, cj))
+            )
+            operands.append(kseg_lane)
         dk_j, dv_j = pl.pallas_call(
             kernel,
             grid=(B, KH),
-            in_specs=[
-                pl.BlockSpec((1, group, QL, E), lambda b, kh: (b, kh, 0, 0)),
-                pl.BlockSpec((1, 1, bq, E), lambda b, kh, cj=cj: (b, kh, cj, 0)),
-                pl.BlockSpec((1, 1, bq, E), lambda b, kh, cj=cj: (b, kh, cj, 0)),
-                pl.BlockSpec((1, group, QL, E), lambda b, kh: (b, kh, 0, 0)),
-                pl.BlockSpec((1, group, QL, 1), lambda b, kh: (b, kh, 0, 0)),
-                pl.BlockSpec((1, group, QL, 1), lambda b, kh: (b, kh, 0, 0)),
-            ],
+            in_specs=in_specs,
             out_specs=[
                 pl.BlockSpec((1, 1, bq, E), lambda b, kh: (b, kh, 0, 0)),
                 pl.BlockSpec((1, 1, bq, E), lambda b, kh: (b, kh, 0, 0)),
@@ -505,7 +622,7 @@ def _bwd_causal_multicall(q, k, v, lse, delta, do, scale, precision, bq):
                 vmem_limit_bytes=100 * 1024 * 1024,
             ),
             interpret=interpret_default(),
-        )(q, k, v, do, lse, delta)
+        )(*operands)
         dks.append(dk_j)
         dvs.append(dv_j)
     dk = jnp.concatenate(dks, axis=2)
@@ -599,19 +716,22 @@ def flash_attention_bwd(
 
     if (
         causal
-        and not (has_pair or has_kpad or has_seg)
+        and not has_pair
         and window is None
-        and softcap is None
         and QL == KL
         and QL % bq == 0
         # 16-call cap + widest-strip K/V VMEM bound mirror the forward
         # (flash_attention._CAUSAL_STRIP_MAX_CALLS; measured at L=8192)
         and 1 < QL // bq <= 16
         and 4 * QL * E * jnp.dtype(q.dtype).itemsize <= 9 * 1024 * 1024
-        and group * QL * E * jnp.dtype(q.dtype).itemsize <= 4 * 1024 * 1024
+        # dkv strips load the whole GQA group's q/do per grid step; 8 MB
+        # admits the 8B geometry (group=4, L=8192, E=128 bf16) — measured
+        # round 3 vs the rect fallback
+        and group * QL * E * jnp.dtype(q.dtype).itemsize <= 8 * 1024 * 1024
     ):
         dq, dk, dv = _bwd_causal_multicall(
-            q, k, v, lse, delta, do, scale, precision, bq
+            q, k, v, lse, delta, do, scale, precision, bq,
+            kpad_mask=kpad_mask, segment_ids=segment_ids, softcap=softcap,
         )
         return dq, dk, dv, None
 

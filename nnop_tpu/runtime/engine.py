@@ -100,6 +100,11 @@ def _lm_logits(params, cfg: LlamaConfig, x):
     if cfg.tie_embeddings:
         emb = params["embed"]
         logits = jnp.einsum("...d,vd->...v", x, emb).astype(jnp.float32)
+    elif isinstance(params["lm_head"], QTensor):
+        # lm_head stays WEIGHT-ONLY even under w8a8: logits are the most
+        # argmax-sensitive matmul, and W8A8 recipes keep the output head
+        # activation-unquantized (ADVICE r2)
+        logits = quantized_matmul(x, params["lm_head"]).astype(jnp.float32)
     else:
         logits = _mm(x, params["lm_head"]).astype(jnp.float32)
     if cfg.final_softcap is not None:
@@ -879,6 +884,10 @@ class Request:
     # stop sequences (token-id lists): generation ends when the output
     # tail matches one; the matched tokens are removed from `out`
     stop: list[list[int]] = dataclasses.field(default_factory=list)
+    # stop STRINGS, matched on decoded text (BPE is context-dependent, so
+    # the same text can arrive under different token ids — token-level
+    # stops silently miss those; ADVICE r2). Requires a tokenizer.
+    stop_texts: list[str] = dataclasses.field(default_factory=list)
 
 
 class Engine:
@@ -900,7 +909,8 @@ class Engine:
                  paged: bool = False, page_size: int = 512,
                  n_pages: Optional[int] = None, prefill_chunk: int = 512,
                  pipeline_depth: int = 2, spec_k: int = 0,
-                 prefix_cache: bool = False, w8a8: bool = False):
+                 prefix_cache: bool = False, w8a8: bool = False,
+                 interleave_prefill: bool = True):
         self.cfg = cfg
         self.tokenizer = tokenizer
         self.max_batch = max_batch
@@ -926,6 +936,12 @@ class Engine:
         # unpipelined.
         self.pipeline_depth = 1 if paged else max(1, pipeline_depth)
         self._inflight: list[tuple] = []
+        # incremental admission (VERDICT r2 item 5): slot -> in-progress
+        # chunked-prefill state; at most one prefill chunk dispatches per
+        # step() so decode streams keep flowing during long admissions
+        self.interleave_prefill = interleave_prefill
+        self._admitting: dict[int, dict] = {}
+        self._admit_rr = -1
         # paged-only prompt prefix cache: page-aligned token prefix ->
         # page ids (kept alive by a refcount; see _admit_prefix_cached)
         self.prefix_cache = prefix_cache
@@ -1045,14 +1061,18 @@ class Engine:
                     self._free_pages.append(pid)
 
     def submit(self, prompt: list[int], max_new_tokens: int = 32,
-               stop: Optional[list[list[int]]] = None) -> Request:
+               stop: Optional[list[list[int]]] = None,
+               stop_texts: Optional[list[str]] = None) -> Request:
         if len(prompt) + max_new_tokens > self.max_seq:
             raise ValueError(
                 f"prompt ({len(prompt)}) + max_new_tokens ({max_new_tokens}) "
                 f"exceeds max_seq {self.max_seq}"
             )
+        if stop_texts and self.tokenizer is None:
+            raise ValueError("stop_texts requires a tokenizer")
         req = Request(self._rid, prompt, max_new_tokens,
-                      stop=[list(s) for s in (stop or []) if s])
+                      stop=[list(s) for s in (stop or []) if s],
+                      stop_texts=[t for t in (stop_texts or []) if t])
         self._rid += 1
         self.queue.append(req)
         return req
@@ -1061,9 +1081,11 @@ class Engine:
                     stop: Optional[list[str]] = None) -> Request:
         if self.tokenizer is None:
             raise ValueError("Engine was built without a tokenizer")
-        stop_ids = [self.tokenizer.encode(s) for s in (stop or [])]
+        # stops are matched on DECODED text, not token ids: BPE merges
+        # make the same stop text arrive as different token sequences
+        # depending on context (ADVICE r2, engine.py:1064)
         return self.submit(self.tokenizer.encode(text), max_new_tokens,
-                           stop=stop_ids)
+                           stop_texts=stop)
 
     def decode_text(self, req: Request) -> str:
         if self.tokenizer is None:
@@ -1159,6 +1181,16 @@ class Engine:
                 ].set(vsc[:, :, r0:r1])
 
     def _admit(self):
+        """Assign queued requests to free slots and advance admission.
+
+        Long prompts admit INCREMENTALLY (VERDICT r2 item 5): their
+        chunked prefill is split across engine steps — at most ONE
+        `prefill_chunk`-token prefill dispatch per step(), round-robin
+        over admitting slots — so active decode streams keep producing
+        tokens while a long prompt admits instead of stalling for the
+        whole prompt. Short prompts and prefix-cache remainders admit in
+        one step (bounded latency already). `interleave_prefill=False`
+        restores the round-2 drain-everything behavior."""
         for slot in range(self.max_batch):
             if self.slots[slot] is not None or not self.queue:
                 continue
@@ -1168,79 +1200,113 @@ class Engine:
             n_match = 0
             if self.prefix_cache:
                 n_match, shared = self._match_prefix(req.prompt)
-            if n_match:
-                # prefix hit: seed the slot with the shared pages, read
-                # their K/V back as the prefill context, and compute only
-                # the REMAINDER through the offset-aware chunked prefill
-                self._slot_pages[slot] = shared
-                pk, pv = self._gather_prefix_kv(shared, n_match)
-                remainder = req.prompt[n_match:]
-                C = self.prefill_chunk
-                rem_chunks = -(-len(remainder) // C)
-                nl, kh, e = (
-                    self.cfg.n_layers, self.cfg.n_kv_heads,
-                    self.cfg.head_dim,
-                )
-                sbuf = n_match + rem_chunks * C
-                ks = jnp.zeros((nl, 1, kh, sbuf, e), jnp.bfloat16)
-                vs = jnp.zeros((nl, 1, kh, sbuf, e), jnp.bfloat16)
-                ks = ks.at[:, :, :, :n_match].set(pk)
-                vs = vs.at[:, :, :, :n_match].set(pv)
-                logits_c = None
-                for ci in range(rem_chunks):
-                    chunk = remainder[ci * C : (ci + 1) * C]
-                    chunk = chunk + [0] * (C - len(chunk))
-                    logits_c, ks, vs = self._prefill_chunk_fn(
-                        self.params,
-                        jnp.asarray([chunk], jnp.int32),
-                        ks, vs,
-                        jnp.int32(n_match + ci * C),
-                    )
-                logits = logits_c[
-                    :, (len(remainder) - 1) - (rem_chunks - 1) * C
-                ]
-                self._admit_paged(
-                    slot, L, ks[:, 0, :, :L], vs[:, 0, :, :L],
-                    start=n_match,
-                )
-            elif L > self.prefill_chunk:
-                # CHUNKED prefill into a live K/V buffer: later chunks
-                # attend everything before them via the offset-aware
-                # causal kernel — bounded per-dispatch latency and one
-                # compile for any prompt length (fixed buffer bucket)
+            if not n_match and L > self.prefill_chunk:
                 C = self.prefill_chunk
                 n_chunks = -(-L // C)
                 nl, kh, e = (
                     self.cfg.n_layers, self.cfg.n_kv_heads, self.cfg.head_dim
                 )
                 sbuf = n_chunks * C
-                ks = jnp.zeros((nl, 1, kh, sbuf, e), jnp.bfloat16)
-                vs = jnp.zeros((nl, 1, kh, sbuf, e), jnp.bfloat16)
-                logits_c = None
-                for ci in range(n_chunks):
-                    chunk = req.prompt[ci * C : (ci + 1) * C]
-                    chunk = chunk + [0] * (C - len(chunk))
-                    logits_c, ks, vs = self._prefill_chunk_fn(
-                        self.params,
-                        jnp.asarray([chunk], jnp.int32),
-                        ks, vs,
-                        jnp.int32(ci * C),
-                    )
-                logits = logits_c[:, (L - 1) - (n_chunks - 1) * C]
-            else:
-                # pad prompts to a bucket so prefill compiles once per
-                # bucket, not once per prompt length
-                bucket = max(64, 1 << (L - 1).bit_length())
-                padded = req.prompt + [0] * (bucket - L)
-                tokens = jnp.asarray([padded], jnp.int32)
-                logits_seq, ks, vs = self._prefill(self.params, tokens)
-                logits = logits_seq[:, L - 1]
-            if not n_match:
-                ks_l = ks[:, 0, :, :L]  # strip batch dim + bucket padding
-                vs_l = vs[:, 0, :, :L]
-            if n_match:
-                pass  # K/V already written into pages above
-            elif self.paged:
+                self._admitting[slot] = {
+                    "req": req,
+                    "ks": jnp.zeros((nl, 1, kh, sbuf, e), jnp.bfloat16),
+                    "vs": jnp.zeros((nl, 1, kh, sbuf, e), jnp.bfloat16),
+                    "ci": 0,
+                    "n_chunks": n_chunks,
+                    "L": L,
+                    "logits": None,
+                }
+                continue
+            self._admit_one(slot, req, L, n_match,
+                            shared if n_match else None)
+        # advance incremental admissions: one prefill chunk per step when
+        # interleaving (decode streams run between chunks), else drain
+        while self._admitting:
+            order = sorted(self._admitting)
+            pick = next(
+                (s for s in order if s > self._admit_rr), order[0]
+            )
+            self._admit_rr = pick
+            st = self._admitting[pick]
+            C = self.prefill_chunk
+            ci = st["ci"]
+            chunk = st["req"].prompt[ci * C : (ci + 1) * C]
+            chunk = chunk + [0] * (C - len(chunk))
+            st["logits"], st["ks"], st["vs"] = self._prefill_chunk_fn(
+                self.params,
+                jnp.asarray([chunk], jnp.int32),
+                st["ks"], st["vs"],
+                jnp.int32(ci * C),
+            )
+            st["ci"] += 1
+            if st["ci"] == st["n_chunks"]:
+                del self._admitting[pick]
+                L = st["L"]
+                logits = st["logits"][
+                    :, (L - 1) - (st["n_chunks"] - 1) * C
+                ]
+                self._finalize_admit(
+                    pick, st["req"], logits, st["ks"], st["vs"], L, 0
+                )
+            if self.interleave_prefill:
+                break
+
+    def _admit_one(self, slot, req, L, n_match, shared):
+        """Single-step admission: prefix-cache remainder or short-prompt
+        bucket prefill, then finalize."""
+        if n_match:
+            # prefix hit: seed the slot with the shared pages, read
+            # their K/V back as the prefill context, and compute only
+            # the REMAINDER through the offset-aware chunked prefill
+            self._slot_pages[slot] = shared
+            pk, pv = self._gather_prefix_kv(shared, n_match)
+            remainder = req.prompt[n_match:]
+            C = self.prefill_chunk
+            rem_chunks = -(-len(remainder) // C)
+            nl, kh, e = (
+                self.cfg.n_layers, self.cfg.n_kv_heads,
+                self.cfg.head_dim,
+            )
+            sbuf = n_match + rem_chunks * C
+            ks = jnp.zeros((nl, 1, kh, sbuf, e), jnp.bfloat16)
+            vs = jnp.zeros((nl, 1, kh, sbuf, e), jnp.bfloat16)
+            ks = ks.at[:, :, :, :n_match].set(pk)
+            vs = vs.at[:, :, :, :n_match].set(pv)
+            logits_c = None
+            for ci in range(rem_chunks):
+                chunk = remainder[ci * C : (ci + 1) * C]
+                chunk = chunk + [0] * (C - len(chunk))
+                logits_c, ks, vs = self._prefill_chunk_fn(
+                    self.params,
+                    jnp.asarray([chunk], jnp.int32),
+                    ks, vs,
+                    jnp.int32(n_match + ci * C),
+                )
+            logits = logits_c[
+                :, (len(remainder) - 1) - (rem_chunks - 1) * C
+            ]
+            self._admit_paged(
+                slot, L, ks[:, 0, :, :L], vs[:, 0, :, :L],
+                start=n_match,
+            )
+            ks = vs = None  # K/V already written into pages
+        else:
+            # pad prompts to a bucket so prefill compiles once per
+            # bucket, not once per prompt length
+            bucket = max(64, 1 << (L - 1).bit_length())
+            padded = req.prompt + [0] * (bucket - L)
+            tokens = jnp.asarray([padded], jnp.int32)
+            logits_seq, ks, vs = self._prefill(self.params, tokens)
+            logits = logits_seq[:, L - 1]
+        self._finalize_admit(slot, req, logits, ks, vs, L, n_match)
+
+    def _finalize_admit(self, slot, req, logits, ks, vs, L, n_match):
+        """Write prefilled K/V into device state, sample + record the
+        first token, and activate (or immediately retire) the slot."""
+        if not n_match:
+            ks_l = ks[:, 0, :, :L]  # strip batch dim + bucket padding
+            vs_l = vs[:, 0, :, :L]
+            if self.paged:
                 self._admit_paged(slot, L, ks_l, vs_l)
             elif self.quantized:
                 kq, ksc = _quant_token(ks_l)
@@ -1256,41 +1322,46 @@ class Engine:
                 self.state.v = self.state.v.at[:, slot, :, :L].set(
                     vs_l.astype(self.state.v.dtype)
                 )
-            self.state.lengths = self.state.lengths.at[slot].set(L)
-            if self.prefix_cache:
-                self._insert_prefix(req.prompt, slot)
-            if self.spec_k:
-                # drafting history: prompt tokens at positions [0, L)
-                self._history = self._history.at[slot, :L].set(
-                    jnp.asarray(req.prompt, jnp.int32)
-                )
-            # sample the prefill token with the same settings as decode
-            # (and EOS-check it) — not unconditional argmax
-            self._key, sub = jax.random.split(self._key)
-            first = int(
-                sample_tokens(logits, sub, self.temperature, self.top_k,
-                              self.top_p, self.min_p)[0]
+        self.state.lengths = self.state.lengths.at[slot].set(L)
+        if self.prefix_cache:
+            self._insert_prefix(req.prompt, slot)
+        if self.spec_k:
+            # drafting history: prompt tokens at positions [0, L)
+            self._history = self._history.at[slot, :L].set(
+                jnp.asarray(req.prompt, jnp.int32)
             )
-            self.state.last_token = self.state.last_token.at[slot].set(first)
-            req.out.append(first)
-            if self.logprobs:
-                lp0 = jax.nn.log_softmax(logits[0])[first]
-                req.logprobs.append(float(lp0))
-            if (
-                (self.eos_id is not None and first == self.eos_id)
-                or req.max_new_tokens <= 1
-                or self._hit_stop(req)
-            ):
-                req.done = True
-                self.slots[slot] = None
-                self.state.lengths = self.state.lengths.at[slot].set(0)
+        # sample the prefill token with the same settings as decode
+        # (and EOS-check it) — not unconditional argmax
+        self._key, sub = jax.random.split(self._key)
+        first = int(
+            sample_tokens(logits, sub, self.temperature, self.top_k,
+                          self.top_p, self.min_p)[0]
+        )
+        self.state.last_token = self.state.last_token.at[slot].set(first)
+        req.out.append(first)
+        if self.logprobs:
+            lp0 = jax.nn.log_softmax(logits[0])[first]
+            req.logprobs.append(float(lp0))
+        # stop-sequence check FIRST so a final token that completes a stop
+        # gets stripped consistently (ADVICE r2)
+        if (
+            self._hit_stop(req)
+            or (self.eos_id is not None and first == self.eos_id)
+            or req.max_new_tokens <= 1
+        ):
+            req.done = True
+            self.slots[slot] = None
+            self.state.lengths = self.state.lengths.at[slot].set(0)
 
     def step(self):
         """Admit pending requests, dispatch one decode CHUNK (chunk_size
         batched steps in a single dispatch), and collect tokens from the
         oldest inflight chunk once the pipeline is full (or on drain)."""
         self._admit()
-        live = {s: r for s, r in enumerate(self.slots) if r is not None}
+        live = {
+            s: r for s, r in enumerate(self.slots)
+            if r is not None and s not in self._admitting
+        }
         dispatched = False
         lps = None
         if live:
@@ -1331,12 +1402,29 @@ class Engine:
         return dispatched or bool(self._inflight)
 
     def _hit_stop(self, req) -> bool:
-        """True if req.out now ends with one of its stop sequences; the
-        matched tokens are removed from the output (and logprobs)."""
+        """True if req.out now ends with one of its stop sequences (token
+        ids) or its decoded text contains one of its stop strings; the
+        matched tokens/text are removed from the output (and logprobs)."""
         for seq in req.stop:
             n = len(seq)
             if len(req.out) >= n and req.out[-n:] == seq:
                 del req.out[-n:]
+                del req.logprobs[len(req.out):]
+                return True
+        if req.stop_texts and self.tokenizer is not None:
+            text = self.tokenizer.decode(req.out)
+            best = min(
+                (p for p in (text.find(t) for t in req.stop_texts)
+                 if p >= 0),
+                default=-1,
+            )
+            if best >= 0:
+                # strip tokens until the decoded text no longer reaches
+                # the stop match (a token spanning the boundary is
+                # removed whole — decoded output never includes any part
+                # of the stop string)
+                while req.out and len(self.tokenizer.decode(req.out)) > best:
+                    req.out.pop()
                 del req.logprobs[len(req.out):]
                 return True
         return False
@@ -1370,10 +1458,14 @@ class Engine:
                 if lp is not None:
                     req.logprobs.append(lp)
                 full = len(req.prompt) + len(req.out) >= self.max_seq
+                # stop check FIRST (unconditionally): a final allowed
+                # token (or EOS) that also completes a stop sequence must
+                # still be stripped from req.out (ADVICE r2)
+                stopped = self._hit_stop(req)
                 if (
-                    len(req.out) >= req.max_new_tokens
+                    stopped
+                    or len(req.out) >= req.max_new_tokens
                     or (self.eos_id is not None and tok == self.eos_id)
-                    or self._hit_stop(req)
                     or full
                 ):
                     # mid-chunk finish: the slot kept decoding to chunk
@@ -1392,6 +1484,7 @@ class Engine:
             self.queue
             or any(s is not None for s in self.slots)
             or self._inflight
+            or self._admitting
         ) and steps < max_steps:
             self.step()
             steps += 1

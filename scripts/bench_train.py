@@ -34,6 +34,10 @@ def main():
     ap.add_argument("--no-remat", dest="remat", action="store_false")
     ap.add_argument("--dim", type=int, default=1536)
     ap.add_argument("--layers", type=int, default=14)
+    ap.add_argument("--packed", action="store_true",
+                    help="packed-document variant: segment masking + "
+                    "per-document rope positions (the flagship packed-SP "
+                    "train path, VERDICT r2 item 2)")
     args = ap.parse_args()
 
     from nnop_tpu.models.llama import LlamaConfig, init_params
@@ -61,21 +65,32 @@ def main():
 
     mesh = make_mesh(data=1, model=1, seq=1)
     params = shard_params(params, mesh, cfg)
-    step, opt = make_train_step(mesh, cfg, remat=args.remat)
+    step, opt = make_train_step(mesh, cfg, remat=args.remat,
+                                packed=args.packed)
     state = opt.init(params)
 
     B, L = args.batch, args.seq
     tokens = jax.random.randint(jax.random.key(1), (B, L), 0,
                                 cfg.vocab_size)
     targets = jnp.roll(tokens, -1, axis=1)
+    extra = ()
+    if args.packed:
+        # 4 synthetic documents per row (the shape dataio.pack_tokens_
+        # segmented produces): segment ids + per-document positions
+        segs = jnp.repeat(jnp.arange(4, dtype=jnp.int32), L // 4)
+        segments = jnp.broadcast_to(segs, (B, L))
+        positions = jnp.broadcast_to(
+            jnp.tile(jnp.arange(L // 4, dtype=jnp.int32), 4), (B, L)
+        )
+        extra = (segments, positions)
 
     # donate params/opt state: without donation the chain holds TWO
     # copies of params + AdamW moments (~9 GB at 445M) and OOMs the chip
     @functools.partial(jax.jit, donate_argnums=(1, 2))
-    def chain(n, params, state, tokens, targets):
+    def chain(n, params, state, tokens, targets, *extra):
         def body(i, carry):
             p, s, acc = carry
-            p, s, loss = step(p, s, tokens, targets)
+            p, s, loss = step(p, s, tokens, targets, *extra)
             return p, s, acc + loss
 
         return jax.lax.fori_loop(
@@ -84,7 +99,7 @@ def main():
 
     print("compiling train chain...", file=sys.stderr, flush=True)
     t0 = time.time()
-    params, state, _ = chain(1, params, state, tokens, targets)
+    params, state, _ = chain(1, params, state, tokens, targets, *extra)
     jax.block_until_ready(params)
     print(f"compiled in {time.time()-t0:.0f}s", file=sys.stderr, flush=True)
 
@@ -93,16 +108,21 @@ def main():
     t = {}
     for n in (n1, n2, n1, n2):
         t0 = time.time()
-        params, state, loss = chain(n, params, state, tokens, targets)
+        params, state, loss = chain(n, params, state, tokens, targets,
+                                    *extra)
         float(loss)
         t[n] = time.time() - t0
     step_s = (t[n2] - t[n1]) / (n2 - n1)
 
     tok_s = B * L / step_s
-    flops_tok = 6 * n_params + 12 * cfg.n_layers * cfg.dim * L
+    # packed rows attend only within their document (L/4 here) — count
+    # the flops actually performed, not the unpacked L
+    l_att = L // 4 if args.packed else L
+    flops_tok = 6 * n_params + 12 * cfg.n_layers * cfg.dim * l_att
     tf = tok_s * flops_tok / 1e12
     mfu = tf / 197.0
-    print(f"train step {step_s*1e3:.1f} ms = {tok_s:,.0f} tokens/s "
+    tag = "packed " if args.packed else ""
+    print(f"train step {tag}{step_s*1e3:.1f} ms = {tok_s:,.0f} tokens/s "
           f"-> {tf:.1f} TF/s model flops = {100*mfu:.1f}% MFU "
           f"(v5e bf16 peak 197)")
 
