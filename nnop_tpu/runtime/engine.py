@@ -297,15 +297,15 @@ def _write_tokens(cache, new, positions):
     return jax.vmap(one)(cache, new, positions)
 
 
-def sample_tokens(logits, key, temperature: float = 0.0, top_k: int = 0,
-                  top_p: float = 1.0, min_p: float = 0.0):
-    """Greedy (temperature 0) or temperature/top-k/top-p/min-p sampling.
-    logits (B, V). top_p masks to the smallest prefix of the
-    descending-prob distribution with cumulative mass >= top_p (the
-    top-1 token always survives); min_p drops tokens whose probability
-    is below min_p * max-probability (scale-adaptive tail cut)."""
-    if temperature <= 0.0:
-        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+def filtered_logits(logits, temperature: float, top_k: int = 0,
+                    top_p: float = 1.0, min_p: float = 0.0):
+    """Temperature/top-k/top-p/min-p filtered logits (B, V): softmax of
+    the result IS the sampling target distribution — shared by plain
+    sampling and the speculative rejection-sampling verify (which needs
+    the target probabilities, not just a sample). top_p masks to the
+    smallest prefix of the descending-prob distribution with cumulative
+    mass >= top_p (the top-1 token always survives); min_p drops tokens
+    whose probability is below min_p * max-probability."""
     scaled = logits / temperature
     if top_k > 0:
         kth = jnp.sort(scaled, axis=-1)[:, -top_k][:, None]
@@ -321,7 +321,57 @@ def sample_tokens(logits, key, temperature: float = 0.0, top_k: int = 0,
         kept = jnp.where(exclusive < top_p, desc, jnp.inf)
         cutoff = jnp.min(kept, axis=-1, keepdims=True)
         scaled = jnp.where(scaled >= cutoff, scaled, -jnp.inf)
+    return scaled
+
+
+def sample_tokens(logits, key, temperature: float = 0.0, top_k: int = 0,
+                  top_p: float = 1.0, min_p: float = 0.0):
+    """Greedy (temperature 0) or filtered sampling; logits (B, V)."""
+    if temperature <= 0.0:
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    scaled = filtered_logits(logits, temperature, top_k, top_p, min_p)
     return jax.random.categorical(key, scaled, axis=-1).astype(jnp.int32)
+
+
+def spec_accept(fl, drafts, key):
+    """Leviathan-style rejection-sampling verify for DETERMINISTIC drafts.
+
+    fl: (B, T, V) filtered logits at each of the T = k+1 positions
+    (softmax(fl[:, i]) is the target distribution for the token after
+    input i); drafts: (B, k). The draft proposal is a point mass, so
+    draft i is accepted with probability p_i(d_i), and on first rejection
+    the replacement is drawn from the residual p_c with d_c removed
+    (renormalized); if all k drafts are accepted the bonus token is drawn
+    from p_k unmodified. Emitted tokens are distributed EXACTLY as
+    sequential sampling from p (the rejection-sampling identity — the
+    proposal never changes the output law, only the tokens-per-step
+    rate).
+
+    Returns (c (B,) int32 accepted-draft counts, final (B,) int32 the
+    replacement/bonus token).
+    """
+    B, T, V = fl.shape
+    k = T - 1
+    p = jax.nn.softmax(fl, axis=-1)
+    ku, kr = jax.random.split(key)
+    u = jax.random.uniform(ku, (B, k))
+    p_draft = jnp.take_along_axis(
+        p[:, :k], drafts[..., None], axis=2
+    )[..., 0]  # (B, k): target prob of each drafted token
+    acc = (u < p_draft).astype(jnp.int32)
+    c = jnp.sum(jnp.cumprod(acc, axis=1), axis=1)  # first-rejection index
+    fl_c = jnp.take_along_axis(
+        fl, c[:, None, None].astype(jnp.int32), axis=1
+    )[:, 0]  # (B, V)
+    # residual: remove the rejected draft's mass (only when c < k)
+    d_ext = jnp.concatenate([drafts, jnp.zeros((B, 1), jnp.int32)], 1)
+    d_c = jnp.take_along_axis(d_ext, c[:, None], 1)[:, 0]
+    mask = (
+        jax.nn.one_hot(d_c, V, dtype=bool) & (c < k)[:, None]
+    )
+    fl_c = jnp.where(mask, -jnp.inf, fl_c)
+    final = jax.random.categorical(kr, fl_c, axis=-1).astype(jnp.int32)
+    return c, final
 
 
 def make_decode_step(cfg: LlamaConfig, quantized: bool,
@@ -601,20 +651,25 @@ def ngram_draft(history, vlen, k: int):
 
 
 def make_spec_chunk(cfg: LlamaConfig, quantized: bool, n_steps: int,
-                    spec_k: int):
-    """Speculative decode chunk (greedy only): `n_steps` spec steps per
+                    spec_k: int, temperature: float = 0.0, top_k: int = 0,
+                    top_p: float = 1.0, min_p: float = 0.0):
+    """Speculative decode chunk: `n_steps` spec steps per
     dispatch. Each step drafts `spec_k` tokens by prompt-lookup
     (ngram_draft), runs ONE verify forward over T = spec_k + 1 tokens
     [last, d_1..d_k] (the multi-token decode_attention applies the
-    intra-draft causal mask against the staging buffer), accepts the
-    longest matching prefix, and flushes the staging window — the bf16
+    intra-draft causal mask against the staging buffer), accepts a
+    prefix, and flushes the staging window — the bf16
     staging IS the rollback mechanism: rejected tokens' K/V simply land
     above the advanced length and are overwritten by the next flush.
 
     Per step each sequence emits between 1 and spec_k + 1 tokens: the
     accepted drafts plus the model's correction token. Greedy spec decode
-    is EXACT — the emitted stream is identical to plain greedy decode
-    (tested); drafting quality only changes the tokens-per-step rate.
+    (temperature 0) accepts exactly the argmax-matching prefix and is
+    byte-identical to plain greedy decode (tested). Under sampling the
+    verify is Leviathan rejection sampling (spec_accept): emitted tokens
+    follow the temperature/top-k/top-p/min-p target distribution exactly
+    (distribution-preservation tested); drafting quality only changes
+    the tokens-per-step rate.
 
     Returns chunk_fn(params, state, history, key) ->
       (emitted (n_steps, B, T) int32, counts (n_steps, B) int32,
@@ -680,14 +735,23 @@ def make_spec_chunk(cfg: LlamaConfig, quantized: bool, n_steps: int,
                 x = _layer_mlp(layer, x, cfg)
             x = rms_norm(x, params["final_norm"], cfg.rms_eps,
                          offset=cfg.rms_offset)
-            m = jnp.argmax(
-                _lm_logits(params, cfg, x), axis=-1
-            ).astype(jnp.int32)  # (B, T): model tokens after each input
-
-            eq = (drafts == m[:, :spec_k]).astype(jnp.int32)
-            c = jnp.sum(jnp.cumprod(eq, axis=1), axis=1)  # accepted drafts
+            logits_t = _lm_logits(params, cfg, x)  # (B, T, V)
+            if temperature <= 0.0:
+                # greedy verify: accept the longest argmax-matching prefix
+                m = jnp.argmax(logits_t, axis=-1).astype(jnp.int32)
+                eq = (drafts == m[:, :spec_k]).astype(jnp.int32)
+                c = jnp.sum(jnp.cumprod(eq, axis=1), axis=1)
+                m_at_c = jnp.take_along_axis(m, c[:, None], 1)[:, 0]
+            else:
+                V = logits_t.shape[-1]
+                fl = filtered_logits(
+                    logits_t.reshape(-1, V), temperature, top_k, top_p,
+                    min_p,
+                ).reshape(B, T, V)
+                c, m_at_c = spec_accept(
+                    fl, drafts, jax.random.fold_in(key, i)
+                )
             jc = jnp.arange(T, dtype=jnp.int32)[None]
-            m_at_c = jnp.take_along_axis(m, c[:, None], 1)[:, 0]
             drafts_ext = jnp.concatenate(
                 [drafts, jnp.zeros((B, 1), jnp.int32)], axis=1
             )
@@ -958,11 +1022,6 @@ class Engine:
         if spec_k:
             if paged:
                 raise ValueError("spec decoding not supported with paged")
-            if temperature > 0:
-                raise ValueError(
-                    "spec decoding is exact only for greedy decoding; "
-                    "temperature sampling would need rejection sampling"
-                )
             if logprobs:
                 raise ValueError(
                     "logprobs not supported with spec decoding (the "
@@ -1004,7 +1063,8 @@ class Engine:
         self._key = jax.random.key(seed)
         if spec_k:
             self._chunk = jax.jit(
-                make_spec_chunk(cfg, quantized_kv, chunk_size, spec_k),
+                make_spec_chunk(cfg, quantized_kv, chunk_size, spec_k,
+                                temperature, top_k, top_p, min_p),
                 donate_argnums=(1, 2),
             )
         else:

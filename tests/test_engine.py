@@ -455,3 +455,58 @@ def test_stop_text_engine_end_to_end(params):
     eng2.run()
     assert req.done
     assert req.out == probe.out[:2], (req.out, probe.out)
+
+
+# ---------------------------------------------------------------------------
+# round 3: speculative decoding under sampling (rejection-sampling verify)
+
+
+def test_spec_accept_preserves_distribution():
+    """Leviathan rejection-sampling invariant: whatever the (deterministic)
+    draft proposes, the emitted token at each position is distributed
+    exactly as sequential sampling from the target distribution."""
+    from nnop_tpu.runtime.engine import spec_accept
+
+    V, k = 8, 2
+    rng = np.random.default_rng(0)
+    logits = jnp.asarray(rng.normal(size=(1, k + 1, V)) * 2.0, jnp.float32)
+    p = np.asarray(jax.nn.softmax(logits, -1))[0]
+
+    for d0 in (0, 3):  # a likely and an arbitrary draft token
+        drafts = jnp.asarray([[d0, 1]], jnp.int32)
+        N = 40_000
+        keys = jax.random.split(jax.random.key(1), N)
+        c, final = jax.vmap(lambda kk: spec_accept(logits, drafts, kk))(keys)
+        c = np.asarray(c)[:, 0]
+        final = np.asarray(final)[:, 0]
+        # first emitted token: draft d0 when c >= 1, else the residual
+        first = np.where(c >= 1, d0, final)
+        emp = np.bincount(first, minlength=V) / N
+        np.testing.assert_allclose(emp, p[0], atol=0.012)
+
+    # forced acceptance at position 0 (target mass ~1 on the draft):
+    # the SECOND emitted token must then follow p[1]
+    big = logits.at[0, 0, :].set(-100.0).at[0, 0, 5].set(100.0)
+    p1 = np.asarray(jax.nn.softmax(big, -1))[0, 1]
+    drafts = jnp.asarray([[5, 2]], jnp.int32)
+    N = 40_000
+    keys = jax.random.split(jax.random.key(2), N)
+    c, final = jax.vmap(lambda kk: spec_accept(big, drafts, kk))(keys)
+    c = np.asarray(c)[:, 0]
+    final = np.asarray(final)[:, 0]
+    assert (c >= 1).all()
+    second = np.where(c >= 2, 2, final)
+    emp = np.bincount(second, minlength=V) / N
+    np.testing.assert_allclose(emp, p1, atol=0.012)
+
+
+def test_spec_sampling_runs_end_to_end(params):
+    """Engine(spec_k, temperature>0) is no longer rejected; it produces a
+    full stream and greedy spec stays byte-identical to plain greedy."""
+    prompt = [5, 17, 42, 7, 99, 3, 12, 8]
+    eng = Engine(params, CFG, max_batch=2, max_seq=96, spec_k=2,
+                 temperature=0.8, top_p=0.9, seed=11)
+    req = eng.submit(prompt, max_new_tokens=12)
+    eng.run()
+    assert req.done and len(req.out) == 12
+    assert all(0 <= t < CFG.vocab_size for t in req.out)

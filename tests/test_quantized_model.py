@@ -57,3 +57,96 @@ def test_checkpoint_roundtrip(params):
         loaded = load_checkpoint(path, params)
     for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(loaded)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+# ---------------------------------------------------------------------------
+# round 3: PPL gates on a TRAINED tiny model (VERDICT r2 item 7) —
+# random-weight gates overstate quantization noise (weights have no
+# structure to survive rounding); these train the tiny model on a
+# learnable synthetic stream first, then gate every quantized variant.
+
+
+def _synth_stream(n, key=3):
+    """Learnable synthetic corpus: affine next-token rule with occasional
+    resets — PPL(trained fp32) lands well below vocab_size so relative
+    quantization deltas measure real quality loss."""
+    toks = [int(jax.random.randint(jax.random.key(key), (), 0, 251))]
+    for i in range(n - 1):
+        toks.append((toks[-1] * 7 + 3) % 251)
+    return toks
+
+
+@pytest.fixture(scope="module")
+def trained_params(params):
+    import optax
+
+    # memoryless rule: train on RANDOM tokens with target f(x) so every
+    # residue is covered (a single trajectory only visits 7's orbit)
+    toks = jax.random.randint(jax.random.key(7), (24 * 64,), 0, 251)
+    inputs = toks.reshape(-1, 64).astype(jnp.int32)
+    targets = ((inputs * 7 + 3) % 251).astype(jnp.int32)
+    opt = optax.adam(3e-3)
+
+    def loss_fn(p, tok, tgt):
+        logits = forward(p, tok, CFG)
+        lp = jax.nn.log_softmax(logits.astype(jnp.float32))
+        nll = -jnp.take_along_axis(lp, tgt[..., None], -1)
+        return jnp.mean(nll)
+
+    @jax.jit
+    def step(p, s, tok, tgt):
+        loss, g = jax.value_and_grad(loss_fn)(p, tok, tgt)
+        up, s = opt.update(g, s)
+        return optax.apply_updates(p, up), s, loss
+
+    p = params
+    s = opt.init(p)
+    for e in range(14):
+        for i in range(inputs.shape[0]):
+            p, s, loss = step(p, s, inputs[i : i + 1], targets[i : i + 1])
+    return p
+
+
+def _gate(p_ref, p_q, matmul, band, label):
+    stream = _synth_stream(64 * 8 + 1, key=5)
+    ppl_fp = perplexity(p_ref, stream, CFG, chunk=64)
+    ppl_q = perplexity(p_q, stream, CFG, matmul=matmul, chunk=64)
+    assert ppl_fp < 40.0, f"tiny model failed to train (ppl {ppl_fp})"
+    rel = abs(ppl_q - ppl_fp) / ppl_fp
+    assert rel < band, (label, ppl_fp, ppl_q, rel)
+    return ppl_fp, ppl_q
+
+
+def test_int8_ppl_gate_trained(trained_params):
+    qp = quantize_params(trained_params)
+    _gate(trained_params, qp, qmatmul, 0.02, "int8")
+
+
+def test_int4_ppl_gate_trained(trained_params):
+    """INT4 (group-128) PPL gate — the headline-throughput quantization
+    finally carries a quality gate (VERDICT r2 weak #7)."""
+    # measured on this 2-layer dim-128 model: 5.3% relative PPL (K=128
+    # is a single int4 group per matmul — worst case; the 8B serving
+    # geometry has 32-112 groups per K). Band = measured + margin.
+    qp = quantize_params(trained_params, wbits=4)
+    _gate(trained_params, qp, qmatmul, 0.08, "int4")
+
+
+def test_int4_group_size_sensitivity(trained_params):
+    """Finer groups must stay in band (finer = lower quant noise; the
+    pack-block layout caps group at K/2 = 128 on this tiny dim)."""
+    for group, band in ((32, 0.08), (64, 0.08)):
+        qp = quantize_params(trained_params, wbits=4, group=group)
+        _gate(trained_params, qp, qmatmul, band, f"int4 g{group}")
+
+
+def test_w8a8_ppl_gate_trained(trained_params):
+    """W8A8 (per-token activation quant) must be int8-weight-only
+    equivalent: within 2% of the weight-only int8 PPL."""
+    from nnop_tpu.models.quantized import qmatmul_w8a8
+
+    qp = quantize_params(trained_params)
+    stream = _synth_stream(64 * 8 + 1, key=5)
+    ppl_w = perplexity(qp, stream, CFG, matmul=qmatmul, chunk=64)
+    ppl_a = perplexity(qp, stream, CFG, matmul=qmatmul_w8a8, chunk=64)
+    assert abs(ppl_a - ppl_w) / ppl_w < 0.02, (ppl_w, ppl_a)
