@@ -167,16 +167,22 @@ def bench_softmax(results):
     from nnop_tpu import online_softmax
     from nnop_tpu.ops.naive import naive_softmax
 
+    from nnop_tpu.utils.platform import norm_impl
+
+    impl = norm_impl()
     for tag, shape in [("", (8192, 1024)), ("_big", (16384, 4096))]:
         x = jax.random.normal(jax.random.key(0), shape, jnp.float32)
         gb = 2 * x.size * 4 / 1e9
         tf = marginal_time(lambda i, a: online_softmax(a), x)
         tn = marginal_time(lambda i, a: naive_softmax(a), x)
         results[f"softmax_fwd{tag}"] = dict(
-            fused_s=tf, naive_s=tn, speedup=tn / tf, gbps=gb / tf
+            fused_s=tf, naive_s=tn, speedup=tn / tf, gbps=gb / tf,
+            impl=impl,
+            fused_temp_bytes=peak_temp_bytes(online_softmax, x),
+            naive_temp_bytes=peak_temp_bytes(naive_softmax, x),
         )
-        log(f"softmax_fwd{tag}: fused {tf*1e3:.3f} ms ({gb/tf:.0f} GB/s) "
-            f"naive {tn*1e3:.3f} ms speedup {tn/tf:.2f}x")
+        log(f"softmax_fwd{tag}[{impl}]: fused {tf*1e3:.3f} ms "
+            f"({gb/tf:.0f} GB/s) naive {tn*1e3:.3f} ms speedup {tn/tf:.2f}x")
 
 
 def bench_norms(results):
@@ -193,6 +199,12 @@ def bench_norms(results):
         w = jax.random.normal(ks[1], (e,), jnp.float32)
         b = jax.random.normal(ks[2], (e,), jnp.float32)
 
+        from nnop_tpu.utils.platform import norm_impl
+
+        impl = norm_impl()  # label what's actually dispatched: on
+        # compiled TPU 'xla' serves these ops (measured policy,
+        # NOTES.md) — a 1.00x "fused" row is the dispatcher meeting the
+        # never-slower bar, NOT a pallas win (VERDICT r2 item 10)
         for name, fused, naive, extra in [
             ("rms", rms_norm, naive_rms_norm, (w,)),
             ("ln", layer_norm, naive_layer_norm, (w, b)),
@@ -200,8 +212,12 @@ def bench_norms(results):
             tf = marginal_time(lambda i, a: fused(a, *extra), x)
             tn = marginal_time(lambda i, a: naive(a, *extra), x)
             key = f"{name}_fwd{shape_tag}"
-            results[key] = dict(fused_s=tf, naive_s=tn, speedup=tn / tf)
-            log(f"{key}: fused {tf*1e3:.3f} ms naive {tn*1e3:.3f} ms "
+            mf = peak_temp_bytes(lambda a: fused(a, *extra), x)
+            mn = peak_temp_bytes(lambda a: naive(a, *extra), x)
+            results[key] = dict(fused_s=tf, naive_s=tn, speedup=tn / tf,
+                                impl=impl, fused_temp_bytes=mf,
+                                naive_temp_bytes=mn)
+            log(f"{key}[{impl}]: fused {tf*1e3:.3f} ms naive {tn*1e3:.3f} ms "
                 f"speedup {tn/tf:.2f}x")
 
             gf = jax.grad(lambda a: jnp.sum(fused(a, *extra)))
@@ -209,8 +225,12 @@ def bench_norms(results):
             tf = marginal_time(lambda i, a: gf(a), x)
             tn = marginal_time(lambda i, a: gn(a), x)
             key = f"{name}_bwd{shape_tag}"
-            results[key] = dict(fused_s=tf, naive_s=tn, speedup=tn / tf)
-            log(f"{key}: fused {tf*1e3:.3f} ms naive {tn*1e3:.3f} ms "
+            mf = peak_temp_bytes(gf, x)
+            mn = peak_temp_bytes(gn, x)
+            results[key] = dict(fused_s=tf, naive_s=tn, speedup=tn / tf,
+                                impl=impl, fused_temp_bytes=mf,
+                                naive_temp_bytes=mn)
+            log(f"{key}[{impl}]: fused {tf*1e3:.3f} ms naive {tn*1e3:.3f} ms "
                 f"speedup {tn/tf:.2f}x")
 
 
@@ -236,7 +256,15 @@ def bench_rope(results):
 
     tf = marginal_time(body(llama_rope), q)
     tn = marginal_time(body(naive_rope), q)
-    results["rope_fwd"] = dict(fused_s=tf, naive_s=tn, speedup=tn / tf)
+    results["rope_fwd"] = dict(
+        fused_s=tf, naive_s=tn, speedup=tn / tf,
+        fused_temp_bytes=peak_temp_bytes(
+            lambda a: llama_rope(a, k, cos, sin)[0], q
+        ),
+        naive_temp_bytes=peak_temp_bytes(
+            lambda a: naive_rope(a, k, cos, sin)[0], q
+        ),
+    )
     log(f"rope_fwd: fused {tf*1e3:.3f} ms naive {tn*1e3:.3f} ms "
         f"speedup {tn/tf:.2f}x")
 
@@ -387,6 +415,170 @@ def bench_moe(results):
             f"{wbytes/t/1e9:.0f} GB/s weight stream)")
 
 
+
+
+def bench_attention_configs(results):
+    """The reference's full 8-config attention grid — causal x padmask x
+    pair (/root/reference/benchmarks/main.jl:305-310) — fwd and fwd+bwd,
+    bf16, at the reference shape. Round 2 only benched the featureless
+    configs; the featureful paths now ride the static strip kernels
+    (VERDICT r2 missing #3)."""
+    from nnop_tpu import flash_attention
+    from nnop_tpu.ops.naive import naive_attention
+
+    B, H, L, E = 4, 4, 2048, 64
+    ks = jax.random.split(jax.random.key(0), 5)
+    dtype = jnp.bfloat16
+    q = jax.random.normal(ks[0], (B, H, L, E), dtype)
+    k = jax.random.normal(ks[1], (B, H, L, E), dtype)
+    v = jax.random.normal(ks[2], (B, H, L, E), dtype)
+    pair_t = jax.random.normal(ks[3], (B, H, L, L), dtype)
+    kpad = (jax.random.uniform(ks[4], (B, L)) > 0.2).at[:, 0].set(True)
+
+    for causal in (False, True):
+        for use_pad in (False, True):
+            for use_pair in (False, True):
+                if not (use_pad or use_pair):
+                    continue  # featureless configs covered by bench_attention
+                kw = dict(causal=causal)
+                if use_pad:
+                    kw["kpad_mask"] = kpad
+                if use_pair:
+                    kw["pair"] = pair_t
+                tag = (f"attn{'_causal' if causal else ''}"
+                       f"{'_pad' if use_pad else ''}"
+                       f"{'_pair' if use_pair else ''}")
+                flops = 4 * B * H * L * L * E * (0.5 if causal else 1.0)
+
+                def fused_fn(x, kw=kw):
+                    return flash_attention(
+                        x, k, v, kw.get("pair"),
+                        causal=kw["causal"],
+                        kpad_mask=kw.get("kpad_mask"),
+                    )
+
+                def naive_fn(x, kw=kw):
+                    return naive_attention(
+                        x, k, v, kw.get("pair"),
+                        causal=kw["causal"],
+                        kpad_mask=kw.get("kpad_mask"),
+                    )
+
+                tf = marginal_time(lambda i, x: x + 1e-6 * fused_fn(x), q)
+                tn = marginal_time(lambda i, x: x + 1e-6 * naive_fn(x), q)
+                results[f"{tag}_fwd"] = dict(
+                    fused_s=tf, naive_s=tn, speedup=tn / tf,
+                    tflops=flops / tf / 1e12,
+                )
+                log(f"{tag}_fwd: fused {tf*1e3:.3f} ms "
+                    f"({flops/tf/1e12:.1f} TF/s) naive {tn*1e3:.3f} ms "
+                    f"speedup {tn/tf:.2f}x")
+
+                gf = jax.grad(
+                    lambda x: jnp.sum(fused_fn(x).astype(jnp.float32))
+                )
+                gn = jax.grad(
+                    lambda x: jnp.sum(naive_fn(x).astype(jnp.float32))
+                )
+                tf = marginal_time(lambda i, x: x + 1e-6 * gf(x), q)
+                tn = marginal_time(lambda i, x: x + 1e-6 * gn(x), q)
+                results[f"{tag}_bwd"] = dict(
+                    fused_s=tf, naive_s=tn, speedup=tn / tf,
+                    tflops=2.5 * flops / tf / 1e12,
+                )
+                log(f"{tag}_bwd: fused {tf*1e3:.3f} ms naive {tn*1e3:.3f} ms "
+                    f"speedup {tn/tf:.2f}x")
+
+
+def bench_attention_prod(results):
+    """Attention at the 8B TRAINING geometry (VERDICT r2 item 1): B=2,
+    QH=32, KH=8 (GQA group 4), E=128, causal bf16 — the shapes the
+    sharded train step and the serving engine actually run, not the
+    reference's E=64 toy. Includes the featureful variants training hits
+    (packed segments, sliding window) and long context (chunked strips)."""
+    from nnop_tpu import flash_attention
+
+    B, QH, KH, E = 2, 32, 8, 128
+    dtype = jnp.bfloat16
+
+    def mk(L):
+        ks = jax.random.split(jax.random.key(0), 3)
+        return (jax.random.normal(ks[0], (B, QH, L, E), dtype),
+                jax.random.normal(ks[1], (B, KH, L, E), dtype),
+                jax.random.normal(ks[2], (B, KH, L, E), dtype))
+
+    def row(name, L, fl, bwd=False, **kw):
+        # k/v ride the carry: closure-captured arrays become program
+        # constants (134 MB at L=32k -> remote-compile 413)
+        if bwd:
+            def body(i, c):
+                x, k, v = c
+                g = jax.grad(lambda a: jnp.sum(
+                    flash_attention(a, k, v, causal=True, **kw
+                                    ).astype(jnp.float32)))(x)
+                return (x + 1e-9 * g, k, v)
+            n1, n2 = 5, 25
+        else:
+            def body(i, c):
+                x, k, v = c
+                return (x + 1e-6 * flash_attention(
+                    x, k, v, causal=True, **kw), k, v)
+            n1, n2 = 8, 40
+        t = marginal_time(body, mk(L), n1=n1, n2=n2)
+        results[name] = dict(time_s=t, tflops=fl / t / 1e12)
+        log(f"{name}: {t*1e3:.3f} ms = {fl/t/1e12:.1f} TF/s")
+
+    def flops(L, bwd=False, att_l=None):
+        f = 4 * B * QH * L * (att_l or L) * E
+        if att_l is None:
+            f //= 2
+        return f * (2.5 if bwd else 1.0)
+
+    seg = jnp.repeat(jnp.arange(4, dtype=jnp.int32), 1024)
+    seg = jnp.broadcast_to(seg, (B, 4096))
+    row("attn8b_fwd_L4096", 4096, flops(4096))
+    row("attn8b_bwd_L4096", 4096, flops(4096, bwd=True), bwd=True)
+    row("attn8b_fwd_L8192", 8192, flops(8192))
+    row("attn8b_bwd_L8192", 8192, flops(8192, bwd=True), bwd=True)
+    row("attn8b_seg_fwd_L4096", 4096, flops(4096), segment_ids=(seg, seg))
+    row("attn8b_seg_bwd_L4096", 4096, flops(4096, bwd=True), bwd=True,
+        segment_ids=(seg, seg))
+    row("attn8b_win1024_fwd_L4096", 4096, flops(4096, att_l=1024),
+        window=1024)
+    row("attn8b_fwd_L16384", 16384, flops(16384))
+    row("attn8b_fwd_L32768", 32768, flops(32768))
+
+
+def bench_train(results):
+    """End-to-end single-chip training (VERDICT r2 item 2): the REAL
+    sharded train step (shard_map dp x tp on a 1x1 mesh) at a ~460M
+    Llama config, tokens/s + MFU, plain and packed-document variants.
+    MFU counts model flops only (6P + attention), excluding the remat
+    recompute — the PaLM convention."""
+    import subprocess
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    for tag, extra in (("", []), ("_packed", ["--packed"])):
+        cmd = [sys.executable,
+               os.path.join(here, "scripts", "bench_train.py")] + extra
+        out = subprocess.run(cmd, capture_output=True, text=True,
+                             timeout=3000)
+        line = [l for l in out.stdout.splitlines() if "tokens/s" in l]
+        if not line:
+            log(f"bench_train{tag} FAILED: {out.stderr[-500:]}")
+            continue
+        import re
+
+        m = re.search(r"([\d.]+) ms = ([\d,]+) tokens/s .* ([\d.]+)% MFU",
+                      line[0])
+        results[f"train_460m{tag}"] = dict(
+            step_ms=float(m.group(1)),
+            tokens_s=float(m.group(2).replace(",", "")),
+            mfu_pct=float(m.group(3)),
+        )
+        log(f"train_460m{tag}: {line[0]}")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
@@ -399,11 +591,14 @@ def main():
     results = {}
     bench_attention(results, args.quick)
     if not args.quick:
+        bench_attention_configs(results)
+        bench_attention_prod(results)
         bench_softmax(results)
         bench_norms(results)
         bench_rope(results)
         bench_decode(results)
         bench_qmm(results)
+        bench_train(results)
     if args.moe:
         bench_moe(results)
 

@@ -973,7 +973,7 @@ class Engine:
                  paged: bool = False, page_size: int = 512,
                  n_pages: Optional[int] = None, prefill_chunk: int = 512,
                  pipeline_depth: int = 2, spec_k: int = 0,
-                 prefix_cache: bool = False, w8a8: bool = False,
+                 prefix_cache: bool = False, w8a8: bool = True,
                  interleave_prefill: bool = True):
         self.cfg = cfg
         self.tokenizer = tokenizer

@@ -29,6 +29,10 @@ def main():
     ap.add_argument("--vocab", type=int, default=32000)
     ap.add_argument("--paged", action="store_true")
     ap.add_argument("--wbits", type=int, default=8, choices=(4, 8))
+    ap.add_argument("--mixed-load", action="store_true",
+                    help="measure decode tok/s while LONG prompts admit "
+                    "concurrently (interleaved chunked admission), plus "
+                    "each admission's TTFT (VERDICT r2 item 5)")
     args = ap.parse_args()
 
     from nnop_tpu.models.llama import LlamaConfig, init_quantized_params
@@ -42,13 +46,15 @@ def main():
     eng = Engine(
         params, cfg,
         max_batch=args.batch,
-        max_seq=args.context + args.new_tokens + 8,
+        max_seq=(max(args.context, 1024) if args.mixed_load
+                 else args.context) + args.new_tokens + 8,
         quantized_kv=True,
         chunk_size=args.chunk,
         paged=args.paged,
     )
     prompt = [7] * args.context
-    for _ in range(args.batch):
+    n_initial = args.batch - 2 if args.mixed_load else args.batch
+    for _ in range(n_initial):
         eng.submit(prompt, max_new_tokens=args.new_tokens)
 
     print("prefill + compile...", file=sys.stderr, flush=True)
@@ -56,6 +62,45 @@ def main():
     eng.step()  # admits all slots (prefill) + first chunk (compiles)
     print(f"first step (incl. compiles) {time.time()-t0:.0f}s",
           file=sys.stderr, flush=True)
+
+    if args.mixed_load:
+        # steady state first: a few chunks of pure decode as the baseline
+        n_base = 4
+        t0 = time.perf_counter()
+        for _ in range(n_base):
+            eng.step()
+        base_dt = (time.perf_counter() - t0) / n_base
+        base_tps = (args.batch - 2) * args.chunk / base_dt  # 2 slots spare
+
+        # hold 2 slots back for admissions: resubmit with batch-2 active
+        # (simplest: measure on the same engine — two LONG prompts arrive
+        # while all other streams decode)
+        long_prompt = [11] * 1024
+        t_sub = time.perf_counter()
+        r1 = eng.submit(long_prompt, max_new_tokens=args.new_tokens)
+        r2 = eng.submit(long_prompt, max_new_tokens=args.new_tokens)
+        ttft = {}
+        n_mix = 0
+        tok0 = sum(len(r.out) for r in eng.slots if r is not None)
+        t0 = time.perf_counter()
+        while not (r1.out and r2.out):
+            eng.step()
+            n_mix += 1
+            now = time.perf_counter()
+            for name, r in (("r1", r1), ("r2", r2)):
+                if r.out and name not in ttft:
+                    ttft[name] = now - t_sub
+        mix_dt = (time.perf_counter() - t0) / max(1, n_mix)
+        mix_tps = (args.batch - 2) * args.chunk / mix_dt
+        print(
+            f"mixed-load: decode {base_tps:.0f} -> {mix_tps:.0f} tok/s "
+            f"during 2x1024-token admissions "
+            f"({100 * mix_tps / base_tps:.0f}% retained), "
+            f"TTFT {ttft['r1'] * 1e3:.0f} / {ttft['r2'] * 1e3:.0f} ms "
+            f"(B={args.batch} chunk={args.chunk})",
+            flush=True,
+        )
+        return
 
     # steady-state measurement: count tokens collected across chunks
     n_chunks = max(2, (args.new_tokens // args.chunk) - 2)

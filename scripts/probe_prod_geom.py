@@ -61,31 +61,33 @@ def record(name, t, fl):
         f.write(json.dumps(row) + "\n")
 
 
+# k/v ride the fori_loop carry: closure-captured arrays become PROGRAM
+# CONSTANTS in the jitted chain (NOTES.md bench hazard #1) — at L=32k
+# that is 2 x 134 MB serialized into the remote-compile request (HTTP 413)
+
+
 def bench_fwd(name, L, fl, **kw):
-    q, k, v = inputs(L)
-
-    def body(i, x):
+    def body(i, c):
+        x, k, v = c
         o = flash_attention(x, k, v, causal=True, **kw)
-        return x + 1e-6 * o
+        return (x + 1e-6 * o, k, v)
 
-    t = marginal_time(body, q, n1=10, n2=60)
+    t = marginal_time(body, inputs(L), n1=10, n2=60)
     record(name, t, fl)
 
 
 def bench_bwd(name, L, fl, **kw):
-    q, k, v = inputs(L)
+    def body(i, c):
+        x, k, v = c
+        g = jax.grad(
+            lambda a: jnp.sum(
+                flash_attention(a, k, v, causal=True, **kw
+                                ).astype(jnp.float32)
+            )
+        )(x)
+        return (x + 1e-9 * g, k, v)
 
-    def loss(x):
-        return jnp.sum(
-            flash_attention(x, k, v, causal=True, **kw).astype(jnp.float32)
-        )
-
-    g = jax.grad(loss)
-
-    def body(i, x):
-        return x + 1e-9 * g(x)
-
-    t = marginal_time(body, q, n1=5, n2=30)
+    t = marginal_time(body, inputs(L), n1=5, n2=30)
     record(name, t, fl)
 
 
@@ -108,6 +110,12 @@ CASES = {
     "fwd8k": lambda: bench_fwd("fwd8k", 8192, flops(8192)),
     "bwd8k": lambda: bench_bwd("bwd8k", 8192, flops(8192, bwd=True)),
     "fwd16k": lambda: bench_fwd("fwd16k", 16384, flops(16384)),
+    "fwd32k": lambda: bench_fwd("fwd32k", 32768, flops(32768)),
+    "bwd16k": lambda: bench_bwd("bwd16k", 16384, flops(16384, bwd=True)),
+    "softcap4k": lambda: bench_fwd("softcap4k", 4096, flops(4096), softcap=30.0),
+    "win8k": lambda: bench_fwd(
+        "win8k", 8192, flops(8192, window=4096), window=4096
+    ),
 }
 
 
