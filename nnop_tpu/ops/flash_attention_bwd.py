@@ -447,8 +447,15 @@ def _dkv_strip_kernel(
         kseg_ref = refs[idx]; idx += 1
     dk_ref, dv_ref = refs[idx : idx + 2]
 
-    k = k_ref[0, 0]
-    v = v_ref[0, 0]
+    from nnop_tpu.ops.flash_attention import _ref2d
+
+    def _grp(ref, g):
+        # (1, group, [1,] len, E) block -> (len, E) for group head g
+        x = ref[0, g]
+        return x.reshape(x.shape[-2], x.shape[-1])
+
+    k = _ref2d(k_ref)
+    v = _ref2d(v_ref)
     kpad_row = kpad_ref[0] if has_kpad else None  # (1, block_k)
     kseg_row = kseg_ref[0] if has_seg else None  # (1, block_k)
     qseg_all = qseg_ref[0] if has_seg else None  # (q_len, 1)
@@ -456,11 +463,15 @@ def _dkv_strip_kernel(
     dv_acc = None
     j0 = col0 // sk if causal else 0
     for g in range(group):
+        q_g = _grp(q_ref, g)
+        do_g = _grp(do_ref, g)
+        lse_g = _grp(lse_ref, g)
+        delta_g = _grp(delta_ref, g)
         for j in range(j0, q_len // sk):
-            q = q_ref[0, g, j * sk : (j + 1) * sk, :]
-            do = do_ref[0, g, j * sk : (j + 1) * sk, :]
-            lse = lse_ref[0, g, j * sk : (j + 1) * sk, :]
-            delta = delta_ref[0, g, j * sk : (j + 1) * sk, :]
+            q = q_g[j * sk : (j + 1) * sk, :]
+            do = do_g[j * sk : (j + 1) * sk, :]
+            lse = lse_g[j * sk : (j + 1) * sk, :]
+            delta = delta_g[j * sk : (j + 1) * sk, :]
             q_s = (q.astype(jnp.float32) * scale).astype(q.dtype)
             s = jax.lax.dot_general(
                 q_s, k, dimension_numbers=(((1,), (1,)), ((), ())),
@@ -499,8 +510,8 @@ def _dkv_strip_kernel(
             )
             dv_acc = dv_c if dv_acc is None else dv_acc + dv_c
             dk_acc = dk_c if dk_acc is None else dk_acc + dk_c
-    dk_ref[0, 0] = (dk_acc * scale).astype(dk_ref.dtype)
-    dv_ref[0, 0] = dv_acc.astype(dv_ref.dtype)
+    dk_ref[...] = (dk_acc * scale).astype(dk_ref.dtype).reshape(dk_ref.shape)
+    dv_ref[...] = dv_acc.astype(dv_ref.dtype).reshape(dv_ref.shape)
 
 
 def _bwd_causal_multicall(
@@ -694,6 +705,201 @@ def _bwd_rect_static(q, k, v, lse, delta, do, scale, precision, bq):
     return dq, dk, dv
 
 
+def _bwd_causal_chunked(
+    q, k, v, lse, delta, do, scale, precision, bq, chunk, softcap=None
+):
+    """Long-context causal backward, all-static (fwd analogue:
+    flash_attention._fwd_causal_chunked).
+
+    dQ: per-chunk diagonal strips (batched over chunks via a grid axis on
+    5-D reshaped operands) + one mask-free full-prefix rectangle call per
+    chunk i >= 1, summed. dK/dV: the (q-chunk j+d, kv-chunk j) pairs are
+    batched PER DIAGONAL OFFSET d — d=0 is the causal in-chunk strip set,
+    each d >= 1 is ONE mask-free call with grid (B, KH, n_c - d,
+    kv-strips) whose per-offset outputs sum into dk/dv. Call count is
+    O(chunk/bq + n_c) regardless of L."""
+    B, QH, QL, E = q.shape
+    _, KH, _, _ = k.shape
+    group = QH // KH
+    sk = min(512, bq)
+    n_c = QL // chunk
+    npc = chunk // bq
+    q5 = q.reshape(B, QH, n_c, chunk, E)
+    do5 = do.reshape(B, QH, n_c, chunk, E)
+    lse5 = lse.reshape(B, QH, n_c, chunk, 1)
+    delta5 = delta.reshape(B, QH, n_c, chunk, 1)
+    k5 = k.reshape(B, KH, n_c, chunk, E)
+    v5 = v.reshape(B, KH, n_c, chunk, E)
+    cp = pltpu.CompilerParams(
+        dimension_semantics=("parallel", "parallel", "parallel"),
+        vmem_limit_bytes=100 * 1024 * 1024,
+    )
+
+    # ---- dQ: diagonal strips, batched over chunks --------------------
+    dqs = []
+    for ci in range(npc):
+        kw = (ci + 1) * bq
+        kernel = functools.partial(
+            _dq_strip_kernel, scale=scale, row0=ci * bq, block_q=bq,
+            sk=sk, precision=precision, softcap=softcap,
+        )
+        dq_i = pl.pallas_call(
+            kernel,
+            grid=(B, QH, n_c),
+            in_specs=[
+                pl.BlockSpec((1, 1, 1, bq, E),
+                             lambda b, h, c, ci=ci: (b, h, c, ci, 0)),
+                pl.BlockSpec((1, 1, 1, kw, E),
+                             lambda b, h, c: (b, h // group, c, 0, 0)),
+                pl.BlockSpec((1, 1, 1, kw, E),
+                             lambda b, h, c: (b, h // group, c, 0, 0)),
+                pl.BlockSpec((1, 1, 1, bq, E),
+                             lambda b, h, c, ci=ci: (b, h, c, ci, 0)),
+                pl.BlockSpec((1, 1, 1, bq, 1),
+                             lambda b, h, c, ci=ci: (b, h, c, ci, 0)),
+                pl.BlockSpec((1, 1, 1, bq, 1),
+                             lambda b, h, c, ci=ci: (b, h, c, ci, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, 1, 1, bq, E),
+                                   lambda b, h, c: (b, h, c, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct((B, QH, n_c, bq, E), q.dtype),
+            compiler_params=cp,
+            interpret=interpret_default(),
+        )(q5, k5, v5, do5, lse5, delta5)
+        dqs.append(dq_i)
+    dq = jnp.concatenate(dqs, axis=3).reshape(B, QH, QL, E)
+
+    # ---- dQ: mask-free full-prefix rectangles, one per chunk i >= 1 --
+    off = []
+    for c in range(1, n_c):
+        cw = c * chunk
+        kernel = functools.partial(
+            _dq_strip_kernel, scale=scale, row0=0, block_q=bq, sk=sk,
+            precision=precision, causal=False, softcap=softcap,
+        )
+        dq_o = pl.pallas_call(
+            kernel,
+            grid=(B, QH, npc),
+            in_specs=[
+                pl.BlockSpec((1, 1, bq, E),
+                             lambda b, h, iq, c=c: (b, h, c * npc + iq, 0)),
+                pl.BlockSpec((1, 1, cw, E),
+                             lambda b, h, iq: (b, h // group, 0, 0)),
+                pl.BlockSpec((1, 1, cw, E),
+                             lambda b, h, iq: (b, h // group, 0, 0)),
+                pl.BlockSpec((1, 1, bq, E),
+                             lambda b, h, iq, c=c: (b, h, c * npc + iq, 0)),
+                pl.BlockSpec((1, 1, bq, 1),
+                             lambda b, h, iq, c=c: (b, h, c * npc + iq, 0)),
+                pl.BlockSpec((1, 1, bq, 1),
+                             lambda b, h, iq, c=c: (b, h, c * npc + iq, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, 1, bq, E),
+                                   lambda b, h, iq: (b, h, iq, 0)),
+            out_shape=jax.ShapeDtypeStruct((B, QH, chunk, E), q.dtype),
+            compiler_params=cp,
+            interpret=interpret_default(),
+        )(q, k, v, do, lse, delta)
+        off.append(dq_o)
+    if off:
+        dq = dq.at[:, :, chunk:].add(jnp.concatenate(off, axis=2))
+
+    # ---- dK/dV: diagonal (d=0) strips, batched over chunks -----------
+    dks, dvs = [], []
+    for cj in range(npc):
+        kernel = functools.partial(
+            _dkv_strip_kernel, scale=scale, col0=cj * bq, block_k=bq,
+            sk=sk, q_len=chunk, group=group, precision=precision,
+            softcap=softcap,
+        )
+        dk_j, dv_j = pl.pallas_call(
+            kernel,
+            grid=(B, KH, n_c),
+            in_specs=[
+                pl.BlockSpec((1, group, 1, chunk, E),
+                             lambda b, kh, c: (b, kh, c, 0, 0)),
+                pl.BlockSpec((1, 1, 1, bq, E),
+                             lambda b, kh, c, cj=cj: (b, kh, c, cj, 0)),
+                pl.BlockSpec((1, 1, 1, bq, E),
+                             lambda b, kh, c, cj=cj: (b, kh, c, cj, 0)),
+                pl.BlockSpec((1, group, 1, chunk, E),
+                             lambda b, kh, c: (b, kh, c, 0, 0)),
+                pl.BlockSpec((1, group, 1, chunk, 1),
+                             lambda b, kh, c: (b, kh, c, 0, 0)),
+                pl.BlockSpec((1, group, 1, chunk, 1),
+                             lambda b, kh, c: (b, kh, c, 0, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, 1, 1, bq, E),
+                             lambda b, kh, c: (b, kh, c, 0, 0)),
+                pl.BlockSpec((1, 1, 1, bq, E),
+                             lambda b, kh, c: (b, kh, c, 0, 0)),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((B, KH, n_c, bq, E), k.dtype),
+                jax.ShapeDtypeStruct((B, KH, n_c, bq, E), v.dtype),
+            ],
+            compiler_params=cp,
+            interpret=interpret_default(),
+        )(q5, k5, v5, do5, lse5, delta5)
+        dks.append(dk_j)
+        dvs.append(dv_j)
+    dk = jnp.concatenate(dks, axis=3).reshape(B, KH, QL, E)
+    dv = jnp.concatenate(dvs, axis=3).reshape(B, KH, QL, E)
+
+    # ---- dK/dV: off-diagonal pairs, one call per offset d >= 1 -------
+    for d in range(1, n_c):
+        nj = n_c - d
+        kernel = functools.partial(
+            _dkv_strip_kernel, scale=scale, col0=0, block_k=bq, sk=sk,
+            q_len=chunk, group=group, precision=precision, causal=False,
+            softcap=softcap,
+        )
+        dk_d, dv_d = pl.pallas_call(
+            kernel,
+            grid=(B, KH, nj, npc),
+            in_specs=[
+                pl.BlockSpec((1, group, 1, chunk, E),
+                             lambda b, kh, j, ck, d=d: (b, kh, j + d, 0, 0)),
+                pl.BlockSpec((1, 1, 1, bq, E),
+                             lambda b, kh, j, ck: (b, kh, j, ck, 0)),
+                pl.BlockSpec((1, 1, 1, bq, E),
+                             lambda b, kh, j, ck: (b, kh, j, ck, 0)),
+                pl.BlockSpec((1, group, 1, chunk, E),
+                             lambda b, kh, j, ck, d=d: (b, kh, j + d, 0, 0)),
+                pl.BlockSpec((1, group, 1, chunk, 1),
+                             lambda b, kh, j, ck, d=d: (b, kh, j + d, 0, 0)),
+                pl.BlockSpec((1, group, 1, chunk, 1),
+                             lambda b, kh, j, ck, d=d: (b, kh, j + d, 0, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, 1, 1, bq, E),
+                             lambda b, kh, j, ck: (b, kh, j, ck, 0)),
+                pl.BlockSpec((1, 1, 1, bq, E),
+                             lambda b, kh, j, ck: (b, kh, j, ck, 0)),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((B, KH, nj, chunk, E), k.dtype),
+                jax.ShapeDtypeStruct((B, KH, nj, chunk, E), v.dtype),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=(
+                    "parallel", "parallel", "parallel", "parallel"
+                ),
+                vmem_limit_bytes=100 * 1024 * 1024,
+            ),
+            interpret=interpret_default(),
+        )(q5, k5, v5, do5, lse5, delta5)
+        dk = dk.at[:, :, : nj * chunk].add(
+            dk_d.reshape(B, KH, nj * chunk, E).astype(dk.dtype)
+        )
+        dv = dv.at[:, :, : nj * chunk].add(
+            dv_d.reshape(B, KH, nj * chunk, E).astype(dv.dtype)
+        )
+    return dq, dk, dv
+
+
+
 def flash_attention_bwd(
     q, k, v, pair, kpad_mask, o, lse, do, *, causal: bool, scale: float,
     precision=None, segment_ids=None, window=None, softcap=None,
@@ -734,6 +940,29 @@ def flash_attention_bwd(
             kpad_mask=kpad_mask, segment_ids=segment_ids, softcap=softcap,
         )
         return dq, dk, dv, None
+
+    if (
+        causal
+        and not (has_pair or has_kpad or has_seg)
+        and window is None
+        and QL == KL
+        and QL % bq == 0
+        and QL // bq > 16
+    ):
+        from nnop_tpu.ops.flash_attention import _pick_chunk
+
+        chunk = _pick_chunk(QL, bq, E, jnp.dtype(q.dtype).itemsize)
+        if (
+            chunk is not None
+            # per-offset q/do chunk blocks load the whole GQA group
+            and group * chunk * E * jnp.dtype(q.dtype).itemsize
+            <= 8 * 1024 * 1024
+        ):
+            dq, dk, dv = _bwd_causal_chunked(
+                q, k, v, lse, delta, do, scale, precision, bq, chunk,
+                softcap=softcap,
+            )
+            return dq, dk, dv, None
 
     if (
         not causal

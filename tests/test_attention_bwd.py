@@ -194,3 +194,35 @@ def test_causal_strips_L8192_grads():
     )(q, k, v)
     for g, w, name in zip(gf, gn, "qkv"):
         np.testing.assert_allclose(g, w, atol=ATOL, rtol=RTOL, err_msg=f"d{name}")
+
+
+def test_bwd_causal_chunked_long_context():
+    """Chunked long-context backward (QL/bq > strip cap): per-offset
+    batched off-diagonal dK/dV pairs + diagonal strips + full-prefix dQ
+    rectangles match naive grads."""
+    from nnop_tpu.ops import flash_attention as fa
+    from nnop_tpu.ops import flash_attention_bwd as fab
+
+    ks = jax.random.split(jax.random.key(0), 4)
+    B, QH, KH, L, E = 1, 4, 2, 2048, 64
+    q = jax.random.normal(ks[0], (B, QH, L, E), jnp.float32)
+    k = jax.random.normal(ks[1], (B, KH, L, E), jnp.float32)
+    v = jax.random.normal(ks[2], (B, KH, L, E), jnp.float32)
+    scale = E ** -0.5
+    o, lse = fa._fwd_impl(
+        q, k, v, None, None, True, scale, block_q=256, block_k=512
+    )
+    do = jax.random.normal(ks[3], o.shape, jnp.float32)
+    delta = jnp.sum(do * o, axis=-1, keepdims=True)
+    # bq=64, chunk=512 -> n_c=4, npc=8 (forces every chunked sub-path)
+    dq, dk, dv = fab._bwd_causal_chunked(
+        q, k, v, lse, delta, do, scale, None, 64, 512
+    )
+
+    def loss(a, b, c):
+        return jnp.sum(naive_attention(a, b, c, causal=True) * do)
+
+    gq, gk, gv = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    np.testing.assert_allclose(dq, gq, atol=2e-3, rtol=2e-3)
+    np.testing.assert_allclose(dk, gk, atol=2e-3, rtol=2e-3)
+    np.testing.assert_allclose(dv, gv, atol=2e-3, rtol=2e-3)
