@@ -449,6 +449,20 @@ _CAUSAL_STRIP_MAX_CALLS = 16
 # bound their footprint so the widest strip compiles (measured: 4.2 MB
 # at L=8192 E=64 bf16 fits with ~2 MB of score/p temps on top).
 _CAUSAL_STRIP_KV_BYTES = 9 * 1024 * 1024
+# Chunked long-context gate: the off-diagonal prefix rectangles load the
+# whole kv[0 : QL-chunk) prefix as ONE (double-buffered) VMEM block, so
+# the path only compiles while 2x(K+V) prefix bytes stay under the 100 MB
+# vmem_limit (and the ~cw/sk Python-unrolled sub-tiles keep compile time
+# sane). Beyond this the dispatch falls back to the general streaming
+# pipeline — slower (96 vs 142 TF/s at L=16k, r2/r3 measurements) but
+# correct at any L. TODO(next): stream the widest rectangles as W-wide
+# same-shape sub-rectangles merged via lse_merge to lift this cap.
+_CHUNKED_RECT_KV_BYTES = 72 * 1024 * 1024
+# Stacked-window transient HBM cap (ADVICE r3): the windowed strip path
+# materializes ~kw/bq copies of K and V; 2 GB admits the 8B geometry
+# (B2 KH8 L8192 window=4096 bf16 = 0.6 GB) while bounding the spike on
+# long-L/large-window calls, which take the general pipeline instead.
+_WINDOW_STACK_HBM_BYTES = 2 * 1024**3
 
 
 def _rect_static_kernel(
@@ -941,9 +955,15 @@ def _fwd_impl(q, k, v, pair, kpad, causal, scale, block_q=None, block_k=None, pr
     )
     if strips_ok and window is not None and not (has_kpad or has_seg):
         kw = round_up(window - 1 + bq, bq)
+        # transient HBM bound (ADVICE r3): the stacked-window path builds
+        # ~kw/bq concatenated copies of K and V; cap that buffer so long
+        # sequences with large windows fall back to the general
+        # clamped-index pipeline instead of OOMing HBM
+        stacked_bytes = 2 * B * KH * (QL // bq) * kw * E * itemsize
         if (
             4 * kw * E * itemsize <= _CAUSAL_STRIP_KV_BYTES
             and kw // bq <= _CAUSAL_STRIP_MAX_CALLS
+            and stacked_bytes <= _WINDOW_STACK_HBM_BYTES
         ):
             return _fwd_causal_window(
                 q, k, v, scale, precision, bq, int(window), softcap
@@ -959,7 +979,14 @@ def _fwd_impl(q, k, v, pair, kpad, causal, scale, block_q=None, block_k=None, pr
             )
         if not (has_kpad or has_seg):
             chunk = _pick_chunk(QL, bq, E, itemsize)
-            if chunk is not None:
+            if (
+                chunk is not None
+                # widest prefix rectangle (K+V, double-buffered) must fit
+                # VMEM — beyond ~72 MB fall back to the streaming pipeline
+                # (ADVICE r3: at E=128 bf16 this binds around QL ~ 110k)
+                and 4 * (QL - chunk) * E * itemsize
+                <= _CHUNKED_RECT_KV_BYTES
+            ):
                 return _fwd_causal_chunked(
                     q, k, v, scale, precision, bq, chunk, softcap
                 )

@@ -949,7 +949,8 @@ def flash_attention_bwd(
         and QL % bq == 0
         and QL // bq > 16
     ):
-        from nnop_tpu.ops.flash_attention import _pick_chunk
+        from nnop_tpu.ops.flash_attention import (
+            _CHUNKED_RECT_KV_BYTES, _pick_chunk)
 
         chunk = _pick_chunk(QL, bq, E, jnp.dtype(q.dtype).itemsize)
         if (
@@ -957,6 +958,11 @@ def flash_attention_bwd(
             # per-offset q/do chunk blocks load the whole GQA group
             and group * chunk * E * jnp.dtype(q.dtype).itemsize
             <= 8 * 1024 * 1024
+            # the dQ full-prefix rectangles load kv[0 : QL-chunk) as one
+            # double-buffered VMEM block — same gate as the forward
+            # (ADVICE r3): beyond it, fall back to the streaming pipeline
+            and 4 * (QL - chunk) * E * jnp.dtype(q.dtype).itemsize
+            <= _CHUNKED_RECT_KV_BYTES
         ):
             dq, dk, dv = _bwd_causal_chunked(
                 q, k, v, lse, delta, do, scale, precision, bq, chunk,

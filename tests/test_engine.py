@@ -411,6 +411,9 @@ class _StubTok:
     def decode(self, ids):
         return "".join(self.pieces[i] for i in ids)
 
+    def decode_bytes(self, ids):  # concatenative, like the real ones
+        return self.decode(ids).encode("utf-8")
+
     def encode(self, text):  # not used by these tests
         raise NotImplementedError
 
@@ -510,3 +513,70 @@ def test_spec_sampling_runs_end_to_end(params):
     eng.run()
     assert req.done and len(req.out) == 12
     assert all(0 <= t < CFG.vocab_size for t in req.out)
+
+
+# ---------------------------------------------------------------------------
+# round 4: request cancellation + queue backpressure (VERDICT r3 item 10)
+
+
+def test_cancel_queued_request(params):
+    """A queued (not yet admitted) request drops out before any compute;
+    other requests are unaffected."""
+    eng = Engine(params, CFG, max_batch=1, max_seq=64)
+    r1 = eng.submit([1, 2, 3], max_new_tokens=4)
+    r2 = eng.submit([4, 5, 6], max_new_tokens=4)  # queued behind r1
+    assert eng.cancel(r2)
+    assert r2.done and r2.cancelled and r2.out == []
+    assert not eng.cancel(r2)  # idempotent: already finished
+    eng.run()
+    assert r1.done and len(r1.out) == 4
+
+
+def test_cancel_active_request_frees_slot(params):
+    """Cancelling an in-flight request frees its slot immediately: a
+    queued request admits next step, and the cancelled stream keeps the
+    tokens it already produced but receives no more."""
+    eng = Engine(params, CFG, max_batch=1, max_seq=64, chunk_size=2,
+                 pipeline_depth=1)
+    r1 = eng.submit([1, 2, 3], max_new_tokens=12)
+    r2 = eng.submit([4, 5, 6], max_new_tokens=4)
+    eng.step()  # admit r1 + first chunk
+    assert not r1.done and len(r1.out) >= 1
+    n_before = len(r1.out)
+    assert eng.cancel(r1.rid)  # by rid, mid-flight
+    assert r1.done and r1.cancelled
+    eng.run()
+    assert len(r1.out) == n_before  # no tokens after cancel
+    assert r2.done and len(r2.out) == 4
+
+
+def test_cancel_matches_uncancelled_stream(params):
+    """Slot recycling after cancel is clean: the next request's tokens
+    are identical to a fresh engine's."""
+    eng = Engine(params, CFG, max_batch=1, max_seq=64)
+    r0 = eng.submit([9, 8, 7], max_new_tokens=6)
+    eng.step()
+    eng.cancel(r0)
+    r1 = eng.submit([1, 2, 3], max_new_tokens=6)
+    eng.run()
+
+    fresh = Engine(params, CFG, max_batch=1, max_seq=64)
+    want = fresh.submit([1, 2, 3], max_new_tokens=6)
+    fresh.run()
+    assert r1.out == want.out
+
+
+def test_queue_backpressure(params):
+    """submit raises QueueFullError once the pending queue hits
+    max_queue; draining the queue re-opens admission."""
+    from nnop_tpu.runtime.engine import QueueFullError
+
+    eng = Engine(params, CFG, max_batch=1, max_seq=64, max_queue=2)
+    eng.submit([1], max_new_tokens=2)
+    eng.submit([2], max_new_tokens=2)  # queue now at max_queue=2
+    with pytest.raises(QueueFullError):
+        eng.submit([3], max_new_tokens=2)
+    eng.step()  # admits one -> queue has room again
+    eng.submit([4], max_new_tokens=2)
+    eng.run()
+    eng.submit([5], max_new_tokens=2)  # drained: accepted again

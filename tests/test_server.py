@@ -144,3 +144,50 @@ def test_server_streams_tokens(params):
     assert len(token_events) >= 2, token_events  # incremental delivery
     got = [t for e in token_events for t in e]
     assert got == want.out, (got, want.out)
+
+
+def test_server_backpressure_429(params):
+    """/v1/completions returns 429 (with Retry-After) once the engine
+    queue is full (VERDICT r3 item 10)."""
+    import time
+
+    eng = Engine(params, CFG, max_batch=1, max_seq=64, max_queue=1)
+    with EngineServer(eng) as srv:
+        # freeze the step loop so the queue cannot drain, then fill it
+        srv._stop.set()
+        srv._wake.set()
+        time.sleep(0.3)
+        eng.submit([1, 2], max_new_tokens=4)  # fills the queue
+        try:
+            _post(srv.port, {"prompt": [5, 6], "max_tokens": 4})
+            raise AssertionError("expected 429")
+        except urllib.error.HTTPError as e:
+            assert e.code == 429
+            assert e.headers.get("Retry-After") is not None
+
+
+def test_server_cancel_endpoint(params):
+    """POST /v1/cancel drops a queued request and wakes its handler."""
+    import time
+
+    eng = Engine(params, CFG, max_batch=1, max_seq=64)
+    with EngineServer(eng) as srv:
+        # freeze the step loop so both requests stay pending
+        srv._stop.set()
+        srv._wake.set()
+        time.sleep(0.3)
+        r1, _, _ = srv.submit([5, 17, 42], 4)
+        r2, ev2, _ = srv.submit([9, 9, 9], 4)
+        st, out = _post(srv.port, {"id": r2.rid}, path="/v1/cancel")
+        assert (st, out["cancelled"]) == (200, True)
+        assert ev2.wait(timeout=10)  # handler wakes immediately
+        assert r2.cancelled and r2.out == []
+        # r1 completes normally (drive the engine directly: loop frozen)
+        eng.run()
+        assert r1.done and len(r1.out) == 4
+        # cancelling an unknown/finished id reports 404
+        try:
+            _post(srv.port, {"id": 999}, path="/v1/cancel")
+            raise AssertionError("expected 404")
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
