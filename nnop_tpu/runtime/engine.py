@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import contextvars
 import dataclasses
+import functools
 import math
 from typing import Optional
 
@@ -184,6 +185,38 @@ def _quant_token(x):
         jnp.round(x.astype(jnp.float32) / scale[..., None]), -INT8_MAX, INT8_MAX
     ).astype(jnp.int8)
     return q, scale
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3))
+def _admit_write_q(k, v, k_scale, v_scale, ks_l, vs_l, slot):
+    """Quantize + write one slot's prefill K/V into the int8 caches.
+
+    One jitted program per L-bucket with `slot` as a DYNAMIC arg: the
+    previous eager `.at[:, slot, :, :L].set(...)` compiled a distinct
+    XLA program per (slot, L) pair — ~4 programs x max_batch on a cold
+    engine, minutes of remote compiles on this stack (seen in the r4
+    mixed-load bench) — and copied the full cache 4x per admission.
+    Donation lets XLA update the caches in place."""
+    kq, ksc = _quant_token(ks_l)
+    vq, vsc = _quant_token(vs_l)
+    start5 = (0, slot, 0, 0, 0)
+    k = jax.lax.dynamic_update_slice(k, kq[:, None], start5)
+    v = jax.lax.dynamic_update_slice(v, vq[:, None], start5)
+    start4 = (0, slot, 0, 0)
+    k_scale = jax.lax.dynamic_update_slice(k_scale, ksc[:, None], start4)
+    v_scale = jax.lax.dynamic_update_slice(v_scale, vsc[:, None], start4)
+    return k, v, k_scale, v_scale
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1))
+def _admit_write(k, v, ks_l, vs_l, slot):
+    """fp-cache variant of _admit_write_q."""
+    start5 = (0, slot, 0, 0, 0)
+    k = jax.lax.dynamic_update_slice(
+        k, ks_l[:, None].astype(k.dtype), start5)
+    v = jax.lax.dynamic_update_slice(
+        v, vs_l[:, None].astype(v.dtype), start5)
+    return k, v
 
 
 @dataclasses.dataclass
@@ -1040,6 +1073,10 @@ class Engine:
         # tokens per sequence — exact greedy token streams, fewer weight
         # streams per token
         self.spec_k = spec_k
+        # measured acceptance counters (VERDICT r3 item 8): tokens emitted
+        # and verify steps per slot — mean tokens/verify = 1 + acceptance
+        self.spec_emitted = 0
+        self.spec_verify_slots = 0
         if spec_k:
             if paged:
                 raise ValueError("spec decoding not supported with paged")
@@ -1427,24 +1464,26 @@ class Engine:
         """Write prefilled K/V into device state, sample + record the
         first token, and activate (or immediately retire) the slot."""
         if not n_match:
-            ks_l = ks[:, 0, :, :L]  # strip batch dim + bucket padding
-            vs_l = vs[:, 0, :, :L]
             if self.paged:
-                self._admit_paged(slot, L, ks_l, vs_l)
-            elif self.quantized:
-                kq, ksc = _quant_token(ks_l)
-                vq, vsc = _quant_token(vs_l)
-                self.state.k = self.state.k.at[:, slot, :, :L].set(kq)
-                self.state.v = self.state.v.at[:, slot, :, :L].set(vq)
-                self.state.k_scale = self.state.k_scale.at[:, slot, :, :L].set(ksc)
-                self.state.v_scale = self.state.v_scale.at[:, slot, :, :L].set(vsc)
+                self._admit_paged(slot, L, ks[:, 0, :, :L], vs[:, 0, :, :L])
             else:
-                self.state.k = self.state.k.at[:, slot, :, :L].set(
-                    ks_l.astype(self.state.k.dtype)
-                )
-                self.state.v = self.state.v.at[:, slot, :, :L].set(
-                    vs_l.astype(self.state.v.dtype)
-                )
+                # keep the bucket padding: rows beyond L are invisible
+                # (decode masks by lengths, appends overwrite them), and
+                # a bucket-width write keeps ONE jitted program per
+                # bucket instead of one per prompt length
+                S = self.state.k.shape[3]
+                W = min(ks.shape[3], S)
+                ks_l = ks[:, 0, :, :W]
+                vs_l = vs[:, 0, :, :W]
+                slot_i = jnp.int32(slot)
+                if self.quantized:
+                    (self.state.k, self.state.v, self.state.k_scale,
+                     self.state.v_scale) = _admit_write_q(
+                        self.state.k, self.state.v, self.state.k_scale,
+                        self.state.v_scale, ks_l, vs_l, slot_i)
+                else:
+                    self.state.k, self.state.v = _admit_write(
+                        self.state.k, self.state.v, ks_l, vs_l, slot_i)
         self.state.lengths = self.state.lengths.at[slot].set(L)
         if self.prefix_cache:
             self._insert_prefix(req.prompt, slot)
@@ -1617,6 +1656,8 @@ class Engine:
                     for j in range(int(counts[t, slot]))
                 ]
                 slot_lps = [None] * len(slot_toks)
+                self.spec_emitted += len(slot_toks)
+                self.spec_verify_slots += toks.shape[0]
             for tok, lp in zip(slot_toks, slot_lps):
                 req.out.append(tok)
                 if lp is not None:

@@ -26,19 +26,26 @@ def main():
     base = json.load(open(args.baseline))
     cand = json.load(open(args.candidate))
 
+    # (metric, higher_is_better): times gate upward drift; throughput /
+    # MFU / serving-retention rows (train_460m*, engine_mixed_load) gate
+    # downward drift
+    metrics = (("fused_s", False), ("time_s", False), ("step_ms", False),
+               ("tokens_s", True), ("mfu_pct", True),
+               ("retained_pct", True), ("mixed_tps", True))
     failures = []
     for key in sorted(set(base) & set(cand)):
         b, c = base[key], cand[key]
-        for metric, higher_is_better in (("fused_s", False), ("time_s", False)):
+        for metric, higher_is_better in metrics:
             if metric in b and metric in c:
                 try:
                     bv, cv = float(b[metric]), float(c[metric])
                 except (TypeError, ValueError):
                     continue
                 ratio = cv / bv
-                flag = ratio > 1 + args.tolerance
+                flag = (ratio < 1 - args.tolerance if higher_is_better
+                        else ratio > 1 + args.tolerance)
                 mark = "REGRESSED" if flag else "ok"
-                print(f"{key}.{metric}: {bv*1e3:.3f} -> {cv*1e3:.3f} ms "
+                print(f"{key}.{metric}: {bv:.6g} -> {cv:.6g} "
                       f"({ratio:.2f}x) {mark}")
                 if flag:
                     failures.append(key)
