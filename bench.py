@@ -631,7 +631,7 @@ def bench_mixed_load():
     import re
 
     budget = remaining() - 60
-    if budget < 240:
+    if budget < 700:  # 8B param init + warmup + measurement (~10 min)
         return log("budget: skipping bench_mixed_load")
     cmd = [sys.executable, os.path.join(HERE, "scripts", "bench_engine.py"),
            "--mixed-load"]

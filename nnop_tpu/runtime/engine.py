@@ -1178,6 +1178,39 @@ class Engine:
                 if self._page_refs[pid] <= 0:
                     self._free_pages.append(pid)
 
+    def warmup(self, prompt_lengths=(512,)):
+        """Pre-compile the serving-path programs before taking traffic.
+
+        On this stack first-encounter compiles go through a remote
+        tunnel (tens of seconds per program) and would otherwise land
+        inside the first requests' latency: the bucketed prefill (one
+        program per pow2 bucket), the chunked-admission prefill (one per
+        sbuf width), the admit cache writes (one per bucket), and the
+        decode chunk itself (measured r4: a cold 1024-token admission
+        cost ~25 s of TTFT; warm, the same admission is ~1 s and decode
+        retention during it is ~100% — scripts/probe_engine_steps.py).
+        Runs one dummy request per requested prompt length plus a decode
+        chunk, then resets all device state. Production startup cost,
+        not per-request cost."""
+        for L in sorted({int(x) for x in prompt_lengths}):
+            L = min(L, self.max_seq - 2)
+            self.submit([0] * L, max_new_tokens=1)
+        while (self.queue or self._admitting or self._inflight
+               or any(s is not None for s in self.slots)):
+            self.step()
+        # reset device state touched by the dummies (slots/lengths are
+        # already cleared by completion; staging + history carry junk)
+        self.state.lengths = jnp.zeros_like(self.state.lengths)
+        if self.state.k_stage is not None:
+            self.state.k_stage = jnp.zeros_like(self.state.k_stage)
+            self.state.v_stage = jnp.zeros_like(self.state.v_stage)
+        if getattr(self, "_history", None) is not None:
+            self._history = jnp.zeros_like(self._history)
+        if self.paged:
+            for slot in range(self.max_batch):
+                self._release_pages(slot)
+        return self
+
     def submit(self, prompt: list[int], max_new_tokens: int = 32,
                stop: Optional[list[list[int]]] = None,
                stop_texts: Optional[list[str]] = None) -> Request:

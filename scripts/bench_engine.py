@@ -52,38 +52,52 @@ def main():
         chunk_size=args.chunk,
         paged=args.paged,
     )
+    print("warmup (compiles all serving-path programs)...",
+          file=sys.stderr, flush=True)
+    t0 = time.time()
+    eng.warmup(prompt_lengths=(args.context, 1024)
+               if args.mixed_load else (args.context,))
+    print(f"warmup {time.time()-t0:.0f}s", file=sys.stderr, flush=True)
+
     prompt = [7] * args.context
     n_initial = args.batch - 2 if args.mixed_load else args.batch
+    # mixed mode: the background streams must outlast first step + 4
+    # discard + 10 baseline + ~16 mixed-window chunks
+    initial_new = (min(36 * args.chunk, eng.max_seq - args.context - 8)
+                   if args.mixed_load else args.new_tokens)
     for _ in range(n_initial):
-        eng.submit(prompt, max_new_tokens=args.new_tokens)
+        eng.submit(prompt, max_new_tokens=initial_new)
 
-    print("prefill + compile...", file=sys.stderr, flush=True)
+    print("prefill...", file=sys.stderr, flush=True)
     t0 = time.time()
-    eng.step()  # admits all slots (prefill) + first chunk (compiles)
-    print(f"first step (incl. compiles) {time.time()-t0:.0f}s",
+    eng.step()  # admits all slots (prefill) + first decode chunk
+    print(f"first step {time.time()-t0:.0f}s",
           file=sys.stderr, flush=True)
 
     if args.mixed_load:
-        # steady state first: a few chunks of pure decode as the baseline
-        n_base = 4
+        # discard a few post-admission steps (pipeline fill + stragglers
+        # from the 30-slot admission burst), THEN take the baseline over
+        # a real window
+        for _ in range(4):
+            eng.step()
+        n_base = 10
         t0 = time.perf_counter()
         for _ in range(n_base):
             eng.step()
         base_dt = (time.perf_counter() - t0) / n_base
         base_tps = (args.batch - 2) * args.chunk / base_dt  # 2 slots spare
 
-        # hold 2 slots back for admissions: resubmit with batch-2 active
-        # (simplest: measure on the same engine — two LONG prompts arrive
-        # while all other streams decode)
+        # hold 2 slots back for admissions: two LONG prompts arrive while
+        # all other streams decode; the mixed window spans submit ->
+        # both admitted + a few follow-on steps (the disturbance window)
         long_prompt = [11] * 1024
         t_sub = time.perf_counter()
         r1 = eng.submit(long_prompt, max_new_tokens=args.new_tokens)
         r2 = eng.submit(long_prompt, max_new_tokens=args.new_tokens)
         ttft = {}
         n_mix = 0
-        tok0 = sum(len(r.out) for r in eng.slots if r is not None)
         t0 = time.perf_counter()
-        while not (r1.out and r2.out):
+        while not (r1.out and r2.out) or n_mix < 8:
             eng.step()
             n_mix += 1
             now = time.perf_counter()

@@ -79,6 +79,55 @@ def split_pipeline(x, n_out):
     )(x)
 
 
+def any_out_kernel(x_ref, o_hbm, buf, sem):
+    """Variant E (the last r1-queued idea): output lives in ANY/HBM and
+    the kernel issues its own out-DMA with ONE outstanding copy and an
+    in-order wait at the start of the next step — the same safe
+    discipline as ops/kv_write.py (hand-rolled multi-channel rotation is
+    what wedged the worker in r2; not retried). Double-buffered `buf` so
+    the copy overlaps the next block's compute."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    i = pl.program_id(0)
+    slot = jax.lax.rem(i, 2)
+
+    @pl.when(i > 0)
+    def _wait_prev():
+        pltpu.make_async_copy(
+            buf.at[1 - slot], o_hbm.at[pl.ds((i - 1) * BLK, BLK)], sem
+        ).wait()
+
+    buf[slot] = x_ref[...] + 1.0
+    pltpu.make_async_copy(
+        buf.at[slot], o_hbm.at[pl.ds(i * BLK, BLK)], sem
+    ).start()
+
+    @pl.when(i == pl.num_programs(0) - 1)
+    def _wait_last():
+        pltpu.make_async_copy(
+            buf.at[slot], o_hbm.at[pl.ds(i * BLK, BLK)], sem
+        ).wait()
+
+
+def any_out(x):
+    from jax.experimental.pallas import tpu as pltpu
+
+    return pl.pallas_call(
+        any_out_kernel,
+        grid=(N // BLK,),
+        in_specs=[pl.BlockSpec((BLK, E), lambda i: (i, 0))],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_shape=jax.ShapeDtypeStruct((N, E), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2, BLK, E), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+    )(x)
+
+
 def write_only_kernel(o_ref):
     o_ref[...] = jnp.full((BLK, E), 3.0, jnp.float32)
 
@@ -104,6 +153,7 @@ def main():
         ("D xla fused copy (r+w)", lambda i, a: a + 1.0, gb_rw),
         ("B 2-output split (r+w)", lambda i, a: split_pipeline(a, 2)[0], gb_rw),
         ("B 4-output split (r+w)", lambda i, a: split_pipeline(a, 4)[0], gb_rw),
+        ("E ANY-out manual DMA (r+w)", lambda i, a: any_out(a), gb_rw),
     ]
     for name, body, gb in rows:
         t = marginal_time(body, x)

@@ -213,3 +213,42 @@ def test_featureful_strips():
     got = flash_attention(q, k, v, causal=True, softcap=30.0)
     want = naive_attention(q, k, v, causal=True, softcap=30.0)
     np.testing.assert_allclose(got, want, atol=ATOL, rtol=RTOL)
+
+
+def test_chunked_gate_falls_back_beyond_vmem_budget(monkeypatch):
+    """ADVICE r3 (medium): the chunked path's off-diagonal rectangles
+    load the whole KV prefix as one VMEM block, so dispatch must fall
+    back to the streaming pipeline once that block exceeds the budget —
+    same numerics, no compile failure. Forced here by shrinking the
+    budget instead of allocating 110k-token operands."""
+    from nnop_tpu.ops import flash_attention as fa
+    from nnop_tpu.ops import flash_attention_bwd as fab
+
+    q, k, v, _, _ = _mk(1, 2, 1, 2048, 2048, 64)
+    monkeypatch.setattr(fa, "_CAUSAL_STRIP_MAX_CALLS", 2)  # force chunked
+    want = naive_attention(q, k, v, causal=True)
+    got_chunked = flash_attention(q, k, v, causal=True)
+    np.testing.assert_allclose(got_chunked, want, atol=ATOL, rtol=RTOL)
+
+    monkeypatch.setattr(fa, "_CHUNKED_RECT_KV_BYTES", 1)  # gate shut
+    got_fallback = flash_attention(q, k, v, causal=True)
+    np.testing.assert_allclose(got_fallback, want, atol=ATOL, rtol=RTOL)
+    monkeypatch.setattr(fab, "_bwd_causal_chunked", None)  # must not be hit
+    g = jax.grad(lambda a: jnp.sum(
+        flash_attention(a, k, v, causal=True)))(q)
+    gn = jax.grad(lambda a: jnp.sum(
+        naive_attention(a, k, v, causal=True)))(q)
+    np.testing.assert_allclose(g, gn, atol=ATOL, rtol=RTOL)
+
+
+def test_window_stack_hbm_gate_falls_back(monkeypatch):
+    """ADVICE r3: the stacked-window path's transient HBM copies are
+    bounded; beyond the cap the general clamped-index pipeline serves
+    the same numerics."""
+    from nnop_tpu.ops import flash_attention as fa
+
+    q, k, v, _, _ = _mk(2, 4, 2, 2048, 2048, 64)
+    want = naive_attention(q, k, v, causal=True, window=700)
+    monkeypatch.setattr(fa, "_WINDOW_STACK_HBM_BYTES", 1)
+    got = flash_attention(q, k, v, causal=True, window=700)
+    np.testing.assert_allclose(got, want, atol=ATOL, rtol=RTOL)

@@ -580,3 +580,36 @@ def test_queue_backpressure(params):
     eng.submit([4], max_new_tokens=2)
     eng.run()
     eng.submit([5], max_new_tokens=2)  # drained: accepted again
+
+
+def test_warmup_then_serving_matches_fresh_engine(params):
+    """Engine.warmup pre-compiles the serving programs and resets all
+    device state: the token streams afterwards are identical to a fresh
+    engine's (incl. a chunked long-prompt admission)."""
+    prompts = [[5, 17, 42, 7], [9] * 40]  # 40 > prefill_chunk=16
+    fresh = Engine(params, CFG, max_batch=2, max_seq=96, prefill_chunk=16)
+    want = [fresh.submit(p, max_new_tokens=6) for p in prompts]
+    fresh.run()
+
+    eng = Engine(params, CFG, max_batch=2, max_seq=96, prefill_chunk=16)
+    eng.warmup(prompt_lengths=(8, 40))
+    got = [eng.submit(p, max_new_tokens=6) for p in prompts]
+    eng.run()
+    for g, w in zip(got, want):
+        assert g.done and g.out == w.out, (g.out, w.out)
+
+
+def test_warmup_spec_and_quantized(params):
+    """warmup composes with spec decoding + int8 KV (history/staging
+    reset)."""
+    eng = Engine(params, CFG, max_batch=2, max_seq=96, spec_k=2,
+                 quantized_kv=True)
+    eng.warmup(prompt_lengths=(8,))
+    fresh = Engine(params, CFG, max_batch=2, max_seq=96, spec_k=2,
+                   quantized_kv=True)
+    p = [5, 17, 42, 7, 99, 3]
+    r1 = eng.submit(p, max_new_tokens=8)
+    r2 = fresh.submit(p, max_new_tokens=8)
+    eng.run()
+    fresh.run()
+    assert r1.out == r2.out, (r1.out, r2.out)
