@@ -375,7 +375,10 @@ def _causal_strip_kernel(
         kseg_ref = refs[idx]; idx += 1
     o_ref, lse_ref = refs[idx : idx + 2]
 
-    q = (_ref2d(q_ref).astype(jnp.float32) * scale).astype(q_ref.dtype)
+    exp2 = softcap is None  # see _rect_static_kernel's exp2-fold note
+    qscale = scale * LOG2E if exp2 else scale
+    fexp = jnp.exp2 if exp2 else jnp.exp
+    q = (_ref2d(q_ref).astype(jnp.float32) * qscale).astype(q_ref.dtype)
     qseg = _ref2d(qseg_ref) if has_seg else None  # (bq, 1)
     kpad = _ref2d(kpad_ref) if has_kpad else None  # (n_sub, sk)
     kseg = _ref2d(kseg_ref) if has_seg else None  # (n_sub, sk)
@@ -406,7 +409,7 @@ def _causal_strip_kernel(
         )
         if m is None:
             m_new = jnp.max(s, axis=-1, keepdims=True)
-            p = jnp.exp(s - m_new)
+            p = fexp(s - m_new)
             if mask is not None:
                 p = jnp.where(mask, p, 0.0)
             l = jnp.sum(p, axis=-1, keepdims=True)
@@ -419,10 +422,10 @@ def _causal_strip_kernel(
             )
         else:
             m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
-            p = jnp.exp(s - m_new)
+            p = fexp(s - m_new)
             if mask is not None:
                 p = jnp.where(mask, p, 0.0)
-            alpha = jnp.exp(m - m_new)
+            alpha = fexp(m - m_new)
             l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
             acc = acc * alpha + jax.lax.dot_general(
                 p.astype(v.dtype),
@@ -432,6 +435,8 @@ def _causal_strip_kernel(
                 precision=precision,
             )
         m = m_new
+    if exp2:
+        m = m * LN2  # lse stays in nats for bwd/ring consumers
     l_safe = jnp.where(l == 0.0, 1.0, l)
     o_ref[...] = (acc / l_safe).astype(o_ref.dtype).reshape(o_ref.shape)
     lse_ref[...] = (m + jnp.log(l_safe)).astype(lse_ref.dtype).reshape(
@@ -465,6 +470,10 @@ _CHUNKED_RECT_KV_BYTES = 72 * 1024 * 1024
 _WINDOW_STACK_HBM_BYTES = 2 * 1024**3
 
 
+LOG2E = 1.4426950408889634  # 1/ln(2)
+LN2 = 0.6931471805599453
+
+
 def _rect_static_kernel(
     q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, sk, precision,
     softcap=None,
@@ -475,8 +484,18 @@ def _rect_static_kernel(
     faster than the scratch+pl.when rectangular pipeline at E=64, where
     per-grid-step fixed machinery dominates). Also serves the mask-free
     off-diagonal pieces of the chunked long-context causal decomposition
-    (_fwd_causal_chunked)."""
-    q = (_ref2d(q_ref).astype(jnp.float32) * scale).astype(q_ref.dtype)
+    (_fwd_causal_chunked).
+
+    exp2 fold (r4): exp(x) lowers to exp2(x * log2e) — folding log2e
+    into the one-time q pre-scale deletes one full (bq, sk) VPU multiply
+    per sub-tile (these kernels are VPU-pass-bound, probe_attn_prod_gap).
+    Scores then live in log2 units; p/l/acc are bit-compatible and the
+    lse residual converts back to nats once per strip. softcap needs
+    true-scale scores, so it keeps the exp path."""
+    exp2 = softcap is None
+    qscale = scale * LOG2E if exp2 else scale
+    fexp = jnp.exp2 if exp2 else jnp.exp
+    q = (_ref2d(q_ref).astype(jnp.float32) * qscale).astype(q_ref.dtype)
     k_all = _ref2d(k_ref)
     v_all = _ref2d(v_ref)
     kw = k_all.shape[0]
@@ -492,7 +511,7 @@ def _rect_static_kernel(
             s = softcap * jnp.tanh(s / softcap)
         if m is None:
             m = jnp.max(s, axis=-1, keepdims=True)
-            p = jnp.exp(s - m)
+            p = fexp(s - m)
             l = jnp.sum(p, axis=-1, keepdims=True)
             acc = jax.lax.dot_general(
                 p.astype(v.dtype), v,
@@ -501,8 +520,8 @@ def _rect_static_kernel(
             )
         else:
             m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
-            p = jnp.exp(s - m_new)
-            alpha = jnp.exp(m - m_new)
+            p = fexp(s - m_new)
+            alpha = fexp(m - m_new)
             l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
             acc = acc * alpha + jax.lax.dot_general(
                 p.astype(v.dtype), v,
@@ -510,6 +529,8 @@ def _rect_static_kernel(
                 preferred_element_type=jnp.float32, precision=precision,
             )
             m = m_new
+    if exp2:
+        m = m * LN2  # lse stays in nats for bwd/ring consumers
     l_safe = jnp.where(l == 0.0, 1.0, l)
     o_ref[...] = (acc / l_safe).astype(o_ref.dtype).reshape(o_ref.shape)
     lse_ref[...] = (m + jnp.log(l_safe)).reshape(lse_ref.shape)
