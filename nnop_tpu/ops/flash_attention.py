@@ -330,6 +330,61 @@ def _strip_subtile_mask(
     return mask
 
 
+def _chain_update(q, k, v, mask, state, fexp, precision, softcap=None):
+    """One value-carried online-softmax sub-tile update for one chain.
+
+    `state` is (m, l, acc) or None for the first sub-tile. q is expected
+    pre-scaled (with log2(e) folded in when fexp is exp2)."""
+    s = jax.lax.dot_general(
+        q,
+        k,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=precision,
+    )
+    if softcap is not None:
+        s = softcap * jnp.tanh(s / softcap)
+    if state is None:
+        m_new = jnp.max(s, axis=-1, keepdims=True)
+        p = fexp(s - m_new)
+        if mask is not None:
+            p = jnp.where(mask, p, 0.0)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        acc = jax.lax.dot_general(
+            p.astype(v.dtype),
+            v,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=precision,
+        )
+    else:
+        m, l, acc = state
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+        p = fexp(s - m_new)
+        if mask is not None:
+            p = jnp.where(mask, p, 0.0)
+        alpha = fexp(m - m_new)
+        l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc = acc * alpha + jax.lax.dot_general(
+            p.astype(v.dtype),
+            v,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=precision,
+        )
+    return m_new, l, acc
+
+
+def _chain_finish(state, exp2, out_dtype):
+    """Normalize a chain's (m, l, acc) into (o, lse-in-nats)."""
+    m, l, acc = state
+    if exp2:
+        m = m * LN2  # lse stays in nats for bwd/ring consumers
+    l_safe = jnp.where(l == 0.0, 1.0, l)
+    o = (acc / l_safe).astype(out_dtype)
+    return o, m + jnp.log(l_safe)
+
+
 def _causal_strip_kernel(
     *refs,
     scale,
@@ -386,62 +441,22 @@ def _causal_strip_kernel(
     v_all = _ref2d(v_ref)
     kw = k_all.shape[0]
     n_sub = kw // sk
-    m = None
-    l = None
-    acc = None
+    state = None
     for j in range(n_sub):
         k = k_all[j * sk : (j + 1) * sk, :]
         v = v_all[j * sk : (j + 1) * sk, :]
-        s = jax.lax.dot_general(
-            q,
-            k,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=precision,
-        )
-        if softcap is not None:
-            s = softcap * jnp.tanh(s / softcap)
         mask = _strip_subtile_mask(
             j, sk, block_q, row0, col0, causal, window,
             kpad[j : j + 1, :] if has_kpad else None,
             qseg,
             kseg[j : j + 1, :] if has_seg else None,
         )
-        if m is None:
-            m_new = jnp.max(s, axis=-1, keepdims=True)
-            p = fexp(s - m_new)
-            if mask is not None:
-                p = jnp.where(mask, p, 0.0)
-            l = jnp.sum(p, axis=-1, keepdims=True)
-            acc = jax.lax.dot_general(
-                p.astype(v.dtype),
-                v,
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=precision,
-            )
-        else:
-            m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
-            p = fexp(s - m_new)
-            if mask is not None:
-                p = jnp.where(mask, p, 0.0)
-            alpha = fexp(m - m_new)
-            l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
-            acc = acc * alpha + jax.lax.dot_general(
-                p.astype(v.dtype),
-                v,
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=precision,
-            )
-        m = m_new
-    if exp2:
-        m = m * LN2  # lse stays in nats for bwd/ring consumers
-    l_safe = jnp.where(l == 0.0, 1.0, l)
-    o_ref[...] = (acc / l_safe).astype(o_ref.dtype).reshape(o_ref.shape)
-    lse_ref[...] = (m + jnp.log(l_safe)).astype(lse_ref.dtype).reshape(
-        lse_ref.shape
-    )
+        state = _chain_update(
+            q, k, v, mask, state, fexp, precision, softcap
+        )
+    o, lse = _chain_finish(state, exp2, o_ref.dtype)
+    o_ref[...] = o.reshape(o_ref.shape)
+    lse_ref[...] = lse.astype(lse_ref.dtype).reshape(lse_ref.shape)
 
 
 _CAUSAL_STRIP_SK = 512
@@ -639,6 +654,180 @@ def _fwd_causal_multicall(
             out_shape=[
                 jax.ShapeDtypeStruct((B, QH, bq, E), q.dtype),
                 jax.ShapeDtypeStruct((B, QH, bq, 1), jnp.float32),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel"),
+                vmem_limit_bytes=100 * 1024 * 1024,
+            ),
+            interpret=interpret_default(),
+        )(*operands)
+        os.append(o_i)
+        lses.append(lse_i)
+    return jnp.concatenate(os, axis=2), jnp.concatenate(lses, axis=2)
+
+
+def _causal_gstrip_kernel(
+    *refs,
+    scale,
+    row0,
+    g,
+    block_q,
+    sk,
+    precision,
+    has_kpad=False,
+    has_seg=False,
+    softcap=None,
+):
+    """g ADJACENT q-block strips fused into one call: g independent
+    value-carried softmax chains share a single K/V stream.
+
+    Motivation (round-4 mid-L attribution, NOTES.md): at L=4–8k the
+    per-q-block strip multicall averages only ~4.5 sub-tiles per call, so
+    per-call ramp (DMA prologue, first dot with no preceding VPU work to
+    hide, last softmax chain with no next dot to hide behind) dominates
+    the residual over the MXU+DMA bound. Grouping g adjacent q blocks
+    (rows [row0, row0 + g·bq)) into one kernel body keeps the EXACT
+    per-chain causal widths (chain c stops at n_c = (row0+(c+1)·bq)/sk
+    sub-tiles — no wasted MXU work, unlike simply doubling block_q) while
+    cutting call count g× and deduplicating the shared KV-prefix DMA
+    (chain c's keys are a prefix of chain c+1's). The g chains are
+    dataflow-independent, giving Mosaic's scheduler material to fill each
+    chain's serial max→exp→rescale latency with another chain's dots."""
+    idx = 0
+    q_ref = refs[idx]; idx += 1
+    k_ref = refs[idx]; idx += 1
+    v_ref = refs[idx]; idx += 1
+    kpad_ref = qseg_ref = kseg_ref = None
+    if has_kpad:
+        kpad_ref = refs[idx]; idx += 1
+    if has_seg:
+        qseg_ref = refs[idx]; idx += 1
+        kseg_ref = refs[idx]; idx += 1
+    o_ref, lse_ref = refs[idx : idx + 2]
+
+    exp2 = softcap is None  # see _rect_static_kernel's exp2-fold note
+    qscale = scale * LOG2E if exp2 else scale
+    fexp = jnp.exp2 if exp2 else jnp.exp
+    q_all = (_ref2d(q_ref).astype(jnp.float32) * qscale).astype(q_ref.dtype)
+    kpad = _ref2d(kpad_ref) if has_kpad else None  # (n_sub, sk)
+    qseg_all = _ref2d(qseg_ref) if has_seg else None  # (g*bq, 1)
+    kseg = _ref2d(kseg_ref) if has_seg else None  # (n_sub, sk)
+    k_all = _ref2d(k_ref)
+    v_all = _ref2d(v_ref)
+
+    qs = [q_all[c * block_q : (c + 1) * block_q, :] for c in range(g)]
+    qsegs = [
+        qseg_all[c * block_q : (c + 1) * block_q, :] if has_seg else None
+        for c in range(g)
+    ]
+    n = [(row0 + (c + 1) * block_q) // sk for c in range(g)]
+    states = [None] * g
+    for j in range(n[-1]):
+        k = k_all[j * sk : (j + 1) * sk, :]
+        v = v_all[j * sk : (j + 1) * sk, :]
+        kpad_j = kpad[j : j + 1, :] if has_kpad else None
+        kseg_j = kseg[j : j + 1, :] if has_seg else None
+        for c in range(g):
+            if j >= n[c]:
+                continue
+            mask = _strip_subtile_mask(
+                j, sk, block_q, row0 + c * block_q, 0, True, None,
+                kpad_j, qsegs[c], kseg_j,
+            )
+            states[c] = _chain_update(
+                qs[c], k, v, mask, states[c], fexp, precision, softcap
+            )
+    os_, lses_ = [], []
+    for c in range(g):
+        o_c, lse_c = _chain_finish(states[c], exp2, o_ref.dtype)
+        os_.append(o_c)
+        lses_.append(lse_c)
+    o_ref[...] = jnp.concatenate(os_, axis=0).reshape(o_ref.shape)
+    lse_ref[...] = (
+        jnp.concatenate(lses_, axis=0).astype(lse_ref.dtype)
+        .reshape(lse_ref.shape)
+    )
+
+
+def _fwd_causal_gstrips(
+    q, k, v, scale, precision, bq, g,
+    kpad=None, segment_ids=None, softcap=None,
+):
+    """Causal self-attention as num_q/g grouped-strip calls (see
+    _causal_gstrip_kernel). Requires (QL/bq) % g == 0.
+
+    NOT selected by the dispatcher: measured NEUTRAL on the forward
+    (scripts/probe_gstrip.py, L=4096 8B geometry: multicall 2.009 ms vs
+    g=2/4/8 all 2.00-2.03 ms — even ONE call holding all 8 chains
+    matches 8 separate calls, so the fwd mid-L residual is VPU
+    *throughput*, not per-call ramp/boundary exposure). Kept as the
+    measured closure of that hypothesis and for cross-stack re-probing;
+    the same grouping IS a 23% win on the backward, where call count
+    multiplies real DMA (flash_attention_bwd._BWD_GQ/_BWD_GK)."""
+    B, QH, QL, E = q.shape
+    _, KH, KL, _ = k.shape
+    group = QH // KH
+    num_q = QL // bq
+    has_kpad = kpad is not None
+    has_seg = segment_ids is not None
+    sk = min(_CAUSAL_STRIP_SK, bq)
+    kpad_arr = (
+        kpad.astype(jnp.int32).reshape(B, KL // sk, sk) if has_kpad else None
+    )
+    if has_seg:
+        qseg_arr = segment_ids[0].astype(jnp.int32)[:, :, None]
+        kseg_arr = segment_ids[1].astype(jnp.int32).reshape(B, KL // sk, sk)
+    os, lses = [], []
+    for gi in range(num_q // g):
+        row0 = gi * g * bq
+        kw = (gi + 1) * g * bq
+        kernel = functools.partial(
+            _causal_gstrip_kernel,
+            scale=scale,
+            row0=row0,
+            g=g,
+            block_q=bq,
+            sk=sk,
+            precision=precision,
+            has_kpad=has_kpad,
+            has_seg=has_seg,
+            softcap=softcap,
+        )
+        in_specs = [
+            pl.BlockSpec(
+                (1, 1, g * bq, E), lambda b, h, gi=gi: (b, h, gi, 0)
+            ),
+            pl.BlockSpec((1, 1, kw, E), lambda b, h: (b, h // group, 0, 0)),
+            pl.BlockSpec((1, 1, kw, E), lambda b, h: (b, h // group, 0, 0)),
+        ]
+        operands = [q, k, v]
+        if has_kpad:
+            in_specs.append(
+                pl.BlockSpec((1, KL // sk, sk), lambda b, h: (b, 0, 0))
+            )
+            operands.append(kpad_arr)
+        if has_seg:
+            in_specs.append(
+                pl.BlockSpec(
+                    (1, g * bq, 1), lambda b, h, gi=gi: (b, gi, 0)
+                )
+            )
+            operands.append(qseg_arr)
+            in_specs.append(
+                pl.BlockSpec((1, KL // sk, sk), lambda b, h: (b, 0, 0))
+            )
+            operands.append(kseg_arr)
+        o_i, lse_i = pl.pallas_call(
+            kernel,
+            grid=(B, QH),
+            in_specs=in_specs,
+            out_specs=[
+                pl.BlockSpec((1, 1, g * bq, E), lambda b, h: (b, h, 0, 0)),
+                pl.BlockSpec((1, 1, g * bq, 1), lambda b, h: (b, h, 0, 0)),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((B, QH, g * bq, E), q.dtype),
+                jax.ShapeDtypeStruct((B, QH, g * bq, 1), jnp.float32),
             ],
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("parallel", "parallel"),

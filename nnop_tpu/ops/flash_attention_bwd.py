@@ -418,6 +418,92 @@ def _dq_strip_kernel(
     dq_ref[...] = (dq_acc * scale).astype(dq_ref.dtype).reshape(dq_ref.shape)
 
 
+def _dq_gstrip_kernel(
+    *refs, scale, row0, g, block_q, sk, precision,
+    has_kpad=False, has_seg=False, softcap=None,
+):
+    """dQ for g ADJACENT q-block strips in one call (the backward
+    analogue of flash_attention._causal_gstrip_kernel): g independent
+    dq accumulation chains share a single K/V stream of width
+    row0 + g·block_q. Chain c stops at its own causal width, so the MXU
+    work stays exact while the per-call ramp and the shared KV-prefix
+    DMA are amortized g ways."""
+    from nnop_tpu.ops.flash_attention import _ref2d, _strip_subtile_mask
+
+    idx = 0
+    q_ref = refs[idx]; idx += 1
+    k_ref = refs[idx]; idx += 1
+    v_ref = refs[idx]; idx += 1
+    do_ref = refs[idx]; idx += 1
+    lse_ref = refs[idx]; idx += 1
+    delta_ref = refs[idx]; idx += 1
+    kpad_ref = qseg_ref = kseg_ref = None
+    if has_kpad:
+        kpad_ref = refs[idx]; idx += 1
+    if has_seg:
+        qseg_ref = refs[idx]; idx += 1
+        kseg_ref = refs[idx]; idx += 1
+    dq_ref = refs[idx]
+
+    q_all = (_ref2d(q_ref).astype(jnp.float32) * scale).astype(q_ref.dtype)
+    do_all = _ref2d(do_ref)
+    lse_all = _ref2d(lse_ref)
+    delta_all = _ref2d(delta_ref)
+    k_all = _ref2d(k_ref)
+    v_all = _ref2d(v_ref)
+    qseg_all = _ref2d(qseg_ref) if has_seg else None  # (g*bq, 1)
+    kpad = _ref2d(kpad_ref) if has_kpad else None  # (n_sub, sk)
+    kseg = _ref2d(kseg_ref) if has_seg else None  # (n_sub, sk)
+
+    def blk(x, c):
+        return x[c * block_q : (c + 1) * block_q, :]
+
+    n = [(row0 + (c + 1) * block_q) // sk for c in range(g)]
+    accs = [None] * g
+    for j in range(n[-1]):
+        k = k_all[j * sk : (j + 1) * sk, :]
+        v = v_all[j * sk : (j + 1) * sk, :]
+        kpad_j = kpad[j : j + 1, :] if has_kpad else None
+        kseg_j = kseg[j : j + 1, :] if has_seg else None
+        for c in range(g):
+            if j >= n[c]:
+                continue
+            s = jax.lax.dot_general(
+                blk(q_all, c), k,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=precision,
+            )
+            cap_t = None
+            if softcap is not None:
+                cap_t = jnp.tanh(s / softcap)
+                s = softcap * cap_t
+            p = jnp.exp(s - blk(lse_all, c))
+            dp = jax.lax.dot_general(
+                blk(do_all, c), v,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=precision,
+            )
+            ds = p * (dp - blk(delta_all, c))
+            if cap_t is not None:
+                ds = ds * (1.0 - cap_t * cap_t)
+            mask = _strip_subtile_mask(
+                j, sk, block_q, row0 + c * block_q, 0, True, None,
+                kpad_j,
+                blk(qseg_all, c) if has_seg else None,
+                kseg_j,
+            )
+            if mask is not None:
+                ds = jnp.where(mask, ds, 0.0)
+            contrib = jax.lax.dot_general(
+                ds.astype(k.dtype), k,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=precision,
+            )
+            accs[c] = contrib if accs[c] is None else accs[c] + contrib
+    dq = jnp.concatenate([a * scale for a in accs], axis=0)
+    dq_ref[...] = dq.astype(dq_ref.dtype).reshape(dq_ref.shape)
+
+
 def _dkv_strip_kernel(
     *refs, scale, col0, block_k, sk, q_len, group, precision, causal=True,
     has_kpad=False, has_seg=False, softcap=None,
@@ -514,17 +600,37 @@ def _dkv_strip_kernel(
     dv_ref[...] = dv_acc.astype(dv_ref.dtype).reshape(dv_ref.shape)
 
 
+# Measured grouping defaults (scripts/probe_gstrip_bwd.py, L=4096 8B
+# geometry, bwd-only marginal): (1,1) 3.458 ms -> (2,1) 2.669 / (1,2)
+# 2.682 / (2,2) 2.647 ms (-23%). gq amortizes the dQ calls' shared
+# KV-prefix stream; gk halves the dKdV calls' full q/do/lse/delta
+# re-reads. Divisibility guard below falls back to 1.
+_BWD_GQ = 2
+_BWD_GK = 2
+
+
 def _bwd_causal_multicall(
     q, k, v, lse, delta, do, scale, precision, bq,
-    kpad_mask=None, segment_ids=None, softcap=None,
+    kpad_mask=None, segment_ids=None, softcap=None, gq=1, gk=1,
 ):
     """Causal backward as static strip calls (fwd analogue in
-    flash_attention._fwd_causal_multicall)."""
+    flash_attention._fwd_causal_multicall).
+
+    gq > 1 groups gq adjacent q-blocks per dQ call (g independent exact
+    chains, _dq_gstrip_kernel). gk > 1 widens each dKdV call's KV block
+    to gk·bq: the dKdV calls re-read the FULL q/do/lse/delta tensors per
+    call, so call count is the dominant DMA term — gk cuts it gk×, at
+    the cost of a small staircase of extra masked sub-tiles near the
+    diagonal. Both default to 1; the dispatcher picks measured values."""
     B, QH, QL, E = q.shape
     _, KH, KL, _ = k.shape
     group = QH // KH
     num_q = QL // bq
     sk = min(512, bq)
+    if num_q % gq:
+        gq = 1
+    if num_q % gk:
+        gk = 1
     has_kpad = kpad_mask is not None
     has_seg = segment_ids is not None
     # dq masks: kv-side rows laid out (n_sub, sk) for sublane sub-tile
@@ -541,20 +647,29 @@ def _bwd_causal_multicall(
         kseg_lane = segment_ids[1].astype(jnp.int32)[:, None, :]
 
     dqs = []
-    for ci in range(num_q):
-        kw = (ci + 1) * bq
-        kernel = functools.partial(
-            _dq_strip_kernel, scale=scale, row0=ci * bq, block_q=bq,
-            sk=sk, precision=precision, has_kpad=has_kpad, has_seg=has_seg,
-            softcap=softcap,
-        )
+    qb = gq * bq  # rows per dQ call
+    for gi in range(num_q // gq):
+        row0 = gi * qb
+        kw = row0 + qb
+        if gq == 1:
+            kernel = functools.partial(
+                _dq_strip_kernel, scale=scale, row0=row0, block_q=bq,
+                sk=sk, precision=precision, has_kpad=has_kpad,
+                has_seg=has_seg, softcap=softcap,
+            )
+        else:
+            kernel = functools.partial(
+                _dq_gstrip_kernel, scale=scale, row0=row0, g=gq,
+                block_q=bq, sk=sk, precision=precision, has_kpad=has_kpad,
+                has_seg=has_seg, softcap=softcap,
+            )
         in_specs = [
-            pl.BlockSpec((1, 1, bq, E), lambda b, h, ci=ci: (b, h, ci, 0)),
+            pl.BlockSpec((1, 1, qb, E), lambda b, h, gi=gi: (b, h, gi, 0)),
             pl.BlockSpec((1, 1, kw, E), lambda b, h: (b, h // group, 0, 0)),
             pl.BlockSpec((1, 1, kw, E), lambda b, h: (b, h // group, 0, 0)),
-            pl.BlockSpec((1, 1, bq, E), lambda b, h, ci=ci: (b, h, ci, 0)),
-            pl.BlockSpec((1, 1, bq, 1), lambda b, h, ci=ci: (b, h, ci, 0)),
-            pl.BlockSpec((1, 1, bq, 1), lambda b, h, ci=ci: (b, h, ci, 0)),
+            pl.BlockSpec((1, 1, qb, E), lambda b, h, gi=gi: (b, h, gi, 0)),
+            pl.BlockSpec((1, 1, qb, 1), lambda b, h, gi=gi: (b, h, gi, 0)),
+            pl.BlockSpec((1, 1, qb, 1), lambda b, h, gi=gi: (b, h, gi, 0)),
         ]
         operands = [q, k, v, do, lse, delta]
         if has_kpad:
@@ -564,7 +679,7 @@ def _bwd_causal_multicall(
             operands.append(kpad_sub)
         if has_seg:
             in_specs.append(
-                pl.BlockSpec((1, bq, 1), lambda b, h, ci=ci: (b, ci, 0))
+                pl.BlockSpec((1, qb, 1), lambda b, h, gi=gi: (b, gi, 0))
             )
             operands.append(qseg_arr)
             in_specs.append(
@@ -575,8 +690,8 @@ def _bwd_causal_multicall(
             kernel,
             grid=(B, QH),
             in_specs=in_specs,
-            out_specs=pl.BlockSpec((1, 1, bq, E), lambda b, h: (b, h, 0, 0)),
-            out_shape=jax.ShapeDtypeStruct((B, QH, bq, E), q.dtype),
+            out_specs=pl.BlockSpec((1, 1, qb, E), lambda b, h: (b, h, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct((B, QH, qb, E), q.dtype),
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("parallel", "parallel"),
                 vmem_limit_bytes=100 * 1024 * 1024,
@@ -587,16 +702,17 @@ def _bwd_causal_multicall(
     dq = jnp.concatenate(dqs, axis=2)
 
     dks, dvs = [], []
-    for cj in range(num_q):
+    kb = gk * bq  # KV rows per dKdV call
+    for cj in range(num_q // gk):
         kernel = functools.partial(
-            _dkv_strip_kernel, scale=scale, col0=cj * bq, block_k=bq,
+            _dkv_strip_kernel, scale=scale, col0=cj * kb, block_k=kb,
             sk=sk, q_len=QL, group=group, precision=precision,
             has_kpad=has_kpad, has_seg=has_seg, softcap=softcap,
         )
         in_specs = [
             pl.BlockSpec((1, group, QL, E), lambda b, kh: (b, kh, 0, 0)),
-            pl.BlockSpec((1, 1, bq, E), lambda b, kh, cj=cj: (b, kh, cj, 0)),
-            pl.BlockSpec((1, 1, bq, E), lambda b, kh, cj=cj: (b, kh, cj, 0)),
+            pl.BlockSpec((1, 1, kb, E), lambda b, kh, cj=cj: (b, kh, cj, 0)),
+            pl.BlockSpec((1, 1, kb, E), lambda b, kh, cj=cj: (b, kh, cj, 0)),
             pl.BlockSpec((1, group, QL, E), lambda b, kh: (b, kh, 0, 0)),
             pl.BlockSpec((1, group, QL, 1), lambda b, kh: (b, kh, 0, 0)),
             pl.BlockSpec((1, group, QL, 1), lambda b, kh: (b, kh, 0, 0)),
@@ -604,7 +720,7 @@ def _bwd_causal_multicall(
         operands = [q, k, v, do, lse, delta]
         if has_kpad:
             in_specs.append(
-                pl.BlockSpec((1, 1, bq), lambda b, kh, cj=cj: (b, 0, cj))
+                pl.BlockSpec((1, 1, kb), lambda b, kh, cj=cj: (b, 0, cj))
             )
             operands.append(kpad_lane)
         if has_seg:
@@ -613,7 +729,7 @@ def _bwd_causal_multicall(
             )
             operands.append(qseg_arr)
             in_specs.append(
-                pl.BlockSpec((1, 1, bq), lambda b, kh, cj=cj: (b, 0, cj))
+                pl.BlockSpec((1, 1, kb), lambda b, kh, cj=cj: (b, 0, cj))
             )
             operands.append(kseg_lane)
         dk_j, dv_j = pl.pallas_call(
@@ -621,12 +737,12 @@ def _bwd_causal_multicall(
             grid=(B, KH),
             in_specs=in_specs,
             out_specs=[
-                pl.BlockSpec((1, 1, bq, E), lambda b, kh: (b, kh, 0, 0)),
-                pl.BlockSpec((1, 1, bq, E), lambda b, kh: (b, kh, 0, 0)),
+                pl.BlockSpec((1, 1, kb, E), lambda b, kh: (b, kh, 0, 0)),
+                pl.BlockSpec((1, 1, kb, E), lambda b, kh: (b, kh, 0, 0)),
             ],
             out_shape=[
-                jax.ShapeDtypeStruct((B, KH, bq, E), k.dtype),
-                jax.ShapeDtypeStruct((B, KH, bq, E), v.dtype),
+                jax.ShapeDtypeStruct((B, KH, kb, E), k.dtype),
+                jax.ShapeDtypeStruct((B, KH, kb, E), v.dtype),
             ],
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("parallel", "parallel"),
@@ -938,6 +1054,7 @@ def flash_attention_bwd(
         dq, dk, dv = _bwd_causal_multicall(
             q, k, v, lse, delta, do, scale, precision, bq,
             kpad_mask=kpad_mask, segment_ids=segment_ids, softcap=softcap,
+            gq=_BWD_GQ, gk=_BWD_GK,
         )
         return dq, dk, dv, None
 

@@ -252,3 +252,30 @@ def test_window_stack_hbm_gate_falls_back(monkeypatch):
     monkeypatch.setattr(fa, "_WINDOW_STACK_HBM_BYTES", 1)
     got = flash_attention(q, k, v, causal=True, window=700)
     np.testing.assert_allclose(got, want, atol=ATOL, rtol=RTOL)
+
+
+def test_causal_gstrips_parity():
+    """Grouped causal strips (round 4: g adjacent q-blocks -> one call,
+    g independent value-carried chains sharing the K/V stream) are
+    bit-identical to the per-block strip multicall, incl. kpad +
+    segments + softcap variants."""
+    from nnop_tpu.ops import flash_attention as fa
+
+    q, k, v, _, kpad = _mk(2, 4, 2, 2048, 2048, 64, kpad=True)
+    scale = 64 ** -0.5
+    o1, lse1 = fa._fwd_causal_multicall(q, k, v, scale, None, 512)
+    for g in (2, 4):
+        o2, lse2 = fa._fwd_causal_gstrips(q, k, v, scale, None, 512, g)
+        np.testing.assert_array_equal(o1, o2)
+        np.testing.assert_array_equal(lse1, lse2)
+
+    seg = jnp.repeat(jnp.arange(4, dtype=jnp.int32), 512)[None, :].repeat(2, 0)
+    kpad = kpad.at[:, ::512].set(True)
+    for kw in (dict(kpad=kpad), dict(segment_ids=(seg, seg)),
+               dict(softcap=30.0)):
+        o1, lse1 = fa._fwd_causal_multicall(
+            q, k, v, scale, None, 512, **kw)
+        o2, lse2 = fa._fwd_causal_gstrips(
+            q, k, v, scale, None, 512, 2, **kw)
+        np.testing.assert_array_equal(o1, o2)
+        np.testing.assert_array_equal(lse1, lse2)

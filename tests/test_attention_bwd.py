@@ -226,3 +226,39 @@ def test_bwd_causal_chunked_long_context():
     np.testing.assert_allclose(dq, gq, atol=2e-3, rtol=2e-3)
     np.testing.assert_allclose(dk, gk, atol=2e-3, rtol=2e-3)
     np.testing.assert_allclose(dv, gv, atol=2e-3, rtol=2e-3)
+
+
+def test_bwd_causal_grouped_parity():
+    """Grouped backward strips (round 4: gq adjacent q-blocks per dQ
+    call, gk-wide dKdV KV blocks) are bit-identical to the ungrouped
+    multicall, incl. kpad + segments + softcap."""
+    from nnop_tpu.ops import flash_attention as fa
+    from nnop_tpu.ops import flash_attention_bwd as fab
+
+    ks = jax.random.split(jax.random.key(1), 4)
+    B, QH, KH, L, E = 1, 4, 2, 2048, 64
+    q = jax.random.normal(ks[0], (B, QH, L, E), jnp.float32)
+    k = jax.random.normal(ks[1], (B, KH, L, E), jnp.float32)
+    v = jax.random.normal(ks[2], (B, KH, L, E), jnp.float32)
+    scale = E ** -0.5
+    kpad = (jax.random.uniform(ks[3], (B, L)) > 0.2).at[:, 0].set(True)
+    seg = jnp.repeat(jnp.arange(4, dtype=jnp.int32), 512)[None, :]
+
+    for kw in (dict(), dict(kpad_mask=kpad), dict(segment_ids=(seg, seg)),
+               dict(softcap=30.0)):
+        o, lse = fa._fwd_impl(
+            q, k, v, None, kw.get("kpad_mask"), True, scale,
+            block_q=256, block_k=512, segment_ids=kw.get("segment_ids"),
+            softcap=kw.get("softcap"),
+        )
+        do = jax.random.normal(ks[3], o.shape, jnp.float32)
+        delta = jnp.sum(do * o, axis=-1, keepdims=True)
+        base = fab._bwd_causal_multicall(
+            q, k, v, lse, delta, do, scale, None, 512, **kw)
+        for gq, gk in ((2, 1), (1, 2), (2, 2), (4, 4)):
+            got = fab._bwd_causal_multicall(
+                q, k, v, lse, delta, do, scale, None, 512,
+                gq=gq, gk=gk, **kw)
+            for a, b, name in zip(base, got, "qkv"):
+                np.testing.assert_array_equal(
+                    a, b, err_msg=f"d{name} gq={gq} gk={gk}")
