@@ -514,41 +514,14 @@ def _rect_static_kernel(
     k_all = _ref2d(k_ref)
     v_all = _ref2d(v_ref)
     kw = k_all.shape[0]
-    m = None
+    state = None
     for j in range(kw // sk):
         k = k_all[j * sk : (j + 1) * sk, :]
         v = v_all[j * sk : (j + 1) * sk, :]
-        s = jax.lax.dot_general(
-            q, k, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=precision,
-        )
-        if softcap is not None:
-            s = softcap * jnp.tanh(s / softcap)
-        if m is None:
-            m = jnp.max(s, axis=-1, keepdims=True)
-            p = fexp(s - m)
-            l = jnp.sum(p, axis=-1, keepdims=True)
-            acc = jax.lax.dot_general(
-                p.astype(v.dtype), v,
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=precision,
-            )
-        else:
-            m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
-            p = fexp(s - m_new)
-            alpha = fexp(m - m_new)
-            l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
-            acc = acc * alpha + jax.lax.dot_general(
-                p.astype(v.dtype), v,
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=precision,
-            )
-            m = m_new
-    if exp2:
-        m = m * LN2  # lse stays in nats for bwd/ring consumers
-    l_safe = jnp.where(l == 0.0, 1.0, l)
-    o_ref[...] = (acc / l_safe).astype(o_ref.dtype).reshape(o_ref.shape)
-    lse_ref[...] = (m + jnp.log(l_safe)).reshape(lse_ref.shape)
+        state = _chain_update(q, k, v, None, state, fexp, precision, softcap)
+    o, lse = _chain_finish(state, exp2, o_ref.dtype)
+    o_ref[...] = o.reshape(o_ref.shape)
+    lse_ref[...] = lse.reshape(lse_ref.shape)
 
 
 def _fwd_rect_static(q, k, v, scale, precision, bq):

@@ -342,6 +342,36 @@ def _dkv_kernel(
         dv_ref[0, 0] = dv_acc[...].astype(dv_ref.dtype)
 
 
+def _dq_subtile(q, k, v, do, lse, delta, mask, precision, softcap):
+    """One sub-tile's dq contribution: recompute s -> p, dp = do·vᵀ,
+    ds = p(dp - δ) (softcap chain factor + mask on ds), return ds·k.
+    Shared by the per-block and grouped dQ strip kernels — the bodies
+    must stay bit-identical (test_bwd_causal_grouped_parity)."""
+    s = jax.lax.dot_general(
+        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=precision,
+    )
+    cap_t = None
+    if softcap is not None:
+        cap_t = jnp.tanh(s / softcap)
+        s = softcap * cap_t
+    p = jnp.exp(s - lse)
+    dp = jax.lax.dot_general(
+        do, v, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=precision,
+    )
+    ds = p * (dp - delta)
+    if cap_t is not None:
+        ds = ds * (1.0 - cap_t * cap_t)
+    if mask is not None:
+        ds = jnp.where(mask, ds, 0.0)
+    return jax.lax.dot_general(
+        ds.astype(k.dtype), k,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=precision,
+    )
+
+
 def _dq_strip_kernel(
     *refs, scale, row0, block_q, sk, precision, causal=True,
     has_kpad=False, has_seg=False, softcap=None,
@@ -385,34 +415,14 @@ def _dq_strip_kernel(
     for j in range(kw // sk):
         k = k_all[j * sk : (j + 1) * sk, :]
         v = v_all[j * sk : (j + 1) * sk, :]
-        s = jax.lax.dot_general(
-            q, k, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=precision,
-        )
-        cap_t = None
-        if softcap is not None:
-            cap_t = jnp.tanh(s / softcap)
-            s = softcap * cap_t
-        p = jnp.exp(s - lse)
-        dp = jax.lax.dot_general(
-            do, v, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=precision,
-        )
-        ds = p * (dp - delta)
-        if cap_t is not None:
-            ds = ds * (1.0 - cap_t * cap_t)
         mask = _strip_subtile_mask(
             j, sk, block_q, row0, 0, causal, None,
             kpad[j : j + 1, :] if has_kpad else None,
             qseg,
             kseg[j : j + 1, :] if has_seg else None,
         )
-        if mask is not None:
-            ds = jnp.where(mask, ds, 0.0)
-        contrib = jax.lax.dot_general(
-            ds.astype(k.dtype), k,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=precision,
+        contrib = _dq_subtile(
+            q, k, v, do, lse, delta, mask, precision, softcap
         )
         dq_acc = contrib if dq_acc is None else dq_acc + contrib
     dq_ref[...] = (dq_acc * scale).astype(dq_ref.dtype).reshape(dq_ref.shape)
@@ -468,36 +478,15 @@ def _dq_gstrip_kernel(
         for c in range(g):
             if j >= n[c]:
                 continue
-            s = jax.lax.dot_general(
-                blk(q_all, c), k,
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=precision,
-            )
-            cap_t = None
-            if softcap is not None:
-                cap_t = jnp.tanh(s / softcap)
-                s = softcap * cap_t
-            p = jnp.exp(s - blk(lse_all, c))
-            dp = jax.lax.dot_general(
-                blk(do_all, c), v,
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=precision,
-            )
-            ds = p * (dp - blk(delta_all, c))
-            if cap_t is not None:
-                ds = ds * (1.0 - cap_t * cap_t)
             mask = _strip_subtile_mask(
                 j, sk, block_q, row0 + c * block_q, 0, True, None,
                 kpad_j,
                 blk(qseg_all, c) if has_seg else None,
                 kseg_j,
             )
-            if mask is not None:
-                ds = jnp.where(mask, ds, 0.0)
-            contrib = jax.lax.dot_general(
-                ds.astype(k.dtype), k,
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=precision,
+            contrib = _dq_subtile(
+                blk(q_all, c), k, v, blk(do_all, c), blk(lse_all, c),
+                blk(delta_all, c), mask, precision, softcap,
             )
             accs[c] = contrib if accs[c] is None else accs[c] + contrib
     dq = jnp.concatenate([a * scale for a in accs], axis=0)

@@ -1193,11 +1193,21 @@ class Engine:
         chunk, then resets all device state. Production startup cost,
         not per-request cost."""
         for L in sorted({int(x) for x in prompt_lengths}):
-            L = min(L, self.max_seq - 2)
-            self.submit([0] * L, max_new_tokens=1)
+            # max_new_tokens must exceed the chunk size so at least one
+            # decode chunk actually dispatches: max_new_tokens=1 retires
+            # at admission and would leave the decode-chunk program cold
+            # (the most expensive compile of all — code review r4)
+            mnt = min(self.chunk_size + 1, self.max_seq - 1)
+            L = min(L, self.max_seq - 1 - mnt)
+            self.submit([0] * L, max_new_tokens=mnt)
         while (self.queue or self._admitting or self._inflight
                or any(s is not None for s in self.slots)):
             self.step()
+        # drop the dummy prompts from the prefix cache: _insert_prefix
+        # published their pages with a cache ref each, which would pin
+        # those pages out of the free pool for the server's life
+        if self.paged and self._prefix_cache:
+            self._evict_prefixes(self.n_pages)  # evicts every cached key
         # reset device state touched by the dummies (slots/lengths are
         # already cleared by completion; staging + history carry junk)
         self.state.lengths = jnp.zeros_like(self.state.lengths)
@@ -1214,13 +1224,8 @@ class Engine:
     def submit(self, prompt: list[int], max_new_tokens: int = 32,
                stop: Optional[list[list[int]]] = None,
                stop_texts: Optional[list[str]] = None) -> Request:
-        # queue-depth backpressure (VERDICT r3 item 10): an unbounded
-        # queue buffers arbitrarily much prompt data while signalling
-        # acceptance — reject loudly instead; the server maps this to 429
-        if len(self.queue) >= self.max_queue:
-            raise QueueFullError(
-                f"engine queue full ({len(self.queue)}/{self.max_queue})"
-            )
+        # validate BEFORE the queue-full check: a terminally-invalid
+        # request must get its 400, not a retryable 429 (code review r4)
         if len(prompt) + max_new_tokens > self.max_seq:
             raise ValueError(
                 f"prompt ({len(prompt)}) + max_new_tokens ({max_new_tokens}) "
@@ -1228,6 +1233,13 @@ class Engine:
             )
         if stop_texts and self.tokenizer is None:
             raise ValueError("stop_texts requires a tokenizer")
+        # queue-depth backpressure (VERDICT r3 item 10): an unbounded
+        # queue buffers arbitrarily much prompt data while signalling
+        # acceptance — reject loudly instead; the server maps this to 429
+        if len(self.queue) >= self.max_queue:
+            raise QueueFullError(
+                f"engine queue full ({len(self.queue)}/{self.max_queue})"
+            )
         req = Request(self._rid, prompt, max_new_tokens,
                       stop=[list(s) for s in (stop or []) if s],
                       stop_texts=[t for t in (stop_texts or []) if t])
@@ -1547,6 +1559,11 @@ class Engine:
             req.done = True
             self.slots[slot] = None
             self.state.lengths = self.state.lengths.at[slot].set(0)
+            # release the slot's page refs like _collect/cancel do: the
+            # next occupant must not adopt stale pages (overwriting a
+            # published shared prefix) or leak them (code review r4)
+            if self.paged:
+                self._release_pages(slot)
 
     def step(self):
         """Admit pending requests, dispatch one decode CHUNK (chunk_size
@@ -1683,16 +1700,24 @@ class Engine:
                     if lps is not None else [None] * len(slot_toks)
                 )
             else:
-                slot_toks = [
-                    int(toks[t, slot, j])
+                # (token, verify-step index) pairs: the acceptance
+                # counters below must only meter steps/tokens actually
+                # consumed — a request finishing mid-chunk keeps
+                # decoding to chunk end, but those surplus verify steps
+                # and discarded tokens would skew tokens-per-verify
+                # (code review r4; the counters feed
+                # scripts/bench_spec_acceptance.py)
+                slot_pairs = [
+                    (int(toks[t, slot, j]), t)
                     for t in range(toks.shape[0])
                     for j in range(int(counts[t, slot]))
                 ]
+                slot_toks = [p[0] for p in slot_pairs]
                 slot_lps = [None] * len(slot_toks)
-                self.spec_emitted += len(slot_toks)
-                self.spec_verify_slots += toks.shape[0]
+            n_consumed = 0
             for tok, lp in zip(slot_toks, slot_lps):
                 req.out.append(tok)
+                n_consumed += 1
                 if lp is not None:
                     req.logprobs.append(lp)
                 full = len(req.prompt) + len(req.out) >= self.max_seq
@@ -1715,6 +1740,12 @@ class Engine:
                     if self.paged:
                         self._release_pages(slot)
                     break
+            if counts is not None:
+                self.spec_emitted += n_consumed
+                self.spec_verify_slots += (
+                    slot_pairs[n_consumed - 1][1] + 1 if n_consumed
+                    else toks.shape[0]
+                )
 
     def run(self, max_steps: int = 10_000):
         steps = 0

@@ -41,6 +41,10 @@ def main():
                     bv, cv = float(b[metric]), float(c[metric])
                 except (TypeError, ValueError):
                     continue
+                if bv == 0:  # e.g. a stalled run's retained_pct/mixed_tps
+                    print(f"{key}.{metric}: baseline 0 -> {cv:.6g} "
+                          f"(skipped: no ratio)")
+                    continue
                 ratio = cv / bv
                 flag = (ratio < 1 - args.tolerance if higher_is_better
                         else ratio > 1 + args.tolerance)

@@ -7,17 +7,21 @@ residual is per-call ramp / chain-boundary exposure across ~QL/bq strip
 calls. Grouping keeps exact causal MXU work while cutting call count g×
 and deduplicating the shared KV-prefix DMA.
 
-Usage: python scripts/probe_gstrip.py [--seq 4096 8192] [--bwd]
+Usage: python scripts/probe_gstrip.py [--seq 4096 8192]
+(backward grouping lives in probe_gstrip_bwd.py)
 """
 
 import argparse
+import os
 import sys
-import time
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
+
+from _probe_util import marginal
 
 import nnop_tpu.ops.flash_attention as fa
 from nnop_tpu.utils.profiling import attention_flops
@@ -31,22 +35,6 @@ def mk(L):
             jax.random.normal(ks[1], (B, KH, L, E), jnp.bfloat16),
             jax.random.normal(ks[2], (B, KH, L, E), jnp.bfloat16))
 
-
-def marginal(body, init, n1=6, n2=30):
-    @jax.jit
-    def chain(n, c):
-        def step(i, c):
-            return jax.lax.optimization_barrier(body(i, c))
-        out = jax.lax.fori_loop(0, n, step, c)
-        return jnp.sum(out[0].astype(jnp.float32))
-
-    float(chain(jnp.int32(2), init))
-    ts = {}
-    for n in (n1, n2, n1, n2):
-        t0 = time.perf_counter()
-        float(chain(jnp.int32(n), init))
-        ts[n] = time.perf_counter() - t0
-    return (ts[n2] - ts[n1]) / (n2 - n1)
 
 
 def main():

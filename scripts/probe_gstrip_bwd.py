@@ -12,13 +12,16 @@ Usage: python scripts/probe_gstrip_bwd.py [--seq 4096 8192]
 """
 
 import argparse
+import os
 import sys
-import time
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
+
+from _probe_util import marginal
 
 import nnop_tpu.ops.flash_attention as fa
 import nnop_tpu.ops.flash_attention_bwd as fab
@@ -34,22 +37,6 @@ def mk(L):
             jax.random.normal(ks[2], (B, KH, L, E), jnp.bfloat16),
             jax.random.normal(ks[3], (B, QH, L, E), jnp.bfloat16))
 
-
-def marginal(body, init, n1=6, n2=30):
-    @jax.jit
-    def chain(n, c):
-        def step(i, c):
-            return jax.lax.optimization_barrier(body(i, c))
-        out = jax.lax.fori_loop(0, n, step, c)
-        return jnp.sum(out[0].astype(jnp.float32))
-
-    float(chain(jnp.int32(2), init))
-    ts = {}
-    for n in (n1, n2, n1, n2):
-        t0 = time.perf_counter()
-        float(chain(jnp.int32(n), init))
-        ts[n] = time.perf_counter() - t0
-    return (ts[n2] - ts[n1]) / (n2 - n1)
 
 
 def main():

@@ -613,3 +613,56 @@ def test_warmup_spec_and_quantized(params):
     eng.run()
     fresh.run()
     assert r1.out == r2.out, (r1.out, r2.out)
+
+
+def test_submit_validation_precedes_queue_full(params):
+    """Code review r4: a terminally-invalid request must raise
+    ValueError (server 400) even when the queue is full — not the
+    retryable QueueFullError (429) a client would retry forever."""
+    from nnop_tpu.runtime.engine import QueueFullError
+
+    eng = Engine(params, CFG, max_batch=1, max_seq=64, max_queue=1)
+    eng.submit([1], max_new_tokens=2)  # queue now full
+    with pytest.raises(ValueError):
+        eng.submit([2] * 60, max_new_tokens=30)  # oversized -> 400
+    with pytest.raises(QueueFullError):
+        eng.submit([2], max_new_tokens=2)  # valid -> 429
+
+
+def test_warmup_compiles_decode_chunk(params):
+    """Code review r4: warmup's dummies must survive past admission so
+    the decode-chunk program (the most expensive compile) actually
+    dispatches — max_new_tokens=1 used to retire at admission and leave
+    it cold."""
+    eng = Engine(params, CFG, max_batch=1, max_seq=96)
+    steps = 0
+    orig = eng.step
+
+    def counting_step():
+        nonlocal steps
+        live_before = any(
+            r is not None and s not in eng._admitting
+            for s, r in enumerate(eng.slots)
+        )
+        if live_before:
+            steps += 1
+        orig()
+
+    eng.step = counting_step
+    eng.warmup(prompt_lengths=(8,))
+    assert steps >= 1, "warmup never dispatched a decode chunk"
+
+
+def test_spec_counters_stop_at_finish(params):
+    """Code review r4: acceptance counters must only meter verify steps
+    and tokens actually consumed — a request finishing on its first
+    decode token must not count the rest of the chunk."""
+    eng = Engine(params, CFG, max_batch=1, max_seq=96, spec_k=2,
+                 chunk_size=4)
+    r = eng.submit([5, 17, 42], max_new_tokens=2)  # 1 prefill + 1 decode
+    eng.run()
+    assert r.done and len(r.out) == 2
+    # one decode token consumed -> exactly one verify step, and emitted
+    # tokens can't exceed what a single verify step can produce
+    assert eng.spec_verify_slots <= 1
+    assert eng.spec_emitted <= 1 + eng.spec_k

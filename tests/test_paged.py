@@ -194,3 +194,47 @@ def test_prefix_cache_stress_mixed_load():
         assert r.out == w, (r.rid, r.out, w)
     # both prefixes cached, many hits
     assert eng.prefix_hits >= 128 * 8
+
+
+def test_immediate_retire_releases_pages():
+    """Code review r4: a request that retires AT admission (EOS/stop/
+    max_new_tokens=1) must release its page refs like _collect does —
+    otherwise the next occupant adopts stale pages (corrupting a
+    published shared prefix) or leaks them from the pool."""
+    from nnop_tpu.models.llama import LlamaConfig, init_params
+    from nnop_tpu.runtime.engine import Engine
+
+    cfg = LlamaConfig.tiny(dtype=jnp.float32)
+    params = init_params(jax.random.key(0), cfg)
+    eng = Engine(params, cfg, max_batch=2, max_seq=512, paged=True,
+                 page_size=128, prefix_cache=True, prefill_chunk=64)
+    free0 = len(eng._free_pages)
+    prompt = [int(x) for x in
+              jax.random.randint(jax.random.key(3), (200,), 1, 250)]
+    r = eng.submit(prompt, max_new_tokens=1)
+    eng.run()
+    assert r.done and len(r.out) == 1
+    assert eng._slot_pages[0] == [] and eng._slot_pages[1] == []
+    # slot refs released; only the published prefix-cache refs remain
+    cache_pages = {p for ps in eng._prefix_cache.values() for p in ps}
+    assert len(eng._free_pages) == free0 - len(cache_pages)
+    # page refcounts are exactly the cache's (no leaked slot refs)
+    assert all(eng._page_refs[p] == 1 for p in cache_pages)
+
+
+def test_warmup_leaves_no_pinned_prefix_pages():
+    """Code review r4: warmup's dummy prompts must not stay published in
+    the prefix cache pinning pages for the server's life."""
+    from nnop_tpu.models.llama import LlamaConfig, init_params
+    from nnop_tpu.runtime.engine import Engine
+
+    cfg = LlamaConfig.tiny(dtype=jnp.float32)
+    params = init_params(jax.random.key(0), cfg)
+    eng = Engine(params, cfg, max_batch=2, max_seq=512, paged=True,
+                 page_size=128, prefix_cache=True, prefill_chunk=64)
+    n_pages = eng.n_pages
+    eng.warmup(prompt_lengths=(200,))
+    assert eng._prefix_cache == {}
+    assert len(eng._free_pages) == n_pages
+    assert all(v <= 0 for v in eng._page_refs.values()) or \
+        eng._page_refs == {}
