@@ -42,14 +42,36 @@ HERE = os.path.dirname(os.path.abspath(__file__))
 _T0 = time.time()
 _BUDGET = [1e18]  # seconds; set in main()
 _RESULTS: dict = {}
+_REFRESHED: list = []
 
 
 def log(msg):
-    print(msg, file=sys.stderr, flush=True)
+    print(f"[t+{time.time()-_T0:6.1f}s] {msg}", file=sys.stderr, flush=True)
+
+
+def load_prior():
+    """Merge-on-load (VERDICT r4 item 1a): seed _RESULTS with the
+    committed BENCH_LOCAL.json so a partial (budget-starved) run
+    REFRESHES the rows it reaches and PRESERVES the rest, instead of
+    clobbering the record down to whatever it had time for. `_meta`
+    records which rows this run actually re-measured."""
+    path = os.path.join(HERE, "BENCH_LOCAL.json")
+    try:
+        with open(path) as f:
+            prior = json.load(f)
+        _RESULTS.update({k: v for k, v in prior.items() if k != "_meta"})
+        log(f"loaded {len(_RESULTS)} prior rows from BENCH_LOCAL.json")
+    except (OSError, ValueError):
+        log("no prior BENCH_LOCAL.json (starting fresh)")
 
 
 def save():
     """Write results incrementally — a timeout loses at most one row."""
+    _RESULTS["_meta"] = {
+        "run_started_unix": int(_T0),
+        "elapsed_s": round(time.time() - _T0, 1),
+        "rows_refreshed_this_run": list(_REFRESHED),
+    }
     tmp = os.path.join(HERE, "BENCH_LOCAL.json.tmp")
     with open(tmp, "w") as f:
         json.dump(_RESULTS, f, indent=2, default=str)
@@ -62,6 +84,7 @@ def remaining():
 
 def put(name, row, msg=None):
     _RESULTS[name] = row
+    _REFRESHED.append(name)
     save()
     if msg:
         log(msg)
@@ -109,7 +132,11 @@ def marginal_time(body, init, n1=None, n2=None, reps=3, target=0.25):
             )
         )
 
+    tc = time.time()
     float(chain(init, jnp.int32(2)))  # compile + warm
+    tc = time.time() - tc
+    if tc > 5:  # attribute slow (cache-miss) compiles in the log
+        log(f"  (chain compile+warm took {tc:.1f}s)")
 
     def timed(n):
         t0 = time.perf_counter()
@@ -665,8 +692,19 @@ def main():
     args = ap.parse_args()
     _BUDGET[0] = args.budget
 
+    # Startup attribution (VERDICT r4 item 1b): on this stack `import
+    # jax` can take >100 s with a cold disk cache and the first device
+    # op ~35 s (tunnel/backend init); every Mosaic compile is 12-137 s
+    # cold vs ~1 s via the persistent cache. Log each so a budget-
+    # starved run says WHERE the time went.
+    load_prior()
+    import nnop_tpu  # noqa: F401  (installs the persistent compile cache)
+    log("nnop_tpu imported")
     log(f"backend: {jax.default_backend()}, devices: {jax.devices()}, "
         f"budget {args.budget:.0f}s")
+    log(f"compile cache: {jax.config.jax_compilation_cache_dir}")
+    float(jnp.ones((8, 8)).sum())
+    log("backend init done (first device op complete)")
 
     # Headline FIRST: the driver artifact parses stdout — it must contain
     # the JSON line even if a later section blows the driver's timeout.

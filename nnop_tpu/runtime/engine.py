@@ -1197,8 +1197,11 @@ class Engine:
             # decode chunk actually dispatches: max_new_tokens=1 retires
             # at admission and would leave the decode-chunk program cold
             # (the most expensive compile of all — code review r4)
-            mnt = min(self.chunk_size + 1, self.max_seq - 1)
-            L = min(L, self.max_seq - 1 - mnt)
+            # keep the REQUESTED prefill bucket compiling even near
+            # max_seq: shrink the decode allowance (mnt) before the
+            # prompt, and never let L collapse to zero (advisor r4)
+            L = max(1, min(L, self.max_seq - 2))
+            mnt = max(1, min(self.chunk_size + 1, self.max_seq - L))
             self.submit([0] * L, max_new_tokens=mnt)
         while (self.queue or self._admitting or self._inflight
                or any(s is not None for s in self.slots)):
@@ -1715,6 +1718,7 @@ class Engine:
                 slot_toks = [p[0] for p in slot_pairs]
                 slot_lps = [None] * len(slot_toks)
             n_consumed = 0
+            out_len_before = len(req.out)
             for tok, lp in zip(slot_toks, slot_lps):
                 req.out.append(tok)
                 n_consumed += 1
@@ -1741,11 +1745,19 @@ class Engine:
                         self._release_pages(slot)
                     break
             if counts is not None:
-                self.spec_emitted += n_consumed
-                self.spec_verify_slots += (
-                    slot_pairs[n_consumed - 1][1] + 1 if n_consumed
-                    else toks.shape[0]
-                )
+                # emitted = tokens that actually SURVIVE in req.out from
+                # this chunk (stop-text stripping may have popped some
+                # after they were appended — advisor r4)
+                self.spec_emitted += len(req.out) - out_len_before
+                # verify steps metered: up to the finishing step when the
+                # request finished mid-chunk (later steps are surplus);
+                # ALL executed steps otherwise — trailing zero-count
+                # steps, if ever reachable, must not inflate acceptance
+                # (advisor r4)
+                if req.done and n_consumed:
+                    self.spec_verify_slots += slot_pairs[n_consumed - 1][1] + 1
+                else:
+                    self.spec_verify_slots += toks.shape[0]
 
     def run(self, max_steps: int = 10_000):
         steps = 0

@@ -34,6 +34,8 @@ def main():
                ("retained_pct", True), ("mixed_tps", True))
     failures = []
     for key in sorted(set(base) & set(cand)):
+        if key.startswith("_"):  # _meta bookkeeping, not a bench row
+            continue
         b, c = base[key], cand[key]
         for metric, higher_is_better in metrics:
             if metric in b and metric in c:
@@ -41,9 +43,17 @@ def main():
                     bv, cv = float(b[metric]), float(c[metric])
                 except (TypeError, ValueError):
                     continue
-                if bv == 0:  # e.g. a stalled run's retained_pct/mixed_tps
-                    print(f"{key}.{metric}: baseline 0 -> {cv:.6g} "
-                          f"(skipped: no ratio)")
+                if bv == 0:  # a stalled run's retained_pct/mixed_tps
+                    if cv == 0 and higher_is_better:
+                        # 0 -> 0 on a throughput metric means the metric
+                        # has been dead across BOTH runs; silently passing
+                        # would disable the gate for it forever
+                        print(f"{key}.{metric}: baseline 0 AND current 0 "
+                              f"— stalled metric, FLAGGED")
+                        failures.append(key)
+                    else:
+                        print(f"{key}.{metric}: baseline 0 -> {cv:.6g} "
+                              f"(skipped: no ratio)")
                     continue
                 ratio = cv / bv
                 flag = (ratio < 1 - args.tolerance if higher_is_better
