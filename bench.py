@@ -546,18 +546,20 @@ def bench_attention_prod():
     B, QH, KH, E = 2, 32, 8, 128
     dtype = jnp.bfloat16
 
-    def mk(L):
+    def mk(L, Bb=None):
+        Bb = Bb or B
         ks = jax.random.split(jax.random.key(0), 3)
-        return (jax.random.normal(ks[0], (B, QH, L, E), dtype),
-                jax.random.normal(ks[1], (B, KH, L, E), dtype),
-                jax.random.normal(ks[2], (B, KH, L, E), dtype))
+        return (jax.random.normal(ks[0], (Bb, QH, L, E), dtype),
+                jax.random.normal(ks[1], (Bb, KH, L, E), dtype),
+                jax.random.normal(ks[2], (Bb, KH, L, E), dtype))
 
-    def row(name, L, fl, bwd=False, pair_shape=None, **kw):
+    def row(name, L, fl, bwd=False, pair_shape=None, chain_n=None, Bb=None,
+            **kw):
         if remaining() < 90:
             return log(f"budget: skipping {name}")
         # k/v (and pair) ride the carry: closure-captured arrays become
         # program constants (134 MB at L=32k -> remote-compile 413)
-        init = mk(L)
+        init = mk(L, Bb)
         if pair_shape is not None:
             init = init + (jax.random.normal(
                 jax.random.key(7), pair_shape, dtype) * 0.02,)
@@ -574,11 +576,11 @@ def bench_attention_prod():
                 g = jax.grad(lambda a: jnp.sum(
                     call(a, c[1:]).astype(jnp.float32)))(c[0])
                 return (c[0] + 1e-9 * g,) + c[1:]
-            n1, n2 = 5, 25
+            n1, n2 = chain_n or (5, 25)
         else:
             def body(i, c):
                 return (c[0] + 1e-6 * call(c[0], c[1:]),) + c[1:]
-            n1, n2 = 8, 40
+            n1, n2 = chain_n or (8, 40)
         t = marginal_time(body, init, n1=n1, n2=n2)
         put(name, dict(time_s=t, tflops=fl / t / 1e12),
             f"{name}: {t*1e3:.3f} ms = {fl/t/1e12:.1f} TF/s")
@@ -608,14 +610,26 @@ def bench_attention_prod():
     row("attn8b_win1024_fwd_L4096", 4096, flops(4096, att_l=1024),
         window=1024)
     row("attn8b_fwd_L16384", 16384, flops(16384))
+    row("attn8b_bwd_L16384", 16384, flops(16384, bwd=True), bwd=True,
+        chain_n=(3, 13))
     row("attn8b_fwd_L32768", 32768, flops(32768))
+    # 131k: the r5 streamed-prefix chunked path (VERDICT r4 item 3) —
+    # B=1 keeps the carry + chunk partials inside HBM; shorter chain
+    # (each iteration is ~1 s of MXU work, marginal noise is tiny)
+    row("attn8b_fwd_L131072", 131072,
+        4 * 1 * QH * 131072 * 131072 * E // 2, Bb=1, chain_n=(2, 6))
 
 
 def _sub(cmd, timeout):
     import subprocess
     try:
-        return subprocess.run(cmd, capture_output=True, text=True,
-                              timeout=timeout)
+        out = subprocess.run(cmd, capture_output=True, text=True,
+                             timeout=timeout)
+        # forward the subprocess's own timing attribution (init / warmup
+        # / first-step lines) into this run's log
+        for line in out.stderr.splitlines()[-8:]:
+            log(f"  | {line}")
+        return out
     except subprocess.TimeoutExpired:
         return None
 
@@ -658,8 +672,15 @@ def bench_mixed_load():
     import re
 
     budget = remaining() - 60
-    if budget < 700:  # 8B param init + warmup + measurement (~10 min)
+    # warm-cache cost is ~300s (8B int8 init + cached warmup compiles +
+    # ~25 measured steps); 400 gives headroom while letting the driver's
+    # 1000s run reach this row (r4's 700 gate made it unreachable)
+    if budget < 400:
         return log("budget: skipping bench_mixed_load")
+    # drop this process's jit caches first: cached executables pin their
+    # device constants, and the 8B engine subprocess needs ~10.5 GB of
+    # the 16 GB HBM (the r5 in-bench failure standalone-reproduced clean)
+    jax.clear_caches()
     cmd = [sys.executable, os.path.join(HERE, "scripts", "bench_engine.py"),
            "--mixed-load"]
     out = _sub(cmd, timeout=budget)
@@ -712,9 +733,9 @@ def main():
 
     sections = [("attention_prod", bench_attention_prod),
                 ("train", bench_train),
+                ("mixed_load", bench_mixed_load),
                 ("qmm", bench_qmm),
                 ("decode", bench_decode),
-                ("mixed_load", bench_mixed_load),
                 ("attention_ref", lambda: bench_attention_ref(args.quick)),
                 ("attention_configs", bench_attention_configs),
                 ("softmax", bench_softmax),

@@ -955,6 +955,27 @@ def _pick_chunk(q_len, bq, head_dim, itemsize):
     return None
 
 
+def _rect_split(c, chunk, head_dim, itemsize):
+    """Number of equal sub-windows an off-diagonal prefix rectangle of
+    c chunks streams as: the smallest divisor of c whose (K+V, double-
+    buffered) sub-window block fits _CHUNKED_RECT_KV_BYTES. Worst case
+    (prime c) degenerates to width = one chunk, which is the same
+    geometry as the L=2*chunk rectangle — measured fast (BENCH attn8b
+    rows). Always terminates: d = c gives width chunk, which fits
+    whenever _pick_chunk returned this chunk size."""
+    for d in range(1, c + 1):
+        if c % d == 0 and 4 * (c // d) * chunk * head_dim * itemsize \
+                <= _CHUNKED_RECT_KV_BYTES:
+            return d
+    return c
+
+
+def _chunked_rect_calls(n_c, chunk, head_dim, itemsize):
+    """Total off-diagonal pallas calls the chunked decomposition makes."""
+    return sum(_rect_split(c, chunk, head_dim, itemsize)
+               for c in range(1, n_c))
+
+
 def _fwd_causal_chunked(q, k, v, scale, precision, bq, chunk, softcap=None):
     """Long-context causal forward: chunk-diagonal strips + mask-free
     off-diagonal rectangles, merged with the (o, lse) monoid.
@@ -1014,15 +1035,25 @@ def _fwd_causal_chunked(q, k, v, scale, precision, bq, chunk, softcap=None):
     o_d = jnp.concatenate(d_os, axis=3).reshape(B, QH, QL, E)
     lse_d = jnp.concatenate(d_lses, axis=3).reshape(B, QH, QL, 1)
 
-    # 2) off-diagonal: chunk c attends kv[0 : c*chunk) mask-free
-    r_os, r_lses = [], []
-    for c in range(1, n_c):
-        cw = c * chunk
-        kernel = functools.partial(
-            _rect_static_kernel, scale=scale, sk=sk, precision=precision,
-            softcap=softcap,
-        )
-        o_r, lse_r = _strip_call(
+    # 2) off-diagonal: chunk c attends kv[0 : c*chunk) mask-free.
+    # Oversized prefixes STREAM as n_sub equal-width sub-rectangles
+    # merged with the (o, lse) monoid (VERDICT r4 item 3 — this lifts
+    # the old `4*(QL-chunk)*E*itemsize <= _CHUNKED_RECT_KV_BYTES`
+    # dispatch gate: the cap now bounds one sub-rectangle's VMEM block,
+    # never the total prefix). Equal split (n_sub divides c) keeps every
+    # sub-window's offset an exact multiple of its width, so the kv
+    # BlockSpec index stays a plain block index; widths repeat across c,
+    # so distinct compiled programs stay <= max_chunks_per_rect.
+    kernel = functools.partial(
+        _rect_static_kernel, scale=scale, sk=sk, precision=precision,
+        softcap=softcap,
+    )
+    itemsize = jnp.dtype(q.dtype).itemsize
+
+    def rect(c, widx, wc):
+        """q-chunk c vs kv window [widx*wc*chunk, (widx+1)*wc*chunk)."""
+        cw = wc * chunk
+        return _strip_call(
             kernel,
             (B, QH, npc),
             [
@@ -1030,8 +1061,14 @@ def _fwd_causal_chunked(q, k, v, scale, precision, bq, chunk, softcap=None):
                     (1, 1, bq, E),
                     lambda b, h, iq, c=c: (b, h, c * npc + iq, 0),
                 ),
-                pl.BlockSpec((1, 1, cw, E), lambda b, h, iq: (b, h // group, 0, 0)),
-                pl.BlockSpec((1, 1, cw, E), lambda b, h, iq: (b, h // group, 0, 0)),
+                pl.BlockSpec(
+                    (1, 1, cw, E),
+                    lambda b, h, iq, widx=widx: (b, h // group, widx, 0),
+                ),
+                pl.BlockSpec(
+                    (1, 1, cw, E),
+                    lambda b, h, iq, widx=widx: (b, h // group, widx, 0),
+                ),
             ],
             [
                 pl.BlockSpec((1, 1, bq, E), lambda b, h, iq: (b, h, iq, 0)),
@@ -1044,6 +1081,15 @@ def _fwd_causal_chunked(q, k, v, scale, precision, bq, chunk, softcap=None):
             [q, k, v],
             3,
         )
+
+    r_os, r_lses = [], []
+    for c in range(1, n_c):
+        n_sub = _rect_split(c, chunk, E, itemsize)
+        wc = c // n_sub  # sub-window width in chunks
+        o_r, lse_r = rect(c, 0, wc)
+        for i in range(1, n_sub):
+            o_i, lse_i = rect(c, i, wc)
+            o_r, lse_r = lse_merge(o_r, lse_r, o_i, lse_i)
         r_os.append(o_r)
         r_lses.append(lse_r)
     o_off = jnp.concatenate(r_os, axis=2)
@@ -1162,14 +1208,12 @@ def _fwd_impl(q, k, v, pair, kpad, causal, scale, block_q=None, block_k=None, pr
             )
         if not (has_kpad or has_seg):
             chunk = _pick_chunk(QL, bq, E, itemsize)
-            if (
-                chunk is not None
-                # widest prefix rectangle (K+V, double-buffered) must fit
-                # VMEM — beyond ~72 MB fall back to the streaming pipeline
-                # (ADVICE r3: at E=128 bf16 this binds around QL ~ 110k)
-                and 4 * (QL - chunk) * E * itemsize
-                <= _CHUNKED_RECT_KV_BYTES
-            ):
+            # no prefix-width gate anymore: oversized prefix rectangles
+            # stream as equal sub-windows merged via lse_merge (r5), so
+            # the path serves ANY L the chunk divides. The call-count
+            # bound keeps the unrolled XLA graph sane at extreme L.
+            if chunk is not None and _chunked_rect_calls(
+                    QL // chunk, chunk, E, itemsize) <= 256:
                 return _fwd_causal_chunked(
                     q, k, v, scale, precision, bq, chunk, softcap
                 )

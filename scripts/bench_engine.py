@@ -40,8 +40,10 @@ def main():
 
     cfg = LlamaConfig.llama3_8b(vocab_size=args.vocab)
     print(f"building random INT{args.wbits} 8B params...", file=sys.stderr, flush=True)
+    t0 = time.time()
     params = init_quantized_params(jax.random.key(0), cfg, wbits=args.wbits)
     jax.block_until_ready(jax.tree.leaves(params)[0])
+    print(f"param init {time.time()-t0:.0f}s", file=sys.stderr, flush=True)
 
     eng = Engine(
         params, cfg,

@@ -178,6 +178,51 @@ def test_causal_chunked_long_context():
     np.testing.assert_allclose(lse_c, lse_r, atol=1e-3, rtol=1e-4)
 
 
+def test_causal_chunked_streamed_rectangles(monkeypatch):
+    """Oversized off-diagonal prefixes stream as equal-width
+    sub-rectangles merged via lse_merge (r5: the _CHUNKED_RECT_KV_BYTES
+    dispatch gate became a per-sub-window width cap). A tiny cap forces
+    n_sub > 1 (incl. the prime-c width-one degenerate) at test scale."""
+    from nnop_tpu.ops import flash_attention as fa
+
+    q, k, v, _, _ = _mk(2, 4, 2, 4096, 4096, 64)
+    # chunk=1024 -> n_c=4; cap 2^19 admits one 1024-wide (K+V double-
+    # buffered) sub-window at E=64 f32 -> c=2 splits 2x1024, c=3 (prime)
+    # streams 3x1024
+    monkeypatch.setattr(fa, "_CHUNKED_RECT_KV_BYTES", 4 * 1024 * 64 * 4)
+    assert fa._rect_split(2, 1024, 64, 4) == 2
+    assert fa._rect_split(3, 1024, 64, 4) == 3
+    o_c, _ = fa._fwd_causal_chunked(q, k, v, 64 ** -0.5, None, 64, 1024)
+    want = naive_attention(q, k, v, causal=True)
+    np.testing.assert_allclose(o_c, want, atol=ATOL, rtol=RTOL)
+
+
+def test_chunked_dispatch_serves_any_aligned_length(monkeypatch):
+    """The public dispatcher keeps long-L causal on the chunked path even
+    when the full prefix blows the old VMEM gate (r5), including a
+    non-power-of-two L. Strip caps are shrunk so the strip path rejects
+    a CPU-testable L and dispatch genuinely crosses into chunked."""
+    from nnop_tpu.ops import flash_attention as fa
+
+    monkeypatch.setattr(fa, "_CAUSAL_STRIP_MAX_CALLS", 4)
+    monkeypatch.setattr(fa, "_CHUNKED_RECT_KV_BYTES", 4 * 1024 * 64 * 4)
+    called = {}
+    real = fa._fwd_causal_chunked
+
+    def spy(*a, **kw):
+        called["chunk"] = a[6]
+        return real(*a, **kw)
+
+    monkeypatch.setattr(fa, "_fwd_causal_chunked", spy)
+    q, k, v, _, _ = _mk(1, 2, 1, 5120, 5120, 64)  # L = 5 * 1024
+    got = flash_attention(q, k, v, causal=True)
+    want = naive_attention(q, k, v, causal=True)
+    # bq=512 -> 10 q-blocks > 4-call cap; chunk=1024 divides 5120; the
+    # monkeypatched width cap forces streamed prefixes for c >= 2
+    assert called.get("chunk") == 1024
+    np.testing.assert_allclose(got, want, atol=ATOL, rtol=RTOL)
+
+
 def test_window_stacked_path():
     """num_q > kw/bq - 1 -> head strips + ONE stacked-KV pallas_call
     (_fwd_causal_window); parity incl. GQA and the dq grad."""

@@ -228,6 +228,52 @@ def test_bwd_causal_chunked_long_context():
     np.testing.assert_allclose(dv, gv, atol=2e-3, rtol=2e-3)
 
 
+def test_bwd_chunked_grouped_and_streamed(monkeypatch):
+    """r5 chunked-bwd upgrades: (a) gq/gk grouping on the diagonal
+    stages matches the ungrouped result; (b) oversized dQ prefix
+    rectangles stream as equal sub-windows (tiny forced cap, incl. the
+    prime-c width-one degenerate) and still match naive grads."""
+    from nnop_tpu.ops import flash_attention as fa
+    from nnop_tpu.ops import flash_attention_bwd as fab
+
+    ks = jax.random.split(jax.random.key(2), 4)
+    B, QH, KH, L, E = 1, 4, 2, 2048, 64
+    q = jax.random.normal(ks[0], (B, QH, L, E), jnp.float32)
+    k = jax.random.normal(ks[1], (B, KH, L, E), jnp.float32)
+    v = jax.random.normal(ks[2], (B, KH, L, E), jnp.float32)
+    scale = E ** -0.5
+    o, lse = fa._fwd_impl(
+        q, k, v, None, None, True, scale, block_q=256, block_k=512
+    )
+    do = jax.random.normal(ks[3], o.shape, jnp.float32)
+    delta = jnp.sum(do * o, axis=-1, keepdims=True)
+
+    base = fab._bwd_causal_chunked(
+        q, k, v, lse, delta, do, scale, None, 64, 512
+    )
+    grouped = fab._bwd_causal_chunked(
+        q, k, v, lse, delta, do, scale, None, 64, 512, gq=2, gk=2
+    )
+    for g, b, name in zip(grouped, base, "qkv"):
+        np.testing.assert_allclose(
+            g, b, atol=1e-6, rtol=1e-6, err_msg=f"grouped d{name}")
+
+    # chunk=512 f32: cap of one 512-wide window forces c=2 -> 2 subs,
+    # c=3 (prime) -> 3 subs
+    monkeypatch.setattr(fa, "_CHUNKED_RECT_KV_BYTES", 4 * 512 * 64 * 4)
+    streamed = fab._bwd_causal_chunked(
+        q, k, v, lse, delta, do, scale, None, 64, 512, gq=2, gk=2
+    )
+
+    def loss(a, b, c):
+        return jnp.sum(naive_attention(a, b, c, causal=True) * do)
+
+    want = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    for g, w, name in zip(streamed, want, "qkv"):
+        np.testing.assert_allclose(
+            g, w, atol=2e-3, rtol=2e-3, err_msg=f"streamed d{name}")
+
+
 def test_bwd_causal_grouped_parity():
     """Grouped backward strips (round 4: gq adjacent q-blocks per dQ
     call, gk-wide dKdV KV blocks) are bit-identical to the ungrouped

@@ -403,6 +403,35 @@ def test_engine_interleaved_admission_keeps_streams_alive(params):
     assert outs[True] == outs[False]
 
 
+def test_engine_prefill_chunks_per_step(params):
+    """r5 admission-policy knob: k prefill chunks per engine step — the
+    admission window shrinks ~k x (fewer steps to admit) and the final
+    token streams are identical to k=1."""
+    long_prompt = [(3 * i + 1) % CFG.vocab_size for i in range(60)]
+    short = [5, 17, 42]
+
+    outs = {}
+    for k in (1, 2, 4):
+        eng = Engine(params, CFG, max_batch=2, max_seq=128,
+                     prefill_chunk=16, chunk_size=2, pipeline_depth=1,
+                     prefill_chunks_per_step=k)
+        r1 = eng.submit(short, max_new_tokens=20)
+        eng.step()
+        r2 = eng.submit(long_prompt, max_new_tokens=4)
+        # 60 tokens -> 4 chunks -> ceil(4/k) admitting steps (the first
+        # step assigns the slot AND dispatches its first k chunks)
+        need = -(-4 // k)
+        for i in range(1, need + 1):
+            eng.step()
+            if i * k < 4:
+                assert eng._admitting, f"k={k}: admission ended early at {i}"
+        assert not eng._admitting, f"k={k}: admission still open"
+        eng.run()
+        assert r1.done and r2.done
+        outs[k] = (r1.out, r2.out)
+    assert outs[1] == outs[2] == outs[4]
+
+
 class _StubTok:
     """Tokenizer stub: fixed id->piece table (decode only)."""
 
