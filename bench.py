@@ -143,9 +143,12 @@ def marginal_time(body, init, n1=None, n2=None, reps=3, target=0.25):
         float(chain(init, jnp.int32(n)))
         return time.perf_counter() - t0
 
-    # pilot: per-iter estimate from a long-vs-short pair
-    est = max((timed(512) - timed(8)) / 504, 1e-7)
     if n1 is None:
+        # pilot: per-iter estimate from a long-vs-short pair (only when
+        # the caller didn't size the chain — for explicitly-sized heavy
+        # rows a 512-iter pilot is minutes of device time, and a single
+        # >8 min execution can kill the tunnel worker)
+        est = max((timed(512) - timed(8)) / 504, 1e-7)
         spread = max(64, int(target / est))
         spread = min(spread, 20000)
         n1, n2 = max(8, spread // 4), max(8, spread // 4) + spread

@@ -469,15 +469,17 @@ _CAUSAL_STRIP_MAX_CALLS = 16
 # bound their footprint so the widest strip compiles (measured: 4.2 MB
 # at L=8192 E=64 bf16 fits with ~2 MB of score/p temps on top).
 _CAUSAL_STRIP_KV_BYTES = 9 * 1024 * 1024
-# Chunked long-context gate: the off-diagonal prefix rectangles load the
-# whole kv[0 : QL-chunk) prefix as ONE (double-buffered) VMEM block, so
-# the path only compiles while 2x(K+V) prefix bytes stay under the 100 MB
-# vmem_limit (and the ~cw/sk Python-unrolled sub-tiles keep compile time
-# sane). Beyond this the dispatch falls back to the general streaming
-# pipeline — slower (96 vs 142 TF/s at L=16k, r2/r3 measurements) but
-# correct at any L. TODO(next): stream the widest rectangles as W-wide
-# same-shape sub-rectangles merged via lse_merge to lift this cap.
-_CHUNKED_RECT_KV_BYTES = 72 * 1024 * 1024
+# Per-sub-window width cap for the chunked path's off-diagonal
+# rectangles (r5: no longer a dispatch gate — oversized prefixes stream
+# as equal sub-windows merged via lse_merge/summed dQ partials, so the
+# path serves ANY L the chunk divides). Sized against the 100 MB scoped
+# vmem limit with the kernel's measured non-KV overhead: a 65536-wide
+# (67 MB double-buffered K+V) window at E=128 bf16 needed 110.7 MB
+# scoped (Mosaic OOM, r5 probe) — ~44 MB of q/out/score temps on top —
+# so the cap keeps K+V under 50 MB: scoped total ~= 1.9x the double-
+# buffered K+V bytes (110.7 M at 58.7 M K+V, still OOM), i.e. <= 6
+# 8192-token sub-windows at the 8B geometry (~95 MB scoped, fits).
+_CHUNKED_RECT_KV_BYTES = 50 * 1024 * 1024
 # Stacked-window transient HBM cap (ADVICE r3): the windowed strip path
 # materializes ~kw/bq copies of K and V; 2 GB admits the 8B geometry
 # (B2 KH8 L8192 window=4096 bf16 = 0.6 GB) while bounding the spike on
