@@ -133,7 +133,7 @@ def main():
                 return (last + keep, params, key)
             return marginal_time(
                 body, (jnp.ones((B,), jnp.int32), params,
-                       jax.random.key(1)))
+                       jax.random.PRNGKey(1)))
 
         rows = [
             ("matmuls", dict(do_rope=False, do_stage=False, do_attn=False,
@@ -172,17 +172,18 @@ def main():
         chunk_fn = jax.jit(make_decode_chunk(cfg, True, args.chunk))
 
         def chunk_body(i, carry):
-            st, key = carry
+            st, key, params_ = carry  # params in the carry, NOT closed
             key, sub = jax.random.split(key)
-            toks, ns = chunk_fn(params, st, sub)
+            toks, ns = chunk_fn(params_, st, sub)
             st2 = EngineState(
                 k=ns.k, v=ns.v, k_scale=ns.k_scale, v_scale=ns.v_scale,
                 lengths=lengths + jnp.sum(toks[:1]) * 0,  # keep dep, reset
                 last_token=ns.last_token,
                 k_stage=ns.k_stage, v_stage=ns.v_stage)
-            return (st2, key)
-        t_chunk = marginal_time(chunk_body, (state, jax.random.key(2)),
-                                n1=4, n2=12)
+            return (st2, key, params_)
+        t_chunk = marginal_time(
+            chunk_body, (state, jax.random.PRNGKey(2), params),
+            n1=4, n2=12)
         print(f"B={B} chunk program: {t_chunk*1e3:.2f} ms/chunk = "
               f"{t_chunk/args.chunk*1e3:.2f} ms/step "
               f"-> {B*args.chunk/t_chunk:.0f} tok/s", flush=True)
@@ -210,7 +211,8 @@ def main():
             from nnop_tpu.runtime.engine import Engine
             eng = Engine(params, cfg, max_batch=B,
                          max_seq=args.context + 128 + 8,
-                         quantized_kv=True, chunk_size=args.chunk)
+                         quantized_kv=True, chunk_size=args.chunk,
+                         fuse_weights=False)  # params already fused
             eng.warmup(prompt_lengths=(args.context,))
             for _ in range(B):
                 eng.submit([7] * args.context, max_new_tokens=120)
