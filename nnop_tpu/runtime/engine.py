@@ -1022,7 +1022,14 @@ class Engine:
                  logprobs: bool = False,
                  paged: bool = False, page_size: int = 512,
                  n_pages: Optional[int] = None, prefill_chunk: int = 512,
-                 prefill_chunks_per_step: int = 1,
+                 # 4 prefill chunks per step: measured r5 frontier (8B
+                 # B=32, 2x1024-token admissions) — TTFT 955/1299 ms at
+                 # k=1 vs 457/457 at k=4 with retention FLAT (92->93%):
+                 # ~65 ms of W8A8 prefill compute barely dents a ~300 ms
+                 # decode chunk, so batching the admission into one step
+                 # wins latency for free; cost is a bounded +k*65 ms on
+                 # that one step (scripts/bench_ttft_policy.py)
+                 prefill_chunks_per_step: int = 4,
                  pipeline_depth: int = 2, spec_k: int = 0,
                  prefix_cache: bool = False, w8a8: bool = True,
                  interleave_prefill: bool = True,

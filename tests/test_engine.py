@@ -381,7 +381,7 @@ def test_engine_interleaved_admission_keeps_streams_alive(params):
     for inter in (False, True):
         eng = Engine(params, CFG, max_batch=2, max_seq=128,
                      prefill_chunk=16, chunk_size=2, pipeline_depth=1,
-                     interleave_prefill=inter)
+                     interleave_prefill=inter, prefill_chunks_per_step=1)
         r1 = eng.submit(short, max_new_tokens=20)
         eng.step()  # admit + first decode chunk for the short stream
         r2 = eng.submit(long_prompt, max_new_tokens=4)
