@@ -33,6 +33,7 @@ calibration measures 670 GB/s).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -64,6 +65,7 @@ def _decode_kernel(
     n_draft: int = 1,
     block_b: int = 1,
     int8_dots: bool = False,
+    flat_dots: bool = True,
 ):
     rest = list(rest)
     ks_ref = vs_ref = kst_ref = vst_ref = stn_ref = qs_ref = None
@@ -112,15 +114,38 @@ def _decode_kernel(
 
     @pl.when(live_any)
     def _step():
-        for bi in range(block_b):
-            _decode_step_b(
-                bi, lens[bi], ik, q_ref, k_ref, v_ref, ks_ref, vs_ref,
-                acc, m_scr, l_scr, scale=scale, block_k=block_k,
-                n_kv_heads=n_kv_heads, group=group, quantized=quantized,
-                cache_len=cache_len, stacked=stacked, window=window,
-                softcap=softcap, n_draft=n_draft, n_st=n_st, G=G,
-                qs_ref=qs_ref, b=b, block_b=block_b,
+        if flat_dots:
+            # rows/cols geometry is bi-independent: build once per step
+            KH, bk = n_kv_heads, block_k
+            R, C = KH * G, KH * bk
+            rows = jax.lax.broadcasted_iota(jnp.int32, (R, C), 0)
+            cols = jax.lax.broadcasted_iota(jnp.int32, (R, C), 1)
+            geom = (
+                (rows // G) == (cols // bk),      # same_head
+                ik * bk + (cols % bk),            # global cache position
+                (rows % G) // group,              # draft-row index
             )
+        for bi in range(block_b):
+            if flat_dots:
+                _decode_step_b_flat(
+                    bi, lens[bi], ik, geom, q_ref, k_ref, v_ref, ks_ref,
+                    vs_ref, acc, m_scr, l_scr, scale=scale,
+                    block_k=block_k, n_kv_heads=n_kv_heads, group=group,
+                    quantized=quantized, cache_len=cache_len,
+                    stacked=stacked, window=window, softcap=softcap,
+                    n_draft=n_draft, n_st=n_st, G=G, qs_ref=qs_ref, b=b,
+                    block_b=block_b,
+                )
+            else:
+                _decode_step_b(
+                    bi, lens[bi], ik, q_ref, k_ref, v_ref, ks_ref,
+                    vs_ref, acc, m_scr, l_scr, scale=scale,
+                    block_k=block_k, n_kv_heads=n_kv_heads, group=group,
+                    quantized=quantized, cache_len=cache_len,
+                    stacked=stacked, window=window, softcap=softcap,
+                    n_draft=n_draft, n_st=n_st, G=G, qs_ref=qs_ref, b=b,
+                    block_b=block_b,
+                )
 
     if staged:
 
@@ -254,6 +279,128 @@ def _decode_step_b(
         acc[sl, :] = acc[sl, :] * alpha + pv
 
 
+def _decode_step_b_flat(
+    bi, length, ik, geom, q_ref, k_ref, v_ref, ks_ref, vs_ref, acc,
+    m_scr, l_scr, *, scale, block_k, n_kv_heads, group, quantized,
+    cache_len, stacked, window, softcap, n_draft, n_st, G, qs_ref=None,
+    b=None, block_b=1,
+):
+    """One sequence's update for KV block ik with ALL KV heads in one
+    block-diagonal MXU call pair (the _staging_step_b trick applied to
+    the cache stream): rows R = KH*G score against C = KH*bk flattened
+    key columns, cross-head terms masked out, ONE softmax state update
+    on the (R, C) block. The per-(bi, kh) loop this replaces issued
+    2*KH tiny (G, bk) dots + ~10*KH small-tile VPU ops per sequence per
+    grid step — at G=4 each VPU op under-fills the 8-sublane tile, and
+    op-issue overhead dominates the short-window path (the r4 decode
+    bound table's 2.7x-over-byte-bound attribution). The masked
+    cross-head MACs are free next to the byte bound: R*C*E MACs per
+    sequence ~ 2.7 us/grid-step at engine shapes vs 13.3 us of KV DMA
+    (int8, block_b=8, bk=4096)."""
+    lead = (0, bi) if stacked else (bi,)
+    KH = n_kv_heads
+    R = KH * G
+    bk = block_k
+    C = KH * bk
+    E = q_ref.shape[-1]
+    sl = slice(bi * R, (bi + 1) * R)
+    same_head, pos, row_t = geom
+
+    mask = jnp.logical_and(same_head, pos < length)
+    if window is not None:
+        # row t's global position is length + n_st - n_draft + t; its
+        # window starts one past position - window
+        mask = jnp.logical_and(
+            mask, pos >= length + n_st - n_draft + row_t + 1 - window
+        )
+
+    q = q_ref[bi].reshape(R, E)          # (KH, G, E) -> (R, E)
+    k = k_ref[(*lead,)].reshape(C, E)    # (KH, bk, E) -> (C, E)
+    int8_dots = qs_ref is not None
+    if int8_dots:
+        s = jax.lax.dot_general(
+            q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32)
+        # per-row q scale: row r belongs to KV head r // G (SMEM scalars
+        # broadcast per G-row band, lane-0 column vector)
+        qs_rows = jnp.concatenate(
+            [
+                jnp.full((G, 1), qs_ref[b * block_b + bi, kh],
+                         jnp.float32)
+                for kh in range(KH)
+            ],
+            axis=0,
+        )
+        s = s * (qs_rows * scale)
+    else:
+        qd = q.astype(jnp.bfloat16) if quantized else q
+        kd = k.astype(jnp.bfloat16) if quantized else k
+        s = jax.lax.dot_general(
+            qd, kd, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        s = s * scale
+    if quantized:
+        # per-token K scale, flattened across heads on the lane axis
+        ks_cols = jnp.concatenate(
+            [ks_ref[(*lead, kh)] for kh in range(KH)], axis=1
+        )  # (1, C)
+        s = s * ks_cols
+    if softcap is not None:
+        s = softcap * jnp.tanh(s / softcap)
+    s = jnp.where(mask, s, MASK_VALUE)
+
+    m_prev = m_scr[sl, :1]
+    l_prev = l_scr[sl, :1]
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+    alpha = jnp.exp(m_prev - m_new)
+    p = jnp.where(mask, jnp.exp(s - m_new), 0.0)
+    l_scr[sl, :] = jnp.broadcast_to(
+        l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True), (R, 128)
+    )
+    m_scr[sl, :] = jnp.broadcast_to(m_new, (R, 128))
+
+    if quantized:
+        vs_cols = jnp.concatenate(
+            [vs_ref[(*lead, kh)] for kh in range(KH)], axis=1
+        )  # (1, C)
+        if cache_len % block_k != 0:
+            vs_cols = jnp.where(pos[:1] < cache_len, vs_cols, 0.0)
+        p = p * vs_cols  # fold per-token V scale into P
+        if int8_dots:
+            # quantize P per row (p >= 0) and keep V int8; cross-head
+            # entries are exact zeros so they survive quantization
+            pmax = jnp.maximum(jnp.max(p, axis=-1, keepdims=True), 1e-20)
+            pi = jnp.round(p * (127.0 / pmax)).astype(jnp.int8)
+            pv = jax.lax.dot_general(
+                pi, v_ref[(*lead,)].reshape(C, E),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.float32) * (pmax * (1.0 / 127.0))
+        else:
+            pv = jax.lax.dot_general(
+                p.astype(jnp.bfloat16),
+                v_ref[(*lead,)].reshape(C, E).astype(jnp.bfloat16),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+    else:
+        v_blk = v_ref[(*lead,)].reshape(C, E)
+        if cache_len % block_k != 0:
+            vrows = ik * bk + (
+                jax.lax.broadcasted_iota(jnp.int32, (C, 1), 0) % bk
+            )
+            v_blk = jnp.where(vrows < cache_len, v_blk,
+                              jnp.zeros_like(v_blk))
+        pv = jax.lax.dot_general(
+            p.astype(v_blk.dtype), v_blk,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    acc[sl, :] = acc[sl, :] * alpha + pv
+
+
 def _staging_step_b(
     bi, length, q_ref, kst_ref, vst_ref, acc, m_scr, l_scr, *, scale,
     n_kv_heads, group, stacked, window, softcap, n_draft, n_st, G,
@@ -362,6 +509,7 @@ def decode_attention(
     softcap: float | None = None,
     block_b: int = 1,
     int8_dots: bool = False,
+    flat_dots: bool | None = None,
 ):
     """Single-token decode attention over a (possibly INT8) KV cache.
 
@@ -410,6 +558,10 @@ def decode_attention(
     cheaper — scripts/probe_int8_dot.py). Adds ~0.4% relative noise to
     logits and output rows — below the int8 cache quantization noise
     itself; the staging (bf16) side is computed from the dequantized q.
+
+    flat_dots: score all KV heads per sequence in one block-diagonal
+    MXU call pair instead of a per-head loop (see _decode_step_b_flat).
+    Default on; NNOP_DECODE_FLAT=0 restores the per-head loop.
     """
     B, QH, T, E = q.shape
     stacked = layer is not None
@@ -422,6 +574,18 @@ def decode_attention(
     if B % block_b != 0:
         raise ValueError(f"B={B} not divisible by block_b={block_b}")
     _, KH, S, _ = k_cache.shape[-4:]
+    if flat_dots is None:
+        # measured dispatch (v5e, NOTES.md round 5): flat wins 30%+ at
+        # short caches any block_b (75.8 vs 110.8 us/layer at S=640)
+        # and 13% at long caches when block_b > 1 (327 vs 376 us at
+        # S=4096, block_b=2); the per-head loop keeps a ~8% edge only
+        # at long-S block_b=1 where per-step overhead is already
+        # amortized over one full-width block (86.1 vs 92.8 us).
+        env = os.environ.get("NNOP_DECODE_FLAT", "auto")
+        if env in ("0", "1"):
+            flat_dots = env == "1"
+        else:
+            flat_dots = block_b > 1 or S <= 2048
     G = QH // KH
     quantized = k_cache.dtype == jnp.int8
     staged = k_stage is not None
@@ -434,6 +598,18 @@ def decode_attention(
         scale = 1.0 / (E**0.5)
     sub = 32 if quantized else 8
     bk = min(block_k, ((S + sub - 1) // sub) * sub)
+    if flat_dots:
+        # cap the flat score block's columns (C = KH*bk): its (R, C)
+        # f32 temporaries live per-sequence alongside the double-
+        # buffered KV windows, and an uncapped bk=4096 at KH=8 OOMs
+        # VMEM (166 MB) at block_b=8. More, narrower KV steps stream
+        # the same bytes; measured at S=4096 int8 the capped flat path
+        # BEATS the per-head loop (327 vs 376 us/layer at block_b=2,
+        # bk=1024 — NOTES.md round 5 flat-dots section).
+        max_cols = int(os.environ.get("NNOP_DECODE_FLAT_COLS", 8192))
+        kh_ = k_cache.shape[-3]
+        if kh_ * bk > max_cols:
+            bk = max((max_cols // kh_) // sub * sub, sub)
     num_kv = cdiv(S, bk)
 
     # (B, KH*T*G, E): rows grouped per KV head, row r = t * G + g so the
@@ -558,6 +734,7 @@ def decode_attention(
         n_draft=T,
         block_b=block_b,
         int8_dots=int8_dots,
+        flat_dots=flat_dots,
     )
     R = KH * T * G
     grid_spec = pltpu.PrefetchScalarGridSpec(

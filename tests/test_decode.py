@@ -182,3 +182,27 @@ def test_decode_block_b_window():
     got = decode_attention(q, k, v, lengths, window=128, block_k=128,
                            block_b=2)
     np.testing.assert_allclose(got, want, atol=1e-6, rtol=1e-6)
+
+
+@pytest.mark.parametrize("flat", [True, False])
+@pytest.mark.parametrize("block_b", [1, 2])
+def test_decode_flat_vs_loop_parity(flat, block_b):
+    """The block-diagonal flat path and the per-head loop must agree
+    (both against naive): the launcher auto-dispatches between them by
+    measured shape heuristics, so both stay load-bearing."""
+    q, k, v, lengths = _mk(4, 8, 2, 160, 64, seed=3)
+    got = decode_attention(q, k, v, lengths, flat_dots=flat,
+                           block_b=block_b)
+    want = _naive_decode(q, k, v, lengths)
+    np.testing.assert_allclose(got, want, atol=1e-3, rtol=1e-3)
+
+
+def test_decode_flat_col_cap(monkeypatch):
+    """KH*bk over NNOP_DECODE_FLAT_COLS splits the KV stream into
+    narrower blocks (the flat score block's (R, C) temporaries must fit
+    VMEM next to the double-buffered windows)."""
+    monkeypatch.setenv("NNOP_DECODE_FLAT_COLS", "64")
+    q, k, v, lengths = _mk(2, 4, 2, 256, 64, seed=4)
+    got = decode_attention(q, k, v, lengths, flat_dots=True)
+    want = _naive_decode(q, k, v, lengths)
+    np.testing.assert_allclose(got, want, atol=1e-3, rtol=1e-3)
