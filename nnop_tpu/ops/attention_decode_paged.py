@@ -24,6 +24,7 @@ Pool layout: (n_pages, KH, page_size, E); page_size is the KV block size.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -52,6 +53,7 @@ def _paged_kernel(
     stacked: bool = False,
     window: int | None = None,
     softcap: float | None = None,
+    flat_dots: bool = True,
 ):
     rest = list(rest)
     ks_ref = vs_ref = kst_ref = vst_ref = stn_ref = None
@@ -107,6 +109,72 @@ def _paged_kernel(
 
     @pl.when(live)
     def _step():
+        if flat_dots:
+            # block-diagonal flat dots: ALL KV heads' scores for this
+            # page in one MXU call pair with ONE (R, C) state update —
+            # same rewrite as ops/attention_decode.py's
+            # _decode_step_b_flat (the per-head loop under-fills the
+            # 8-sublane VPU tile at G=4 and its op-issue overhead
+            # dominates short pages). C = KH*page_size is small (<=2 k
+            # at page 256), so no VMEM col cap is needed here.
+            R = n_kv_heads * G
+            C = n_kv_heads * page_size
+            E = q_ref.shape[-1]
+            rows = jax.lax.broadcasted_iota(jnp.int32, (R, C), 0)
+            colsf = jax.lax.broadcasted_iota(jnp.int32, (R, C), 1)
+            same_head = (rows // G) == (colsf // page_size)
+            pos = j * page_size + (colsf % page_size)
+            mask = jnp.logical_and(same_head, pos < length)
+            if window is not None:
+                mask = jnp.logical_and(mask, pos >= length + n_st - window)
+            qf = q_ref[0].reshape(R, E)
+            kf = k_ref[(*lead,)].reshape(C, E)
+            s = jax.lax.dot_general(
+                qf.astype(jnp.bfloat16) if quantized else qf,
+                kf.astype(jnp.bfloat16) if quantized else kf,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            s = s * scale
+            if quantized:
+                ks_cols = jnp.concatenate(
+                    [ks_ref[(*lead, kh)] for kh in range(n_kv_heads)],
+                    axis=1,
+                )  # (1, C)
+                s = s * ks_cols
+            if softcap is not None:
+                s = softcap * jnp.tanh(s / softcap)
+            s = jnp.where(mask, s, MASK_VALUE)
+            m_prev = m_scr[:, :1]
+            l_prev = l_scr[:, :1]
+            m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+            alpha = jnp.exp(m_prev - m_new)
+            p = jnp.where(mask, jnp.exp(s - m_new), 0.0)
+            l_scr[...] = jnp.broadcast_to(
+                l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True),
+                (R, 128),
+            )
+            m_scr[...] = jnp.broadcast_to(m_new, (R, 128))
+            vf = v_ref[(*lead,)].reshape(C, E)
+            if quantized:
+                vs_cols = jnp.concatenate(
+                    [vs_ref[(*lead, kh)] for kh in range(n_kv_heads)],
+                    axis=1,
+                )  # (1, C)
+                p = p * vs_cols
+                pv = jax.lax.dot_general(
+                    p.astype(jnp.bfloat16), vf.astype(jnp.bfloat16),
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            else:
+                pv = jax.lax.dot_general(
+                    p.astype(vf.dtype), vf,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            acc[...] = acc[...] * alpha + pv
+            return
         cols = j * page_size + jax.lax.broadcasted_iota(
             jnp.int32, (G, page_size), 1
         )
@@ -344,6 +412,7 @@ def paged_decode_attention(
         stacked=stacked,
         window=window,
         softcap=softcap,
+        flat_dots=os.environ.get("NNOP_DECODE_FLAT", "auto") != "0",
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,

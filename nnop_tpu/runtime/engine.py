@@ -37,6 +37,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from nnop_tpu.models.llama import LlamaConfig, _merge_heads, _split_heads
 from nnop_tpu.ops.attention_decode import decode_attention
@@ -206,6 +207,58 @@ def _admit_write_q(k, v, k_scale, v_scale, ks_l, vs_l, slot):
     k_scale = jax.lax.dynamic_update_slice(k_scale, ksc[:, None], start4)
     v_scale = jax.lax.dynamic_update_slice(v_scale, vsc[:, None], start4)
     return k, v, k_scale, v_scale
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3))
+def _admit_write_pages_q(k, v, k_scale, v_scale, kq, vq, ksc, vsc,
+                         pages, p0, n_live):
+    """Write a prefilled prompt's quantized K/V into its pool pages in
+    ONE donated program: pages [p0, n_live) of the slot, with kq/vq/
+    ksc/vsc zero-padded to max_pages*page_size tokens so every page
+    write is a full-width aligned slice (rows past the prompt are dead
+    until the staged flush RMWs them). The previous eager per-page
+    `.at[:, pid].set(...)` chain created a full undonated pool copy per
+    write (~1.6 GB each on the 8B pool) — several in flight OOMed HBM
+    at B=32 (params 7.4 GB + pool 3.5 GB + transients > 16 GB)."""
+    pg = k.shape[3]
+    nl, kh, _, e = kq.shape
+
+    def body(pi, c):
+        k, v, k_scale, v_scale = c
+        pid = pages[pi]
+        r0 = pi * pg
+        sk = jax.lax.dynamic_slice(kq, (0, 0, r0, 0), (nl, kh, pg, e))
+        sv = jax.lax.dynamic_slice(vq, (0, 0, r0, 0), (nl, kh, pg, e))
+        k = jax.lax.dynamic_update_slice(k, sk[:, None], (0, pid, 0, 0, 0))
+        v = jax.lax.dynamic_update_slice(v, sv[:, None], (0, pid, 0, 0, 0))
+        ssk = jax.lax.dynamic_slice(ksc, (0, 0, r0), (nl, kh, pg))
+        ssv = jax.lax.dynamic_slice(vsc, (0, 0, r0), (nl, kh, pg))
+        k_scale = jax.lax.dynamic_update_slice(
+            k_scale, ssk[:, None], (0, pid, 0, 0))
+        v_scale = jax.lax.dynamic_update_slice(
+            v_scale, ssv[:, None], (0, pid, 0, 0))
+        return k, v, k_scale, v_scale
+
+    return jax.lax.fori_loop(p0, n_live, body, (k, v, k_scale, v_scale))
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1))
+def _admit_write_pages(k, v, kq, vq, pages, p0, n_live):
+    """fp-pool variant of _admit_write_pages_q."""
+    pg = k.shape[3]
+    nl, kh, _, e = kq.shape
+
+    def body(pi, c):
+        k, v = c
+        pid = pages[pi]
+        r0 = pi * pg
+        sk = jax.lax.dynamic_slice(kq, (0, 0, r0, 0), (nl, kh, pg, e))
+        sv = jax.lax.dynamic_slice(vq, (0, 0, r0, 0), (nl, kh, pg, e))
+        k = jax.lax.dynamic_update_slice(k, sk[:, None], (0, pid, 0, 0, 0))
+        v = jax.lax.dynamic_update_slice(v, sv[:, None], (0, pid, 0, 0, 0))
+        return k, v
+
+    return jax.lax.fori_loop(p0, n_live, body, (k, v))
 
 
 @functools.partial(jax.jit, donate_argnums=(0, 1))
@@ -1020,7 +1073,7 @@ class Engine:
                  top_p: float = 1.0, min_p: float = 0.0,
                  seed: int = 0, chunk_size: int = 8, fuse_weights=True,
                  logprobs: bool = False,
-                 paged: bool = False, page_size: int = 512,
+                 paged: bool = False, page_size: Optional[int] = None,
                  n_pages: Optional[int] = None, prefill_chunk: int = 512,
                  # 4 prefill chunks per step: measured r5 frontier (8B
                  # B=32, 2x1024-token admissions) — TTFT 955/1299 ms at
@@ -1098,6 +1151,13 @@ class Engine:
             # paged mode: KV lives in a shared page pool; a slot only
             # holds pages for its live length (+ flush slack), so total
             # pool memory tracks actual load, not max_batch * max_seq
+            if page_size is None:
+                # auto: ~8 pages per max-length sequence. A fixed 512
+                # page over-allocates small-context pools by up to 2x
+                # (max_seq=648 rounded to 3x512=1536 rows/slot OOMed
+                # HBM at B=64 next to the 7.4 GB int8-8B params)
+                page_size = min(512, max(128, -(-max_seq // 8 // 128)
+                                         * 128))
             if page_size % 128 != 0:
                 raise ValueError("page_size must be a multiple of 128")
             self.page_size = page_size
@@ -1112,6 +1172,20 @@ class Engine:
             self._slot_pages: list[list[int]] = [
                 [] for _ in range(max_batch)
             ]
+            # host mirror of state.lengths: paged page-growth decisions
+            # ran jax.device_get(lengths) EVERY step, which blocks on
+            # the previous chunk's output and serializes the pipeline
+            # (measured 603 vs 81 ms/step at NL=8 B=32 vs linear).
+            # lengths advance deterministically (spec decode is
+            # disallowed with paged), so the host tracks them exactly:
+            # admission sets L, every dispatched chunk adds chunk_size
+            # to slots with length > 0, retire/cancel zero.
+            self._host_lens: list[int] = [0] * max_batch
+            # device page_table rows are rewritten only when a slot's
+            # page list changes (every page_size/chunk_size steps), in
+            # one batched eager op before dispatch — not 2 eager ops
+            # per live slot per step
+            self._dirty_table: set[int] = set()
         else:
             # flush RMWs an aligned (STAGE_W+32)-row window, and inflight
             # chunks can advance a finished slot (depth-1) chunks past
@@ -1165,10 +1239,21 @@ class Engine:
             pid = self._free_pages.pop()
             self._page_refs[pid] = self._page_refs.get(pid, 0) + 1
             pages.append(pid)
-        row = jnp.zeros((self.max_pages,), jnp.int32).at[: len(pages)].set(
-            jnp.asarray(pages, jnp.int32)
-        )
-        self.state.page_table = self.state.page_table.at[slot].set(row)
+        self._dirty_table.add(slot)
+
+    def _flush_page_table(self):
+        """Push changed page-table rows to the device in one eager op."""
+        if not self._dirty_table:
+            return
+        slots = sorted(self._dirty_table)
+        self._dirty_table.clear()
+        rows = np.zeros((len(slots), self.max_pages), np.int32)
+        for i, s in enumerate(slots):
+            pg = self._slot_pages[s]
+            rows[i, : len(pg)] = pg
+        self.state.page_table = self.state.page_table.at[
+            jnp.asarray(slots, jnp.int32)
+        ].set(jnp.asarray(rows))
 
     def _release_pages(self, slot: int):
         for pid in self._slot_pages[slot]:
@@ -1223,6 +1308,8 @@ class Engine:
         # reset device state touched by the dummies (slots/lengths are
         # already cleared by completion; staging + history carry junk)
         self.state.lengths = jnp.zeros_like(self.state.lengths)
+        if self.paged:
+            self._host_lens = [0] * len(self._host_lens)
         if self.state.k_stage is not None:
             self.state.k_stage = jnp.zeros_like(self.state.k_stage)
             self.state.v_stage = jnp.zeros_like(self.state.v_stage)
@@ -1305,6 +1392,7 @@ class Engine:
                 self._admitting.pop(slot, None)
                 self.state.lengths = self.state.lengths.at[slot].set(0)
                 if self.paged:
+                    self._host_lens[slot] = 0
                     self._release_pages(slot)
                 return True
         return False
@@ -1373,29 +1461,33 @@ class Engine:
             kq, ksc = _quant_token(ks_l)
             vq, vsc = _quant_token(vs_l)
         else:
-            kq, vq = ks_l, vs_l
+            kq, vq = ks_l.astype(self.state.k.dtype), vs_l.astype(
+                self.state.v.dtype)
             ksc = vsc = None
-        for pi, pid in enumerate(self._slot_pages[slot]):
-            r0 = pi * pg
-            if r0 < start:
-                continue
-            if r0 >= L:
-                break
-            r1 = min(L, r0 + pg)
-            n = r1 - r0
-            self.state.k = self.state.k.at[:, pid, :, :n].set(
-                kq[:, :, r0:r1].astype(self.state.k.dtype)
-            )
-            self.state.v = self.state.v.at[:, pid, :, :n].set(
-                vq[:, :, r0:r1].astype(self.state.v.dtype)
-            )
-            if self.quantized:
-                self.state.k_scale = self.state.k_scale.at[
-                    :, pid, :, :n
-                ].set(ksc[:, :, r0:r1])
-                self.state.v_scale = self.state.v_scale.at[
-                    :, pid, :, :n
-                ].set(vsc[:, :, r0:r1])
+        # one donated jitted program writes all live pages (page writes
+        # below `start` are shared prefix pages and are skipped via p0);
+        # inputs zero-pad to max_pages*pg tokens so the program compiles
+        # once per pool shape, not per (L, page count)
+        pad = self.max_pages * pg - kq.shape[2]
+        kq = jnp.pad(kq, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        vq = jnp.pad(vq, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        pages_arr = jnp.zeros((self.max_pages,), jnp.int32).at[
+            : len(self._slot_pages[slot])
+        ].set(jnp.asarray(self._slot_pages[slot], jnp.int32))
+        p0 = jnp.int32(-(-start // pg))
+        n_live = jnp.int32(-(-L // pg))
+        if self.quantized:
+            ksc = jnp.pad(ksc, ((0, 0), (0, 0), (0, pad)))
+            vsc = jnp.pad(vsc, ((0, 0), (0, 0), (0, pad)))
+            (self.state.k, self.state.v, self.state.k_scale,
+             self.state.v_scale) = _admit_write_pages_q(
+                self.state.k, self.state.v, self.state.k_scale,
+                self.state.v_scale, kq, vq, ksc, vsc, pages_arr, p0,
+                n_live)
+        else:
+            self.state.k, self.state.v = _admit_write_pages(
+                self.state.k, self.state.v, kq, vq, pages_arr, p0,
+                n_live)
 
     def _admit(self):
         """Assign queued requests to free slots and advance admission.
@@ -1481,6 +1573,7 @@ class Engine:
             # their K/V back as the prefill context, and compute only
             # the REMAINDER through the offset-aware chunked prefill
             self._slot_pages[slot] = shared
+            self._dirty_table.add(slot)  # row must reflect adopted pages
             pk, pv = self._gather_prefix_kv(shared, n_match)
             remainder = req.prompt[n_match:]
             C = self.prefill_chunk
@@ -1547,6 +1640,8 @@ class Engine:
                     self.state.k, self.state.v = _admit_write(
                         self.state.k, self.state.v, ks_l, vs_l, slot_i)
         self.state.lengths = self.state.lengths.at[slot].set(L)
+        if self.paged:
+            self._host_lens[slot] = L
         if self.prefix_cache:
             self._insert_prefix(req.prompt, slot)
         if self.spec_k:
@@ -1580,6 +1675,7 @@ class Engine:
             # next occupant must not adopt stale pages (overwriting a
             # published shared prefix) or leak them (code review r4)
             if self.paged:
+                self._host_lens[slot] = 0
                 self._release_pages(slot)
 
     def step(self):
@@ -1595,12 +1691,15 @@ class Engine:
         lps = None
         if live:
             if self.paged:
-                lens = jax.device_get(self.state.lengths)
+                # host-tracked lengths: no device_get (it would sync on
+                # the previous chunk and serialize the pipeline)
                 for slot in live:
                     self._ensure_pages(
                         slot,
-                        int(lens[slot]) + self.chunk_size + STAGE_W + 128,
+                        self._host_lens[slot] + self.chunk_size
+                        + STAGE_W + 128,
                     )
+                self._flush_page_table()
             self._key, step_key = jax.random.split(self._key)
             if self.spec_k:
                 toks, counts, self.state, self._history = self._chunk(
@@ -1624,6 +1723,13 @@ class Engine:
                 (toks, counts, live, lps if not self.spec_k and
                  self.logprobs else None)
             )
+            if self.paged:
+                # mirror the chunk program's device-side advance:
+                # lengths += chunk for every slot with lengths > 0
+                self._host_lens = [
+                    hl + self.chunk_size if hl > 0 else 0
+                    for hl in self._host_lens
+                ]
             dispatched = True
         keep = self.pipeline_depth - 1 if dispatched else 0
         while len(self._inflight) > keep:
@@ -1756,6 +1862,7 @@ class Engine:
                         self.slots[slot] = None
                     self.state.lengths = self.state.lengths.at[slot].set(0)
                     if self.paged:
+                        self._host_lens[slot] = 0
                         self._release_pages(slot)
                     break
             if counts is not None:

@@ -25,6 +25,7 @@ def main():
     ap.add_argument("--wbits", type=int, default=8, choices=(4, 8))
     ap.add_argument("--layers", type=int, default=0,
                     help="override layer count (0 = full 8B)")
+    ap.add_argument("--paged", action="store_true")
     args = ap.parse_args()
 
     from nnop_tpu.models.llama import LlamaConfig, init_quantized_params
@@ -43,7 +44,7 @@ def main():
 
     eng = Engine(params, cfg, max_batch=args.batch,
                  max_seq=1024 + 128 + 8, quantized_kv=True,
-                 chunk_size=args.chunk)
+                 chunk_size=args.chunk, paged=args.paged)
 
     # instrument: wrap _admit and _collect
     t_admit = [0.0]
