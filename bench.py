@@ -702,6 +702,31 @@ def bench_mixed_load():
         f"engine_mixed_load: {line[0]}")
 
 
+def bench_serving_paged():
+    """Paged-KV serving throughput through the real Engine (8B int8,
+    B=32 — the paged capacity point next to 7.4 GB of weights on this
+    16 GB chip; r5 fixed the undonated page writes, the per-step
+    lengths sync and the pool over-allocation: 410 -> 1543 tok/s)."""
+    import re
+
+    budget = remaining() - 60
+    if budget < 350:
+        return log("budget: skipping bench_serving_paged")
+    jax.clear_caches()  # the 8B engine subprocess needs most of HBM
+    cmd = [sys.executable, os.path.join(HERE, "scripts", "bench_engine.py"),
+           "--paged", "--batch", "32"]
+    out = _sub(cmd, timeout=budget)
+    if out is None:
+        return log("bench_serving_paged TIMED OUT")
+    line = [l for l in out.stdout.splitlines() if "engine-measured" in l]
+    if not line:
+        return log(f"bench_serving_paged FAILED: {out.stderr[-500:]}")
+    m = re.search(r"([\d.]+) ms/chunk = (\d+) tokens/s", line[0])
+    put("engine_paged",
+        dict(ms_chunk=float(m.group(1)), tokens_s=float(m.group(2))),
+        f"engine_paged: {line[0]}")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
@@ -739,6 +764,7 @@ def main():
                 ("mixed_load", bench_mixed_load),
                 ("qmm", bench_qmm),
                 ("decode", bench_decode),
+                ("serving_paged", bench_serving_paged),
                 ("attention_ref", lambda: bench_attention_ref(args.quick)),
                 ("attention_configs", bench_attention_configs),
                 ("softmax", bench_softmax),
